@@ -1,0 +1,229 @@
+"""UniPC multistep scheduler for Wan flow matching.
+
+Math follows the reference (lightx2v/models/schedulers/wan/scheduler.py:
+predictor ``multistep_uni_p_bh_update`` :130-219, corrector
+``multistep_uni_c_bh_update`` :221-320, solver order 2, bh2 variant
+B(h)=expm1(-h)), re-derived in closed form for orders {1, 2} so the whole
+update is branch-free scalar math + elementwise latent ops — a clean
+``lax.scan`` body with no data-dependent Python control flow.
+
+Flow-matching parameterization: alpha_t = 1 - sigma_t, x0-prediction
+conversion ``x0 = sample - sigma * flow_pred``.
+
+Order bookkeeping (reference step_post :322-360): at step i the corrector
+runs with the order chosen at step i-1; the predictor order is
+min(2, n_steps - i, lower_order_nums + 1). Both sequences depend only on
+the step index, so they are precomputed host-side and fed to the traced
+step as per-step scalars.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.registry import SCHEDULER_REGISTER
+from .base import SchedulerBase, State
+
+
+def flow_sigmas(num_train_timesteps: int = 1000, shift: float = 1.0) -> np.ndarray:
+    """Training sigma grid with shift warp (reference :35-42)."""
+    alphas = np.linspace(1, 1 / num_train_timesteps, num_train_timesteps)[::-1].copy()
+    sigmas = 1.0 - alphas
+    return shift * sigmas / (1 + (shift - 1) * sigmas)
+
+
+@SCHEDULER_REGISTER.register(["unipc", "wan"])
+class WanUniPCScheduler(SchedulerBase):
+    solver_order = 2
+    num_train_timesteps = 1000
+
+    def __init__(self, config):
+        super().__init__(config)
+        self.sample_shift = float(config.sample_shift)
+
+    def prepare(self, target_shape, seed: int) -> State:
+        base = flow_sigmas(self.num_train_timesteps, shift=1.0)
+        sigma_max, sigma_min = float(base[0]), float(base[-1])
+        # inference grid (reference set_timesteps :65-94)
+        sig = np.linspace(sigma_max, sigma_min, self.infer_steps + 1).copy()[:-1]
+        sig = self.sample_shift * sig / (1 + (self.sample_shift - 1) * sig)
+        self.timesteps = (sig * self.num_train_timesteps).astype(np.float32)
+        self.sigmas = np.concatenate([sig, [0.0]]).astype(np.float32)
+
+        n = self.infer_steps
+        # host-side order schedules
+        pred_order = np.zeros(n, np.int32)
+        corr_order = np.zeros(n, np.int32)  # order used by corrector at step i
+        lower = 0
+        prev_this_order = 0
+        for i in range(n):
+            corr_order[i] = prev_this_order if i > 0 else 0  # 0 = no corrector
+            this_order = min(self.solver_order, n - i, lower + 1)
+            pred_order[i] = this_order
+            prev_this_order = this_order
+            if lower < self.solver_order:
+                lower += 1
+        self.pred_order = pred_order
+        self.corr_order = corr_order
+
+        latents = self.init_latents(target_shape, seed)
+        zeros = jnp.zeros_like(latents)
+        return {
+            "latents": latents,
+            "step_index": jnp.asarray(0, jnp.int32),
+            # ring buffer of the last `solver_order` converted (x0) outputs;
+            # model_outputs[-1] == m0
+            "m_prev": zeros,  # model_outputs[-1]
+            "m_prev2": zeros,  # model_outputs[-2]
+            "last_sample": zeros,
+        }
+
+    # -- closed-form bh2 updates ------------------------------------------
+    @staticmethod
+    def _lam(sigma):
+        alpha = 1.0 - sigma
+        return jnp.log(alpha) - jnp.log(sigma)
+
+    def step_post(self, state: State, noise_pred: jnp.ndarray) -> State:
+        i = state["step_index"]
+        sigmas = jnp.asarray(self.sigmas, jnp.float32)
+        pred_order = jnp.asarray(self.pred_order)[i]
+        corr_order = jnp.asarray(self.corr_order)[i]
+
+        sample = state["latents"].astype(jnp.float32)
+        flow = noise_pred.astype(jnp.float32)
+        sigma_i = sigmas[i]
+        m_convert = sample - sigma_i * flow  # x0 prediction (reference :99-117)
+
+        # ---- corrector (uses sigma[i-1] -> sigma[i]) ----
+        def corrected():
+            sigma_t, sigma_s0 = sigmas[i], sigmas[jnp.maximum(i - 1, 0)]
+            lam_t, lam_s0 = self._lam(sigma_t), self._lam(sigma_s0)
+            h = lam_t - lam_s0
+            hh = -h
+            h_phi_1 = jnp.expm1(hh)
+            B_h = h_phi_1
+            b0 = (h_phi_1 / hh - 1.0) / B_h  # b[0] = h_phi_k * 1 / B_h
+            h_phi_k2 = (h_phi_1 / hh - 1.0) / hh - 0.5
+            b1 = h_phi_k2 * 2.0 / B_h
+            # order 2 needs r0 = (lam_{i-2} - lam_s0)/h
+            sigma_s1 = sigmas[jnp.maximum(i - 2, 0)]
+            lam_s1 = self._lam(sigma_s1)
+            r0 = (lam_s1 - lam_s0) / h
+            # solve [[1,1],[r0,1]] rhos = [b0,b1]
+            rho0_o2 = (b1 - b0) / (r0 - 1.0)
+            rho1_o2 = b0 - rho0_o2
+            is2 = (corr_order == 2).astype(jnp.float32)
+            rho0 = is2 * rho0_o2  # D1s coefficient (0 for order 1)
+            rho1 = jnp.where(corr_order == 2, rho1_o2, 0.5)  # D1_t coefficient
+            m0 = state["m_prev"]
+            m1 = state["m_prev2"]
+            d1s = jnp.where(corr_order == 2, (m1 - m0) / jnp.where(r0 == 0, 1.0, r0), 0.0)
+            d1t = m_convert - m0
+            x = state["last_sample"]
+            alpha_t = 1.0 - sigma_t
+            x_t = sigma_t / sigma_s0 * x - alpha_t * h_phi_1 * m0
+            return x_t - alpha_t * B_h * (rho0 * d1s + rho1 * d1t)
+
+        sample = jnp.where(corr_order > 0, corrected(), sample)
+
+        # ---- predictor (sigma[i] -> sigma[i+1]) ----
+        sigma_t, sigma_s0 = sigmas[i + 1], sigmas[i]
+        alpha_t = 1.0 - sigma_t
+        lam_s0 = self._lam(sigma_s0)
+        # sigma_{n} == 0 -> lam = +inf; expm1(-inf) = -1; handle via where
+        lam_t = jnp.where(sigma_t > 0, self._lam(jnp.maximum(sigma_t, 1e-20)), jnp.inf)
+        h = lam_t - lam_s0
+        hh = -h
+        h_phi_1 = jnp.expm1(hh)
+        B_h = h_phi_1
+        m0 = m_convert
+        # order 2 extra term
+        sigma_s1 = sigmas[jnp.maximum(i - 1, 0)]
+        lam_s1 = self._lam(sigma_s1)
+        r0 = (lam_s1 - lam_s0) / jnp.where(h == 0, 1.0, h)
+        m1 = state["m_prev"]
+        d1s = jnp.where(pred_order == 2, (m1 - m0) / jnp.where(r0 == 0, 1.0, r0), 0.0)
+        rho_p = 0.5 * (pred_order == 2).astype(jnp.float32)
+        ratio = jnp.where(sigma_s0 > 0, sigma_t / sigma_s0, 0.0)
+        x_t = ratio * sample - alpha_t * h_phi_1 * m0
+        x_t = x_t - alpha_t * B_h * rho_p * d1s
+
+        return {
+            "latents": x_t,
+            "step_index": i + 1,
+            "m_prev": m_convert,
+            "m_prev2": state["m_prev"],
+            "last_sample": sample,
+        }
+
+
+def reference_unipc_numpy(flow_preds, sigmas, solver_order=2) -> np.ndarray:
+    """Independent float64 numpy implementation of the same math, used as
+    the golden oracle in tests (runs the full step sequence given the
+    per-step flow predictions)."""
+    n = len(sigmas) - 1
+    lam = lambda s: math.log(1 - s) - math.log(s) if s > 0 else float("inf")
+    latents = None
+    model_outputs = [None] * solver_order
+    last_sample = None
+    lower = 0
+    this_order_prev = None
+    x = flow_preds["x0"].astype(np.float64)
+    latents = x.copy()
+    for i in range(n):
+        flow = flow_preds["eps"][i].astype(np.float64)
+        sample = latents.copy()
+        m_convert = sample - sigmas[i] * flow
+        use_corr = i > 0 and last_sample is not None
+        if use_corr:
+            order = this_order_prev
+            sigma_t, sigma_s0 = sigmas[i], sigmas[i - 1]
+            alpha_t = 1 - sigma_t
+            h = lam(sigma_t) - lam(sigma_s0)
+            hh = -h
+            h_phi_1 = math.expm1(hh)
+            B_h = h_phi_1
+            b0 = (h_phi_1 / hh - 1.0) / B_h
+            h_phi_k2 = (h_phi_1 / hh - 1.0) / hh - 0.5
+            b1 = h_phi_k2 * 2.0 / B_h
+            m0 = model_outputs[-1]
+            d1t = m_convert - m0
+            if order == 2:
+                r0 = (lam(sigmas[i - 2]) - lam(sigma_s0)) / h
+                rho0 = (b1 - b0) / (r0 - 1.0)
+                rho1 = b0 - rho0
+                d1s = (model_outputs[-2] - m0) / r0
+                corr = rho0 * d1s + rho1 * d1t
+            else:
+                corr = 0.5 * d1t
+            sample = sigma_t / sigma_s0 * last_sample - alpha_t * h_phi_1 * m0 - alpha_t * B_h * corr
+        model_outputs = model_outputs[1:] + [m_convert]
+        this_order = min(solver_order, n - i, lower + 1)
+        this_order_prev = this_order
+        last_sample = sample
+        # predictor
+        sigma_t, sigma_s0 = sigmas[i + 1], sigmas[i]
+        alpha_t = 1 - sigma_t
+        if sigma_t > 0:
+            h = lam(sigma_t) - lam(sigma_s0)
+            hh = -h
+            h_phi_1 = math.expm1(hh)
+        else:
+            h_phi_1 = -1.0
+            h = float("inf")
+        B_h = h_phi_1
+        m0 = m_convert
+        pred = (sigma_t / sigma_s0) * sample - alpha_t * h_phi_1 * m0
+        if this_order == 2:
+            r0 = (lam(sigmas[i - 1]) - lam(sigma_s0)) / h
+            d1s = (model_outputs[-2] - m0) / r0
+            pred = pred - alpha_t * B_h * 0.5 * d1s
+        latents = pred
+        if lower < solver_order:
+            lower += 1
+    return latents
