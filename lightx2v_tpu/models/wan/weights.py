@@ -1,0 +1,209 @@
+"""Wan2.1 weight loading: safetensors -> stacked JAX pytree.
+
+Checkpoint key layout is the reference's (lightx2v/models/networks/wan/
+weights/{pre,post,transformer}_weights.py): ``patch_embedding.*``,
+``text_embedding.{0,2}.*``, ``time_embedding.{0,2}.*``,
+``time_projection.1.*``, ``img_emb.proj.{0,1,3,4}.*`` (i2v),
+``blocks.{i}.{modulation, norm3, self_attn.{q,k,v,o,norm_q,norm_k},
+cross_attn.{q,k,v,o,norm_q,norm_k[,k_img,v_img,norm_k_img]},
+ffn.{0,2}}``, ``head.{head, modulation}``.
+
+TPU-first layout decisions:
+* torch Linear stores (out, in); we transpose to (in, out) once at load so
+  every GEMM is a plain row-major ``x @ w``;
+* all 'blocks.*' leaves are stacked along a leading layer axis so the
+  transformer is a single ``lax.scan`` over layers (weights stream
+  HBM->VMEM per layer under one fused loop instead of 30-40 dispatches);
+* the 1x2x2-stride patch-embedding conv is stored as a flattened
+  (in_dim*pt*ph*pw, dim) matrix: a stride==kernel conv is an exact
+  reshape+matmul, which maps straight onto the MXU;
+* norm scales / modulation tables stay fp32 (they are applied inside fp32
+  norm kernels), matmul weights are bf16 (or int8/fp8 + scales when
+  quantized).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import ml_dtypes
+import numpy as np
+
+from ...utils.safetensors_io import load_sharded
+from .config import WanArch
+
+Params = Dict[str, Any]
+
+_SENSITIVE = ("norm", "modulation", "embedding", "time", "img_emb.proj.0", "img_emb.proj.4")
+
+
+def _np(x) -> np.ndarray:
+    return np.asarray(x)
+
+
+def _linear(wd: Dict[str, np.ndarray], prefix: str, compute_dtype=ml_dtypes.bfloat16) -> Params:
+    """torch Linear -> {"w": (in,out), "b": (out,)} with optional quant scale."""
+    w = _np(wd[f"{prefix}.weight"])
+    out: Params = {}
+    scale_key = f"{prefix}.weight_scale"
+    if w.dtype in (np.int8, ml_dtypes.float8_e4m3fn) or scale_key in wd:
+        out["w"] = w.T.copy()
+        out["w_scale"] = _np(wd[scale_key]).astype(np.float32).reshape(-1)
+    else:
+        out["w"] = w.T.astype(compute_dtype)
+    bkey = f"{prefix}.bias"
+    out["b"] = _np(wd[bkey]).astype(np.float32) if bkey in wd else None
+    return out
+
+
+def _maybe(wd, key, dtype=np.float32) -> Optional[np.ndarray]:
+    return _np(wd[key]).astype(dtype) if key in wd else None
+
+
+def load_wan_params(weight_dict: Dict[str, np.ndarray], arch: WanArch, compute_dtype=ml_dtypes.bfloat16) -> Params:
+    """Build the full parameter pytree from a flat name->array dict.
+
+    ``compute_dtype`` is the matmul weight dtype (bf16 in production;
+    fp32 for exact-parity tests)."""
+    wd = weight_dict
+
+    def _lin(prefix, dt=compute_dtype):
+        return _linear(wd, prefix, dt)
+
+    pe_w = _np(wd["patch_embedding.weight"])  # (dim, in_dim, pt, ph, pw)
+    d, cin, pt, ph, pw = pe_w.shape
+    patch_mat = pe_w.reshape(d, cin * pt * ph * pw).T.astype(compute_dtype)
+
+    params: Params = {
+        "patch_embedding": {"w": patch_mat, "b": _np(wd["patch_embedding.bias"]).astype(np.float32)},
+        "text_embedding": {
+            "0": _lin("text_embedding.0"),
+            "2": _lin("text_embedding.2"),
+        },
+        "time_embedding": {
+            "0": _lin("time_embedding.0", np.float32),
+            "2": _lin("time_embedding.2", np.float32),
+        },
+        "time_projection": {"1": _lin("time_projection.1", np.float32)},
+        "head": {
+            **_lin("head.head"),
+            "modulation": _np(wd["head.modulation"]).astype(np.float32).reshape(2, arch.dim),
+        },
+    }
+
+    if "img_emb.proj.1.weight" in wd:
+        params["img_emb"] = {
+            "norm0": {"w": _maybe(wd, "img_emb.proj.0.weight"), "b": _maybe(wd, "img_emb.proj.0.bias")},
+            "1": _lin("img_emb.proj.1"),
+            "3": _lin("img_emb.proj.3"),
+            "norm4": {"w": _maybe(wd, "img_emb.proj.4.weight"), "b": _maybe(wd, "img_emb.proj.4.bias")},
+        }
+    if "cfg_cond_proj.weight" in wd:
+        params["cfg_cond_proj"] = _lin("cfg_cond_proj", np.float32)
+
+    # ---- stack the per-block weights along a leading layer axis ----
+    def block(i: int) -> Params:
+        p = f"blocks.{i}"
+        b: Params = {
+            "modulation": _np(wd[f"{p}.modulation"]).astype(np.float32).reshape(6, arch.dim),
+            "norm3": {"w": _maybe(wd, f"{p}.norm3.weight"), "b": _maybe(wd, f"{p}.norm3.bias")},
+            "self_attn": {
+                "q": _lin(f"{p}.self_attn.q"),
+                "k": _lin(f"{p}.self_attn.k"),
+                "v": _lin(f"{p}.self_attn.v"),
+                "o": _lin(f"{p}.self_attn.o"),
+                "norm_q": _np(wd[f"{p}.self_attn.norm_q.weight"]).astype(np.float32),
+                "norm_k": _np(wd[f"{p}.self_attn.norm_k.weight"]).astype(np.float32),
+            },
+            "cross_attn": {
+                "q": _lin(f"{p}.cross_attn.q"),
+                "k": _lin(f"{p}.cross_attn.k"),
+                "v": _lin(f"{p}.cross_attn.v"),
+                "o": _lin(f"{p}.cross_attn.o"),
+                "norm_q": _np(wd[f"{p}.cross_attn.norm_q.weight"]).astype(np.float32),
+                "norm_k": _np(wd[f"{p}.cross_attn.norm_k.weight"]).astype(np.float32),
+            },
+            "ffn": {"0": _lin(f"{p}.ffn.0"), "2": _lin(f"{p}.ffn.2")},
+        }
+        if f"{p}.cross_attn.k_img.weight" in wd:
+            b["cross_attn"]["k_img"] = _lin(f"{p}.cross_attn.k_img")
+            b["cross_attn"]["v_img"] = _lin(f"{p}.cross_attn.v_img")
+            b["cross_attn"]["norm_k_img"] = _np(wd[f"{p}.cross_attn.norm_k_img.weight"]).astype(np.float32)
+        # smooth-quant affine params for advanced_ptq checkpoints
+        if f"{p}.affine_norm1.weight" in wd:
+            b["smooth_norm1"] = {
+                "w": _np(wd[f"{p}.affine_norm1.weight"]).astype(np.float32),
+                "b": _np(wd[f"{p}.affine_norm1.bias"]).astype(np.float32),
+            }
+        if f"{p}.affine_norm3.weight" in wd:
+            b["smooth_norm2"] = {
+                "w": _np(wd[f"{p}.affine_norm3.weight"]).astype(np.float32),
+                "b": _np(wd[f"{p}.affine_norm3.bias"]).astype(np.float32),
+            }
+        return b
+
+    blocks = [block(i) for i in range(arch.num_layers)]
+    import jax
+
+    params["blocks"] = jax.tree_util.tree_map(
+        lambda *leaves: np.stack(leaves) if leaves[0] is not None else None,
+        *blocks,
+        is_leaf=lambda x: x is None,
+    )
+    return jax.tree_util.tree_map(
+        lambda x: None if x is None else jnp.asarray(x), params, is_leaf=lambda x: x is None
+    )
+
+
+def load_wan_from_path(model_path: str, arch: WanArch) -> Params:
+    return load_wan_params(load_sharded(model_path), arch)
+
+
+def init_random_weight_dict(arch: WanArch, seed: int = 0, scale: float = 0.02) -> Dict[str, np.ndarray]:
+    """Synthesize a random checkpoint with the reference's exact key layout
+    (for tests/benchmarks without real weights)."""
+    rng = np.random.default_rng(seed)
+    bf16 = ml_dtypes.bfloat16
+    d, f_, td = arch.dim, arch.ffn_dim, arch.text_dim
+    wd: Dict[str, np.ndarray] = {}
+
+    def lin(prefix, i, o):
+        wd[f"{prefix}.weight"] = (rng.standard_normal((o, i)) * scale).astype(bf16)
+        wd[f"{prefix}.bias"] = (rng.standard_normal(o) * scale).astype(bf16)
+
+    wd["patch_embedding.weight"] = (rng.standard_normal((d, arch.in_dim, *arch.patch_size)) * scale).astype(bf16)
+    wd["patch_embedding.bias"] = (rng.standard_normal(d) * scale).astype(bf16)
+    lin("text_embedding.0", td, d)
+    lin("text_embedding.2", d, d)
+    lin("time_embedding.0", arch.freq_dim, d)
+    lin("time_embedding.2", d, d)
+    lin("time_projection.1", d, 6 * d)
+    if arch.task == "i2v":
+        wd["img_emb.proj.0.weight"] = np.ones(arch.clip_dim, np.float32)
+        wd["img_emb.proj.0.bias"] = np.zeros(arch.clip_dim, np.float32)
+        lin("img_emb.proj.1", arch.clip_dim, d)
+        lin("img_emb.proj.3", d, d)
+        wd["img_emb.proj.4.weight"] = np.ones(d, np.float32)
+        wd["img_emb.proj.4.bias"] = np.zeros(d, np.float32)
+    for i in range(arch.num_layers):
+        p = f"blocks.{i}"
+        wd[f"{p}.modulation"] = (rng.standard_normal((1, 6, d)) * scale).astype(np.float32)
+        wd[f"{p}.norm3.weight"] = np.ones(d, np.float32)
+        wd[f"{p}.norm3.bias"] = np.zeros(d, np.float32)
+        for m in ("q", "k", "v", "o"):
+            lin(f"{p}.self_attn.{m}", d, d)
+            lin(f"{p}.cross_attn.{m}", d, d)
+        wd[f"{p}.self_attn.norm_q.weight"] = np.ones(d, np.float32)
+        wd[f"{p}.self_attn.norm_k.weight"] = np.ones(d, np.float32)
+        wd[f"{p}.cross_attn.norm_q.weight"] = np.ones(d, np.float32)
+        wd[f"{p}.cross_attn.norm_k.weight"] = np.ones(d, np.float32)
+        if arch.task == "i2v":
+            lin(f"{p}.cross_attn.k_img", d, d)
+            lin(f"{p}.cross_attn.v_img", d, d)
+            wd[f"{p}.cross_attn.norm_k_img.weight"] = np.ones(d, np.float32)
+        lin(f"{p}.ffn.0", d, f_)
+        lin(f"{p}.ffn.2", f_, d)
+    lin("head.head", d, arch.out_dim * int(np.prod(arch.patch_size)))
+    wd["head.modulation"] = (rng.standard_normal((1, 2, d)) * scale).astype(np.float32)
+    return wd
