@@ -126,10 +126,14 @@ def wan_block(
     rope_sin: jnp.ndarray,
     arch: WanArch,
     mm_fn,
-    self_attn_type: str = "flash_attn3",
-    cross_attn_type: str = "flash_attn3",
+    self_attn_fn=None,
+    cross_attn_fn=None,
 ) -> jnp.ndarray:
-    """One DiT block (reference infer_block, transformer_infer.py:289-306)."""
+    """One DiT block (reference infer_block, transformer_infer.py:289-306).
+
+    ``self_attn_fn`` / ``cross_attn_fn`` are dense-attention callables
+    (q, k, v) -> out; the sequence-parallel path injects Ulysses-wrapped
+    versions here."""
     b, s, d = x.shape
     n, hd = arch.num_heads, arch.head_dim
     shift_msa, scale_msa, gate_msa, c_shift, c_scale, c_gate = _split_modulation(block, embed0)
@@ -151,7 +155,7 @@ def wan_block(
     v = _mm(sa["v"], norm1, mm_fn).reshape(b, s, n, hd)
     q = apply_rope(q, rope_cos, rope_sin)
     k = apply_rope(k, rope_cos, rope_sin)
-    attn_out = attention(self_attn_type, q, k, v).reshape(b, s, d)
+    attn_out = self_attn_fn(q, k, v).reshape(b, s, d)
     y = _mm(sa["o"], attn_out, mm_fn)
     x = (x.astype(jnp.float32) + y.astype(jnp.float32) * gate_msa.astype(jnp.float32)).astype(x.dtype)
 
@@ -161,11 +165,11 @@ def wan_block(
     cq = rms_norm(_mm(ca["q"], norm3, mm_fn), ca["norm_q"], eps=1e-5).reshape(b, s, n, hd)
     ck = rms_norm(_mm(ca["k"], context, mm_fn), ca["norm_k"], eps=1e-5).reshape(b, -1, n, hd)
     cv = _mm(ca["v"], context, mm_fn).reshape(b, -1, n, hd)
-    cross_out = attention(cross_attn_type, cq, ck, cv).reshape(b, s, d)
+    cross_out = cross_attn_fn(cq, ck, cv).reshape(b, s, d)
     if context_img is not None and "k_img" in ca:
         ik = rms_norm(_mm(ca["k_img"], context_img, mm_fn), ca["norm_k_img"], eps=1e-5).reshape(b, -1, n, hd)
         iv = _mm(ca["v_img"], context_img, mm_fn).reshape(b, -1, n, hd)
-        cross_out = cross_out + attention(cross_attn_type, cq, ik, iv).reshape(b, s, d)
+        cross_out = cross_out + cross_attn_fn(cq, ik, iv).reshape(b, s, d)
     x = x + _mm(ca["o"], cross_out, mm_fn)
 
     # ---- FFN ----
@@ -199,11 +203,13 @@ def wan_transformer(
     """Scan the block stack (reference _infer_without_offload loop,
     transformer_infer.py:269-287)."""
     mm_fn = resolve_mm(mm_type)
+    self_attn_fn = partial(attention, self_attn_type)
+    cross_attn_fn = partial(attention, cross_attn_type)
 
     def body(carry, layer):
         out = wan_block(
             layer, carry, embed0, context, context_img, rope_cos, rope_sin,
-            arch, mm_fn, self_attn_type, cross_attn_type,
+            arch, mm_fn, self_attn_fn, cross_attn_fn,
         )
         return out, None
 
@@ -239,6 +245,7 @@ def wan_forward(
     self_attn_type: str = "flash_attn3",
     cross_attn_type: str = "flash_attn3",
     seq_len: Optional[int] = None,
+    transformer_fn=None,
 ) -> jnp.ndarray:
     """Full DiT forward: latents (B, C, F, H, W) + timestep + context ->
     flow prediction (B, out_dim, F, H, W).
@@ -272,10 +279,14 @@ def wan_forward(
     if clip_fea is not None and "img_emb" in params:
         ctx_img = img_embeddings(params, clip_fea, mm_fn)
 
-    x = wan_transformer(
-        params["blocks"], x, embed0, ctx, ctx_img, rope_cos, rope_sin,
-        arch, mm_type, self_attn_type, cross_attn_type,
-    )
+    if transformer_fn is not None:
+        # injected transformer (e.g. the shard_map'd sequence-parallel one)
+        x = transformer_fn(params["blocks"], x, embed0, ctx, ctx_img)
+    else:
+        x = wan_transformer(
+            params["blocks"], x, embed0, ctx, ctx_img, rope_cos, rope_sin,
+            arch, mm_type, self_attn_type, cross_attn_type,
+        )
 
     out = wan_head(params, x, embed, arch, mm_fn)
     out = out[:, :s_tokens]

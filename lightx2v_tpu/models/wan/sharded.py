@@ -1,0 +1,123 @@
+"""Multi-chip Wan DiT: Ulysses sequence parallelism + CFG data parallelism.
+
+Replaces the reference's monkey-patched NCCL wrappers
+(lightx2v/attentions/distributed/ulysses/wrap.py:5-71, invoked from
+models/networks/wan/model.py:53-59) with a ``jax.shard_map`` over a
+``Mesh``:
+
+* ``dp`` shards the batch axis (cond/uncond CFG pair — CFG parallelism the
+  reference runs sequentially);
+* ``sp`` shards the video-token axis; self-attention swaps to head
+  sharding with ``lax.all_to_all`` (parallel/ulysses.py) and back;
+* cross-attention needs no communication (queries local, text K/V
+  replicated) — same property the reference exploits;
+* RoPE tables are passed sharded along tokens, the mesh-position slicing
+  the reference does by rank arithmetic (infer/utils.py:86-104) falls out
+  of the sharding;
+* pre/post (patchify, t/text embeddings, head) run under GSPMD outside
+  the shard_map — they are <1% of FLOPs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ...ops.attention import attention
+from ...ops.linear import resolve_mm
+from ...parallel.mesh import mesh_axis_size
+from ...parallel.ulysses import ulysses_attention
+from .config import WanArch
+from .model import wan_block, wan_forward
+
+
+def make_sharded_transformer(
+    mesh: Mesh,
+    arch: WanArch,
+    mm_type: str = "Default",
+    self_attn_type: str = "flash_attn3",
+    cross_attn_type: str = "flash_attn3",
+):
+    """Returns transformer_fn(blocks, x, embed0, context, context_img) with
+    x sharded (dp, sp) — pluggable into wan_forward(transformer_fn=...)."""
+    sp = mesh_axis_size(mesh, "sp")
+    mm_fn = resolve_mm(mm_type)
+    dense_self = partial(attention, self_attn_type)
+    dense_cross = partial(attention, cross_attn_type)
+
+    def transformer(blocks, x, embed0, context, context_img, cos, sin):
+        if sp > 1:
+            self_fn = lambda q, k, v: ulysses_attention(dense_self, q, k, v, axis="sp")
+        else:
+            self_fn = dense_self
+
+        def body(carry, layer):
+            out = wan_block(
+                layer, carry, embed0, context, context_img, cos, sin,
+                arch, mm_fn, self_fn, dense_cross,
+            )
+            return out, None
+
+        x, _ = jax.lax.scan(body, x, blocks)
+        return x
+
+    rep = P()  # replicated weights (tp weight sharding layers on later)
+    xspec = P("dp", "sp", None)
+    bspec = P("dp")
+    rope_spec = P("sp", None)
+
+    def transformer_fn(blocks, x, embed0, context, context_img, cos, sin):
+        return jax.shard_map(
+            transformer,
+            mesh=mesh,
+            in_specs=(rep, xspec, bspec, bspec, bspec, rope_spec, rope_spec),
+            out_specs=xspec,
+            check_vma=False,
+        )(blocks, x, embed0, context, context_img, cos, sin)
+
+    return transformer_fn
+
+
+def wan_forward_sharded(
+    params,
+    latents: jnp.ndarray,
+    t: jnp.ndarray,
+    context: jnp.ndarray,
+    rope_cos: jnp.ndarray,
+    rope_sin: jnp.ndarray,
+    arch: WanArch,
+    mesh: Mesh,
+    y: Optional[jnp.ndarray] = None,
+    clip_fea: Optional[jnp.ndarray] = None,
+    cfg_scale: Optional[jnp.ndarray] = None,
+    mm_type: str = "Default",
+    self_attn_type: str = "flash_attn3",
+    cross_attn_type: str = "flash_attn3",
+    seq_len: Optional[int] = None,
+) -> jnp.ndarray:
+    """Drop-in sharded version of wan_forward. The token count (after
+    optional padding to ``seq_len``) must divide the sp axis; num_heads
+    must divide sp as well (Ulysses head split)."""
+    sp = mesh_axis_size(mesh, "sp")
+    assert arch.num_heads % sp == 0, f"heads {arch.num_heads} % sp {sp} != 0"
+
+    sharded_tf = make_sharded_transformer(mesh, arch, mm_type, self_attn_type, cross_attn_type)
+
+    def transformer_fn(blocks, x, embed0, context, context_img):
+        if context_img is None:
+            # shard_map needs a uniform pytree; a zero-width stand-in keeps
+            # the t2v signature identical (k_img absent -> branch unused)
+            context_img = jnp.zeros((x.shape[0], 1, x.shape[-1]), x.dtype)
+        x = jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P("dp", "sp", None)))
+        return sharded_tf(blocks, x, embed0, context, context_img, rope_cos, rope_sin)
+
+    return wan_forward(
+        params, latents, t, context, rope_cos, rope_sin, arch,
+        y=y, clip_fea=clip_fea, cfg_scale=cfg_scale, mm_type=mm_type,
+        self_attn_type=self_attn_type, cross_attn_type=cross_attn_type,
+        seq_len=seq_len, transformer_fn=transformer_fn,
+    )

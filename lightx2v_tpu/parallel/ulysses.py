@@ -1,0 +1,50 @@
+"""Ulysses sequence parallelism: seq-shard <-> head-shard all-to-all.
+
+The reference shards the token axis across ranks and swaps to
+head-sharding around attention with ``dist.all_to_all_single``
+(lightx2v/attentions/distributed/ulysses/attn.py:7-91,
+comm/all2all.py:7-89). Here the same dataflow is ``jax.lax.all_to_all``
+over the ``sp`` mesh axis inside ``shard_map`` — XLA lowers it onto ICI.
+
+Layouts (per-device views inside shard_map):
+  seq-sharded:  (B, S/sp, N, D)
+  head-sharded: (B, S, N/sp, D)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def seq2head(x: jnp.ndarray, axis: str = "sp") -> jnp.ndarray:
+    """(B, S/sp, N, D) -> (B, S, N/sp, D) (reference all2all_seq2head,
+    comm/all2all.py:7-45)."""
+    return jax.lax.all_to_all(x, axis, split_axis=2, concat_axis=1, tiled=True)
+
+
+def head2seq(x: jnp.ndarray, axis: str = "sp") -> jnp.ndarray:
+    """(B, S, N/sp, D) -> (B, S/sp, N, D) (reference all2all_head2seq,
+    comm/all2all.py:48-89)."""
+    return jax.lax.all_to_all(x, axis, split_axis=1, concat_axis=2, tiled=True)
+
+
+def ulysses_attention(
+    attn_fn,
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    axis: str = "sp",
+) -> jnp.ndarray:
+    """Full-sequence attention with per-device head slices.
+
+    q/k/v: (B, S/sp, N, D) seq-sharded -> returns (B, S/sp, N, D).
+    ``attn_fn(q, k, v)`` computes dense attention on (B, S, N/sp, D).
+    """
+    qh = seq2head(q, axis)
+    kh = seq2head(k, axis)
+    vh = seq2head(v, axis)
+    oh = attn_fn(qh, kh, vh)
+    return head2seq(oh, axis)

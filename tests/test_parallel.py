@@ -1,0 +1,84 @@
+"""Multi-chip tests on the 8-device CPU mesh (conftest forces
+xla_force_host_platform_device_count=8) — the single-host simulated-SP
+test capability the reference lacks (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from lightx2v_tpu.models.wan.config import WanArch
+from lightx2v_tpu.models.wan.model import wan_forward
+from lightx2v_tpu.models.wan.sharded import wan_forward_sharded
+from lightx2v_tpu.models.wan.weights import init_random_weight_dict, load_wan_params
+from lightx2v_tpu.ops.attention import attn_xla
+from lightx2v_tpu.parallel.mesh import build_mesh, mesh_axis_size
+from lightx2v_tpu.parallel.ulysses import head2seq, seq2head, ulysses_attention
+from lightx2v_tpu.ops.rope import build_wan_rope_grid
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def test_mesh_shapes():
+    mesh = build_mesh({"sp": 8})
+    assert mesh_axis_size(mesh, "sp") == 8
+    assert mesh_axis_size(mesh, "dp") == 1
+    mesh2 = build_mesh({"dp": 2, "sp": 4})
+    assert mesh_axis_size(mesh2, "dp") == 2 and mesh_axis_size(mesh2, "sp") == 4
+
+
+def test_seq2head_roundtrip():
+    mesh = build_mesh({"sp": 4, "dp": 2})
+    b, s, n, d = 2, 16, 8, 4
+    x = jnp.arange(b * s * n * d, dtype=jnp.float32).reshape(b, s, n, d)
+
+    def f(xl):
+        return head2seq(seq2head(xl, "sp"), "sp")
+
+    out = jax.shard_map(
+        f, mesh=mesh, in_specs=P("dp", "sp"), out_specs=P("dp", "sp"), check_vma=False
+    )(x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+
+def test_ulysses_attention_matches_dense():
+    """Sharded Ulysses attention == single-device dense attention
+    (the reference checks this with a torchrun script,
+    attentions/distributed/ulysses; here it runs on the virtual mesh)."""
+    mesh = build_mesh({"sp": 4, "dp": 2})
+    rng = np.random.default_rng(0)
+    b, s, n, d = 2, 32, 4, 16
+    q, k, v = [jnp.asarray(rng.standard_normal((b, s, n, d)), jnp.float32) * 0.5 for _ in range(3)]
+    ref = attn_xla(q, k, v)
+
+    def f(ql, kl, vl):
+        return ulysses_attention(attn_xla, ql, kl, vl, axis="sp")
+
+    out = jax.shard_map(
+        f, mesh=mesh, in_specs=P("dp", "sp"), out_specs=P("dp", "sp"), check_vma=False
+    )(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_wan_forward_matches_single_device():
+    arch = WanArch(dim=64, ffn_dim=96, num_heads=4, num_layers=2, in_dim=4, out_dim=4,
+                   freq_dim=32, text_len=8, text_dim=16)
+    wd = init_random_weight_dict(arch, seed=0, scale=0.05)
+    params = load_wan_params(wd, arch)
+    rng = np.random.default_rng(1)
+    B = 2  # dp=2
+    latents = jnp.asarray(rng.standard_normal((B, 4, 2, 4, 8)), jnp.float32)
+    t = jnp.asarray([500.0, 500.0], jnp.float32)
+    context = jnp.asarray(rng.standard_normal((B, 8, 16)), jnp.float32)
+    f, h, w = 2, 2, 4  # 16 tokens, sp=4 -> 4 per device
+    cos, sin = build_wan_rope_grid(arch.head_dim, f, h, w)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+
+    ref = wan_forward(params, latents, t, context, cos, sin, arch,
+                      self_attn_type="xla", cross_attn_type="xla")
+
+    mesh = build_mesh({"dp": 2, "sp": 4})
+    out = wan_forward_sharded(params, latents, t, context, cos, sin, arch, mesh,
+                              self_attn_type="xla", cross_attn_type="xla")
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=0.02, atol=0.02)
