@@ -1,0 +1,84 @@
+"""Benchmark: Wan2.1-1.3B DiT denoise step at 480P/5s latent shapes.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference's Wan2.1-T2V-1.3B 480P run takes 58 s for 50 UniPC
+steps with CFG (100 DiT forwards) on an H200 => 580 ms per DiT forward
+(docs cache_source.md:15-38; see BASELINE.md). vs_baseline = baseline_ms /
+ours_ms (>1 means faster than the H200 reference per-forward).
+
+Env knobs: BENCH_FRAMES / BENCH_H / BENCH_W (latent dims), BENCH_ATTN,
+BENCH_STEPS (timed iterations), BENCH_PRESET=tiny for smoke runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+H200_1P3B_480P_MS_PER_FORWARD = 580.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lightx2v_tpu.models.wan.config import WanArch
+    from lightx2v_tpu.models.wan.model import wan_forward
+    from lightx2v_tpu.models.wan.pipeline import rope_for_shape
+    from lightx2v_tpu.models.wan.weights import init_random_weight_dict, load_wan_params
+
+    preset = os.environ.get("BENCH_PRESET", "1.3b")
+    if preset == "tiny":
+        arch = WanArch(dim=256, ffn_dim=512, num_heads=4, num_layers=4,
+                       in_dim=16, out_dim=16, text_len=64, text_dim=256)
+        f, h, w = 5, 20, 20
+    else:
+        arch = WanArch(dim=1536, ffn_dim=8960, num_heads=12, num_layers=30,
+                       in_dim=16, out_dim=16, freq_dim=256, text_len=512, text_dim=4096)
+        # 480P 5s: 81 frames -> 21 latent frames; 480x832 -> 60x104 latent
+        f = int(os.environ.get("BENCH_FRAMES", 21))
+        h = int(os.environ.get("BENCH_H", 60))
+        w = int(os.environ.get("BENCH_W", 104))
+
+    attn = os.environ.get("BENCH_ATTN", "flash_attn3")
+    steps = int(os.environ.get("BENCH_STEPS", 3))
+
+    target = (16, f, h, w)
+    wd = init_random_weight_dict(arch, seed=0, scale=0.02)
+    params = load_wan_params(wd, arch)
+    rope_cos, rope_sin, seq_len = rope_for_shape(arch, target)
+
+    rng = np.random.default_rng(0)
+    latents = jnp.asarray(rng.standard_normal((1, *target)) * 0.5, jnp.bfloat16)
+    t = jnp.asarray([500.0], jnp.float32)
+    context = jnp.asarray(rng.standard_normal((1, arch.text_len, arch.text_dim)) * 0.1, jnp.bfloat16)
+
+    fwd = jax.jit(
+        lambda p, l, tt, c: wan_forward(
+            p, l, tt, c, rope_cos, rope_sin, arch,
+            self_attn_type=attn, cross_attn_type=attn,
+        )
+    )
+    # warmup/compile
+    out = jax.block_until_ready(fwd(params, latents, t, context))
+    times = []
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(fwd(params, latents, t, context))
+        times.append(time.perf_counter() - t0)
+    ms = float(np.median(times) * 1000.0)
+
+    print(json.dumps({
+        "metric": "wan1.3b_480p_dit_forward",
+        "value": round(ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(H200_1P3B_480P_MS_PER_FORWARD / ms, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,15 +43,17 @@ def _np(x) -> np.ndarray:
 
 
 def _linear(wd: Dict[str, np.ndarray], prefix: str, compute_dtype=ml_dtypes.bfloat16) -> Params:
-    """torch Linear -> {"w": (in,out), "b": (out,)} with optional quant scale."""
+    """torch Linear -> {"w": (out, in), "b": (out,)} with optional quant
+    scale. The (out, in) checkpoint layout is kept (ops/linear.py does an
+    NT gemm) so loading is a straight cast/memcpy."""
     w = _np(wd[f"{prefix}.weight"])
     out: Params = {}
     scale_key = f"{prefix}.weight_scale"
     if w.dtype in (np.int8, ml_dtypes.float8_e4m3fn) or scale_key in wd:
-        out["w"] = w.T.copy()
+        out["w"] = w
         out["w_scale"] = _np(wd[scale_key]).astype(np.float32).reshape(-1)
     else:
-        out["w"] = w.T.astype(compute_dtype)
+        out["w"] = w if w.dtype == np.dtype(compute_dtype) else w.astype(compute_dtype)
     bkey = f"{prefix}.bias"
     out["b"] = _np(wd[bkey]).astype(np.float32) if bkey in wd else None
     return out
@@ -73,7 +75,7 @@ def load_wan_params(weight_dict: Dict[str, np.ndarray], arch: WanArch, compute_d
 
     pe_w = _np(wd["patch_embedding.weight"])  # (dim, in_dim, pt, ph, pw)
     d, cin, pt, ph, pw = pe_w.shape
-    patch_mat = pe_w.reshape(d, cin * pt * ph * pw).T.astype(compute_dtype)
+    patch_mat = pe_w.reshape(d, cin * pt * ph * pw).astype(compute_dtype)  # (out, in)
 
     params: Params = {
         "patch_embedding": {"w": patch_mat, "b": _np(wd["patch_embedding.bias"]).astype(np.float32)},
@@ -168,12 +170,22 @@ def init_random_weight_dict(arch: WanArch, seed: int = 0, scale: float = 0.02) -
     d, f_, td = arch.dim, arch.ffn_dim, arch.text_dim
     wd: Dict[str, np.ndarray] = {}
 
-    def lin(prefix, i, o):
-        wd[f"{prefix}.weight"] = (rng.standard_normal((o, i)) * scale).astype(bf16)
-        wd[f"{prefix}.bias"] = (rng.standard_normal(o) * scale).astype(bf16)
+    # a small random pool tiled into shape — O(bytes) instead of O(RNG),
+    # so synthesizing 14B-scale test checkpoints stays in seconds
+    pool = (rng.standard_normal(65537, dtype=np.float32) * scale).astype(bf16)
+    _off = [0]
 
-    wd["patch_embedding.weight"] = (rng.standard_normal((d, arch.in_dim, *arch.patch_size)) * scale).astype(bf16)
-    wd["patch_embedding.bias"] = (rng.standard_normal(d) * scale).astype(bf16)
+    def randn(*shape):
+        # distinct rolling offset per tensor so no two weights are equal
+        _off[0] = (_off[0] + 10007) % len(pool)
+        return np.resize(np.roll(pool, -_off[0]), shape)
+
+    def lin(prefix, i, o):
+        wd[f"{prefix}.weight"] = randn(o, i)
+        wd[f"{prefix}.bias"] = randn(o)
+
+    wd["patch_embedding.weight"] = randn(d, arch.in_dim, *arch.patch_size)
+    wd["patch_embedding.bias"] = randn(d)
     lin("text_embedding.0", td, d)
     lin("text_embedding.2", d, d)
     lin("time_embedding.0", arch.freq_dim, d)

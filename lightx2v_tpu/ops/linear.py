@@ -9,9 +9,11 @@ MM_REGISTER; quantized paths use TPU-native int8/fp8 MXU matmuls
 (jnp dot with int8/fp8 inputs lowers onto the MXU; a Pallas fused
 quant+matmul kernel is in ops/pallas/quant_matmul.py).
 
-Weight layout: params["w"] is (in_features, out_features) — already
-transposed from the torch (out, in) layout at load time so the GEMM is
-lhs-contiguous on TPU. Quantized params carry "w_scale" (out,) fp32.
+Weight layout: params["w"] keeps the checkpoint's (out_features,
+in_features) torch-Linear layout; the GEMM contracts x's last dim with
+w's dim 1 (an "NT" gemm). XLA picks the optimal on-device layout for the
+MXU either way, and skipping the host-side transpose keeps checkpoint
+loading at memcpy speed. Quantized params carry "w_scale" (out,) fp32.
 """
 
 from __future__ import annotations
@@ -30,16 +32,23 @@ def _bias_add(y: jnp.ndarray, b: Optional[jnp.ndarray], out_dtype) -> jnp.ndarra
     return y.astype(out_dtype)
 
 
+def _nt_dot(x: jnp.ndarray, w: jnp.ndarray, out_dtype) -> jnp.ndarray:
+    """x (..., in) @ w (out, in)^T -> (..., out)."""
+    return jax.lax.dot_general(
+        x, w, (((x.ndim - 1,), (1,)), ((), ())), preferred_element_type=out_dtype
+    )
+
+
 @MM_REGISTER.register("Default")
 def mm_default(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
     """bf16 GEMM, fp32 accumulation on the MXU."""
-    y = jnp.dot(x, params["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+    y = _nt_dot(x, params["w"].astype(x.dtype), jnp.float32)
     return _bias_add(y, params.get("b"), x.dtype)
 
 
 @MM_REGISTER.register("Default-Force-FP32")
 def mm_fp32(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
-    y = jnp.dot(x.astype(jnp.float32), params["w"].astype(jnp.float32), preferred_element_type=jnp.float32)
+    y = _nt_dot(x.astype(jnp.float32), params["w"].astype(jnp.float32), jnp.float32)
     if params.get("b") is not None:
         y = y + params["b"].astype(jnp.float32)
     return y
@@ -64,24 +73,14 @@ def quantize_per_token_fp8(x: jnp.ndarray):
 
 def _mm_int8(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
     q, x_scale = quantize_per_token_int8(x)
-    acc = jax.lax.dot_general(
-        q,
-        params["w"],
-        (((q.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
+    acc = _nt_dot(q, params["w"], jnp.int32)
     y = acc.astype(jnp.float32) * x_scale * params["w_scale"].astype(jnp.float32)
     return _bias_add(y, params.get("b"), x.dtype)
 
 
 def _mm_fp8(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
     q, x_scale = quantize_per_token_fp8(x)
-    acc = jax.lax.dot_general(
-        q,
-        params["w"],
-        (((q.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    acc = _nt_dot(q, params["w"], jnp.float32)
     y = acc * x_scale * params["w_scale"].astype(jnp.float32)
     return _bias_add(y, params.get("b"), x.dtype)
 

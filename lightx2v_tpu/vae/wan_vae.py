@@ -1,0 +1,563 @@
+"""Wan2.1 causal 3D video VAE (encoder + decoder), TPU-native.
+
+Architecture (reference: lightx2v/models/video_encoders/hf/wan/vae.py):
+dim=96, z=16, dim_mult [1,2,4,4], 2 res blocks per stage, temporal
+downsample [False, True, True] (so stride (4, 8, 8) overall), RMS-norm +
+SiLU + causal 3x3x3 convs, single middle attention block, 1x1 conv to
+mu/logvar, per-channel latent mean/std stats.
+
+TPU-first redesign of the streaming decode: the reference walks frames in
+a Python loop threading per-conv ``feat_cache`` dicts through module
+forwards (vae.py:695-739). Here the stream is two compiled programs:
+
+  * ``*_first``: processes the first frame chunk (which bypasses temporal
+    up/down-sampling — that's why T latent frames decode to (T-1)*4+1
+    video frames) and RETURNS the initial cache pytree;
+  * ``*_step``: a ``lax.scan`` body over the remaining frames with the
+    cache pytree as carry — every causal conv consumes (cache, x) and
+    emits its new 2-frame cache.
+
+All shapes are static; layout is channels-last (B, T, H, W, C) which is
+what the TPU convolution engine wants. Weights come straight from the
+torch checkpoint's state_dict keys.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CACHE_T = 2
+
+# Wan2.1 latent distribution stats (reference vae.py:804-841)
+WAN_LATENT_MEAN = [
+    -0.7571, -0.7089, -0.9113, 0.1075, -0.1745, 0.9653, -0.1517, 1.5508,
+    0.4134, -0.0715, 0.5517, -0.3632, -0.1922, -0.9497, 0.2503, -0.2921,
+]
+WAN_LATENT_STD = [
+    2.8184, 1.4541, 2.3275, 2.6558, 1.2196, 1.7708, 2.6052, 2.0743,
+    3.2687, 2.1526, 2.8652, 1.5579, 1.6382, 1.1253, 2.8251, 1.9160,
+]
+
+
+@dataclass(frozen=True)
+class WanVAEConfig:
+    dim: int = 96
+    z_dim: int = 16
+    dim_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    attn_scales: Tuple[float, ...] = ()
+    temperal_downsample: Tuple[bool, ...] = (False, True, True)
+
+    @property
+    def temperal_upsample(self):
+        return tuple(reversed(self.temperal_downsample))
+
+
+# --------------------------------------------------------------------------
+# primitives (channels-last)
+# --------------------------------------------------------------------------
+
+def cconv3d(p: Dict, x: jnp.ndarray, cache: Optional[jnp.ndarray], t_stride: int = 1,
+            causal_pad: bool = True) -> jnp.ndarray:
+    """Causal 3D conv. x (B,T,H,W,C); weight (kt,kh,kw,I,O) from torch
+    (O,I,kt,kh,kw). ``cache`` supplies the temporal left context (else
+    zero-pad by kt-1). Spatial padding is SAME-style symmetric (kh//2).
+    ``causal_pad=False`` gives a temporally-valid conv (the encoder's
+    stride-2 time_conv has padding=0 in the reference, vae.py:100)."""
+    w = p["w"]
+    kt, kh, kw = w.shape[0], w.shape[1], w.shape[2]
+    pad_t = (kt - 1) if causal_pad else 0
+    if pad_t > 0 or cache is not None:
+        if cache is not None:
+            x = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+            pad_t = max(pad_t - cache.shape[1], 0)
+        if pad_t > 0:
+            x = jnp.pad(x, ((0, 0), (pad_t, 0), (0, 0), (0, 0), (0, 0)))
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype),
+        window_strides=(t_stride, 1, 1),
+        padding=((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    if p.get("b") is not None:
+        out = out + p["b"].astype(out.dtype)
+    return out
+
+
+def conv2d(p: Dict, x: jnp.ndarray, stride: int = 1, pad: Any = "same") -> jnp.ndarray:
+    """Per-frame 2D conv on (B,T,H,W,C) (maps over T). weight (kh,kw,I,O)."""
+    w = p["w"]
+    kh, kw = w.shape[0], w.shape[1]
+    b, t = x.shape[0], x.shape[1]
+    xf = x.reshape(b * t, *x.shape[2:])
+    if pad == "same":
+        padding = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+    else:
+        padding = pad  # explicit ((top,bottom),(left,right))
+    out = jax.lax.conv_general_dilated(
+        xf, w.astype(x.dtype), window_strides=(stride, stride), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if p.get("b") is not None:
+        out = out + p["b"].astype(out.dtype)
+    return out.reshape(b, t, *out.shape[1:])
+
+
+def rms_norm_ch(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """The VAE's RMS_norm: F.normalize over channels * sqrt(C) * gamma
+    (reference vae.py:46-59). Channels-last: normalize the final axis."""
+    xf = x.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True) + 1e-12)
+    c = x.shape[-1]
+    out = xf / norm * np.sqrt(c) * p["g"].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def spatial_attention(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Single-head per-frame spatial self-attention (reference vae.py:231-273)."""
+    b, t, h, w, c = x.shape
+    identity = x
+    xn = rms_norm_ch(p["norm"], x)
+    qkv = conv2d(p["to_qkv"], xn)  # (B,T,H,W,3C)
+    q, k, v = jnp.split(qkv.reshape(b * t, h * w, 3 * c), 3, axis=-1)
+    logits = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32) / np.sqrt(c)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bqk,bkc->bqc", probs, v).reshape(b, t, h, w, c)
+    out = conv2d(p["proj"], out)
+    return identity + out
+
+
+def upsample_nearest2x(x: jnp.ndarray) -> jnp.ndarray:
+    """(B,T,H,W,C) -> (B,T,2H,2W,C), nearest-exact."""
+    x = jnp.repeat(x, 2, axis=2)
+    return jnp.repeat(x, 2, axis=3)
+
+
+# --------------------------------------------------------------------------
+# cache-threading helpers: every causal conv with kt>1 pulls its cache from
+# a flat list by traversal order (mirrors the reference feat_idx discipline)
+# --------------------------------------------------------------------------
+
+class CacheTape:
+    """Reads caches (prev run) and records new caches (this run)."""
+
+    def __init__(self, prev: Optional[List]):
+        self.prev = prev
+        self.idx = 0
+        self.new: List = []
+
+    def pull(self):
+        if self.prev is None:
+            self.idx += 1
+            return None
+        c = self.prev[self.idx]
+        self.idx += 1
+        return c
+
+    def push(self, new_cache):
+        self.new.append(new_cache)
+
+
+def _tail(x: jnp.ndarray, n: int = CACHE_T) -> jnp.ndarray:
+    """Last n frames of x, left-padded with zeros if x is shorter."""
+    t = x.shape[1]
+    if t >= n:
+        return x[:, t - n :]
+    pad = n - t
+    return jnp.concatenate([jnp.zeros((x.shape[0], pad, *x.shape[2:]), x.dtype), x], axis=1)
+
+
+def cconv3d_cached(p: Dict, x: jnp.ndarray, tape: CacheTape, t_stride: int = 1) -> jnp.ndarray:
+    cache = tape.pull()
+    # next-call cache = last CACHE_T frames of the cumulative input stream
+    # (reference keeps [prev_cache[-1], x] when the chunk is 1 frame,
+    # vae.py:210-216)
+    stream = x if cache is None else jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+    tape.push(_tail(stream))
+    return cconv3d(p, x, cache, t_stride=t_stride)
+
+
+def residual_block(p: Dict, x: jnp.ndarray, tape: CacheTape) -> jnp.ndarray:
+    h = cconv3d(p["shortcut"], x, None) if "shortcut" in p else x
+    y = rms_norm_ch(p["norm1"], x)
+    y = jax.nn.silu(y.astype(jnp.float32)).astype(x.dtype)
+    y = cconv3d_cached(p["conv1"], y, tape)
+    y = rms_norm_ch(p["norm2"], y)
+    y = jax.nn.silu(y.astype(jnp.float32)).astype(x.dtype)
+    y = cconv3d_cached(p["conv2"], y, tape)
+    return y + h
+
+
+def upsample3d_time(p: Dict, x: jnp.ndarray, tape: CacheTape, first: bool) -> jnp.ndarray:
+    """Temporal 2x for the decoder (reference Resample upsample3d,
+    vae.py:104-139). First chunk bypasses (keeps 1 frame); later chunks run
+    the causal time_conv (which never sees frame 0 — the 'Rep' zero-cache
+    semantics) and interleave the doubled channels into doubled time."""
+    if first:
+        # record the 'Rep' state as a zero cache (time_conv never saw x0)
+        tape.push(jnp.zeros((x.shape[0], CACHE_T, *x.shape[2:]), x.dtype))
+        return x
+    cache = tape.pull()
+    tape.push(_tail(jnp.concatenate([cache.astype(x.dtype), x], axis=1)))
+    y = cconv3d(p["time_conv"], x, cache)  # (B,T,H,W,2C)
+    b, t, h, w, c2 = y.shape
+    c = c2 // 2
+    # channel pairs -> adjacent frames: reference reshapes (b,2,c,t,...) and
+    # stacks on the time axis (vae.py:136-138)
+    y = y.reshape(b, t, h, w, 2, c)
+    y = y.transpose(0, 1, 4, 2, 3, 5).reshape(b, t * 2, h, w, c)
+    return y
+
+
+def downsample3d_time(p: Dict, x: jnp.ndarray, tape: CacheTape, first: bool) -> jnp.ndarray:
+    """Temporal stride-2 for the encoder (reference vae.py:144-159)."""
+    if first:
+        tape.push(x[:, -1:])
+        return x
+    cache = tape.pull()
+    tape.push(x[:, -1:])
+    full = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+    return cconv3d(p["time_conv"], full, None, t_stride=2, causal_pad=False)
+
+
+# --------------------------------------------------------------------------
+# encoder / decoder cores (one chunk at a time)
+# --------------------------------------------------------------------------
+
+def encoder_chunk(params: Dict, cfg: WanVAEConfig, x: jnp.ndarray, tape: CacheTape, first: bool) -> jnp.ndarray:
+    """x: (B, t, H, W, 3) pixel chunk -> (B, t', H/8, W/8, 2*z)."""
+    x = cconv3d_cached(params["conv1"], x, tape)
+    for si, stage in enumerate(params["down"]):
+        for rb in stage["blocks"]:
+            x = residual_block(rb, x, tape)
+        if "resample" in stage:
+            r = stage["resample"]
+            if r["mode"] == "downsample3d":
+                x = conv2d(r["conv"], x, stride=2, pad=((0, 1), (0, 1)))
+                x = downsample3d_time(r, x, tape, first)
+            elif r["mode"] == "downsample2d":
+                x = conv2d(r["conv"], x, stride=2, pad=((0, 1), (0, 1)))
+    x = residual_block(params["mid_res1"], x, tape)
+    x = spatial_attention(params["mid_attn"], x)
+    x = residual_block(params["mid_res2"], x, tape)
+    x = rms_norm_ch(params["head_norm"], x)
+    x = jax.nn.silu(x.astype(jnp.float32)).astype(x.dtype)
+    x = cconv3d_cached(params["head_conv"], x, tape)
+    return x
+
+
+def decoder_chunk(params: Dict, cfg: WanVAEConfig, x: jnp.ndarray, tape: CacheTape, first: bool) -> jnp.ndarray:
+    """x: (B, 1, h, w, z) latent frame -> (B, 1 or 4, 8h, 8w, 3)."""
+    x = cconv3d_cached(params["conv1"], x, tape)
+    x = residual_block(params["mid_res1"], x, tape)
+    x = spatial_attention(params["mid_attn"], x)
+    x = residual_block(params["mid_res2"], x, tape)
+    for stage in params["up"]:
+        for rb in stage["blocks"]:
+            x = residual_block(rb, x, tape)
+        if "resample" in stage:
+            r = stage["resample"]
+            if r["mode"] == "upsample3d":
+                x = upsample3d_time(r, x, tape, first)
+                x = upsample_nearest2x(x)
+                x = conv2d(r["conv"], x)
+            elif r["mode"] == "upsample2d":
+                x = upsample_nearest2x(x)
+                x = conv2d(r["conv"], x)
+    x = rms_norm_ch(params["head_norm"], x)
+    x = jax.nn.silu(x.astype(jnp.float32)).astype(x.dtype)
+    x = cconv3d_cached(params["head_conv"], x, tape)
+    return x
+
+
+# --------------------------------------------------------------------------
+# streaming encode / decode (first call + lax.scan)
+# --------------------------------------------------------------------------
+
+def vae_decode(params: Dict, z: jnp.ndarray, cfg: WanVAEConfig = WanVAEConfig(),
+               scale: bool = True, dtype=jnp.float32) -> jnp.ndarray:
+    """z: (B, T, h, w, z_dim) normalized latents -> (B, (T-1)*4+1, 8h, 8w, 3).
+
+    reference decode loop: vae.py:715-739 (per-frame with feat cache).
+    """
+    if scale:
+        mean = jnp.asarray(WAN_LATENT_MEAN, jnp.float32)
+        std = jnp.asarray(WAN_LATENT_STD, jnp.float32)
+        z = z.astype(jnp.float32) * std + mean
+    z = z.astype(dtype)
+    z = cconv3d(params["conv2"], z, None)  # 1x1x1
+
+    tape = CacheTape(None)
+    out0 = decoder_chunk(params["decoder"], cfg, z[:, :1], tape, first=True)
+    cache0 = tape.new
+
+    if z.shape[1] == 1:
+        return out0.astype(jnp.float32)
+
+    def body(cache, zt):
+        tape = CacheTape(cache)
+        out = decoder_chunk(params["decoder"], cfg, zt[:, None], tape, first=False)
+        return tape.new, out
+
+    # scan over remaining latent frames; zs: (T-1, B, h, w, z)
+    zs = z[:, 1:].transpose(1, 0, 2, 3, 4)
+    _, outs = jax.lax.scan(body, cache0, zs)
+    # outs: (T-1, B, 4, H, W, 3)
+    t1 = outs.shape[0]
+    rest = outs.transpose(1, 0, 2, 3, 4, 5).reshape(out0.shape[0], t1 * 4, *out0.shape[2:])
+    return jnp.concatenate([out0, rest], axis=1).astype(jnp.float32)
+
+
+def vae_encode(params: Dict, x: jnp.ndarray, cfg: WanVAEConfig = WanVAEConfig(),
+               scale: bool = True, dtype=jnp.float32, rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """x: (B, T, H, W, 3) pixels (T = 4k+1) -> (B, (T-1)//4+1, H/8, W/8, z)
+    normalized mu (reference encode: vae.py:687-713)."""
+    x = x.astype(dtype)
+    tape = CacheTape(None)
+    out0 = encoder_chunk(params["encoder"], cfg, x[:, :1], tape, first=True)
+    cache0 = tape.new
+
+    chunks = []
+    t = x.shape[1]
+    if t > 1:
+        n_chunks = (t - 1) // 4
+        xs = x[:, 1:].reshape(x.shape[0], n_chunks, 4, *x.shape[2:]).transpose(1, 0, 2, 3, 4, 5)
+
+        def body(cache, xc):
+            tape = CacheTape(cache)
+            out = encoder_chunk(params["encoder"], cfg, xc, tape, first=False)
+            return tape.new, out
+
+        _, outs = jax.lax.scan(body, cache0, xs)
+        rest = outs.transpose(1, 0, 2, 3, 4, 5).reshape(out0.shape[0], -1, *out0.shape[2:])
+        enc = jnp.concatenate([out0, rest], axis=1)
+    else:
+        enc = out0
+
+    moments = cconv3d(params["conv1"], enc, None)  # 1x1x1: (.., 2z)
+    mu, log_var = jnp.split(moments, 2, axis=-1)
+    if rng is not None:
+        std = jnp.exp(0.5 * jnp.clip(log_var.astype(jnp.float32), -30.0, 20.0))
+        mu = mu + std * jax.random.normal(rng, mu.shape, jnp.float32)
+    if scale:
+        mean = jnp.asarray(WAN_LATENT_MEAN, jnp.float32)
+        stdv = jnp.asarray(WAN_LATENT_STD, jnp.float32)
+        mu = (mu.astype(jnp.float32) - mean) / stdv
+    return mu.astype(jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# weight loading
+# --------------------------------------------------------------------------
+
+def _conv3d_p(sd, key, dtype) -> Dict:
+    w = np.asarray(sd[f"{key}.weight"], np.float32)  # (O,I,kt,kh,kw)
+    p = {"w": w.transpose(2, 3, 4, 1, 0).astype(dtype)}
+    if f"{key}.bias" in sd:
+        p["b"] = np.asarray(sd[f"{key}.bias"], np.float32)
+    return p
+
+
+def _conv2d_p(sd, key, dtype) -> Dict:
+    w = np.asarray(sd[f"{key}.weight"], np.float32)  # (O,I,kh,kw)
+    p = {"w": w.transpose(2, 3, 1, 0).astype(dtype)}
+    if f"{key}.bias" in sd:
+        p["b"] = np.asarray(sd[f"{key}.bias"], np.float32)
+    return p
+
+
+def _norm_p(sd, key) -> Dict:
+    return {"g": np.asarray(sd[f"{key}.gamma"], np.float32).reshape(-1)}
+
+
+def _res_p(sd, key, has_shortcut, dtype) -> Dict:
+    p = {
+        "norm1": _norm_p(sd, f"{key}.residual.0"),
+        "conv1": _conv3d_p(sd, f"{key}.residual.2", dtype),
+        "norm2": _norm_p(sd, f"{key}.residual.3"),
+        "conv2": _conv3d_p(sd, f"{key}.residual.6", dtype),
+    }
+    if has_shortcut:
+        p["shortcut"] = _conv3d_p(sd, f"{key}.shortcut", dtype)
+    return p
+
+
+def _attn_p(sd, key, dtype) -> Dict:
+    return {
+        "norm": _norm_p(sd, f"{key}.norm"),
+        "to_qkv": _conv2d_p(sd, f"{key}.to_qkv", dtype),
+        "proj": _conv2d_p(sd, f"{key}.proj", dtype),
+    }
+
+
+def load_wan_vae_params(state_dict: Dict[str, Any], cfg: WanVAEConfig = WanVAEConfig(),
+                        dtype=np.float32) -> Dict:
+    """Map the torch checkpoint (reference layer numbering from the
+    nn.Sequential layouts in vae.py Encoder3d/Decoder3d) to our pytree."""
+    sd = state_dict
+
+    def enc_stages():
+        dims = [cfg.dim * u for u in (1,) + tuple(cfg.dim_mult)]
+        stages, li = [], 0
+        for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
+            blocks = []
+            d = din
+            for _ in range(cfg.num_res_blocks):
+                blocks.append(_res_p(sd, f"encoder.downsamples.{li}", d != dout, dtype))
+                li += 1
+                d = dout
+            st = {"blocks": blocks}
+            if i != len(cfg.dim_mult) - 1:
+                mode = "downsample3d" if cfg.temperal_downsample[i] else "downsample2d"
+                st["resample"] = {"mode": mode, "conv": _conv2d_p(sd, f"encoder.downsamples.{li}.resample.1", dtype)}
+                if mode == "downsample3d":
+                    st["resample"]["time_conv"] = _conv3d_p(sd, f"encoder.downsamples.{li}.time_conv", dtype)
+                li += 1
+            stages.append(st)
+        return stages
+
+    def dec_stages():
+        dims = [cfg.dim * u for u in (cfg.dim_mult[-1],) + tuple(reversed(cfg.dim_mult))]
+        stages, li = [], 0
+        for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
+            if i in (1, 2, 3):
+                din = din // 2
+            blocks = []
+            d = din
+            for _ in range(cfg.num_res_blocks + 1):
+                blocks.append(_res_p(sd, f"decoder.upsamples.{li}", d != dout, dtype))
+                li += 1
+                d = dout
+            st = {"blocks": blocks}
+            if i != len(cfg.dim_mult) - 1:
+                mode = "upsample3d" if cfg.temperal_upsample[i] else "upsample2d"
+                st["resample"] = {"mode": mode, "conv": _conv2d_p(sd, f"decoder.upsamples.{li}.resample.1", dtype)}
+                if mode == "upsample3d":
+                    st["resample"]["time_conv"] = _conv3d_p(sd, f"decoder.upsamples.{li}.time_conv", dtype)
+                li += 1
+            stages.append(st)
+        return stages
+
+    params = {
+        "conv1": _conv3d_p(sd, "conv1", dtype),
+        "conv2": _conv3d_p(sd, "conv2", dtype),
+        "encoder": {
+            "conv1": _conv3d_p(sd, "encoder.conv1", dtype),
+            "down": enc_stages(),
+            "mid_res1": _res_p(sd, "encoder.middle.0", False, dtype),
+            "mid_attn": _attn_p(sd, "encoder.middle.1", dtype),
+            "mid_res2": _res_p(sd, "encoder.middle.2", False, dtype),
+            "head_norm": _norm_p(sd, "encoder.head.0"),
+            "head_conv": _conv3d_p(sd, "encoder.head.2", dtype),
+        },
+        "decoder": {
+            "conv1": _conv3d_p(sd, "decoder.conv1", dtype),
+            "mid_res1": _res_p(sd, "decoder.middle.0", False, dtype),
+            "mid_attn": _attn_p(sd, "decoder.middle.1", dtype),
+            "mid_res2": _res_p(sd, "decoder.middle.2", False, dtype),
+            "up": dec_stages(),
+            "head_norm": _norm_p(sd, "decoder.head.0"),
+            "head_conv": _conv3d_p(sd, "decoder.head.2", dtype),
+        },
+    }
+    return jax.tree_util.tree_map(
+        lambda x: x if isinstance(x, str) else jnp.asarray(x), params
+    )
+
+
+def load_wan_vae_from_path(path: str, cfg: WanVAEConfig = WanVAEConfig(), dtype=np.float32) -> Dict:
+    """Load from .pth (torch pickle) or .safetensors."""
+    if path.endswith(".safetensors"):
+        from ..utils.safetensors_io import load_file
+
+        sd = load_file(path)
+    else:
+        import torch
+
+        sd = {k: v.float().numpy() for k, v in torch.load(path, map_location="cpu", weights_only=True).items()}
+    return load_wan_vae_params(sd, cfg, dtype)
+
+
+def init_random_vae_state_dict(cfg: WanVAEConfig, seed: int = 0, scale: float = 0.1) -> Dict[str, np.ndarray]:
+    """Random state_dict with the reference's exact key layout (tests)."""
+    rng = np.random.default_rng(seed)
+    sd: Dict[str, np.ndarray] = {}
+
+    def conv3(key, i, o, k=(3, 3, 3)):
+        sd[f"{key}.weight"] = rng.standard_normal((o, i, *k), dtype=np.float32) * scale / np.sqrt(i * np.prod(k))
+        sd[f"{key}.bias"] = rng.standard_normal(o).astype(np.float32) * 0.01
+
+    def conv2(key, i, o, k=(3, 3)):
+        sd[f"{key}.weight"] = rng.standard_normal((o, i, *k), dtype=np.float32) * scale / np.sqrt(i * np.prod(k))
+        sd[f"{key}.bias"] = rng.standard_normal(o).astype(np.float32) * 0.01
+
+    def norm(key, d):
+        sd[f"{key}.gamma"] = np.ones((d, 1, 1, 1), np.float32)
+
+    def res(key, i, o):
+        norm(f"{key}.residual.0", i)
+        conv3(f"{key}.residual.2", i, o)
+        norm(f"{key}.residual.3", o)
+        conv3(f"{key}.residual.6", o, o)
+        if i != o:
+            conv3(f"{key}.shortcut", i, o, k=(1, 1, 1))
+
+    def attn(key, d):
+        norm(f"{key}.norm", d)
+        conv2(f"{key}.to_qkv", d, d * 3, k=(1, 1))
+        conv2(f"{key}.proj", d, d, k=(1, 1))
+
+    z2 = cfg.z_dim * 2
+    conv3("conv1", z2, z2, k=(1, 1, 1))
+    conv3("conv2", cfg.z_dim, cfg.z_dim, k=(1, 1, 1))
+
+    # encoder
+    dims = [cfg.dim * u for u in (1,) + tuple(cfg.dim_mult)]
+    conv3("encoder.conv1", 3, dims[0])
+    li = 0
+    for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
+        d = din
+        for _ in range(cfg.num_res_blocks):
+            res(f"encoder.downsamples.{li}", d, dout)
+            li += 1
+            d = dout
+        if i != len(cfg.dim_mult) - 1:
+            conv2(f"encoder.downsamples.{li}.resample.1", dout, dout)
+            if cfg.temperal_downsample[i]:
+                conv3(f"encoder.downsamples.{li}.time_conv", dout, dout, k=(3, 1, 1))
+            li += 1
+    res("encoder.middle.0", dims[-1], dims[-1])
+    attn("encoder.middle.1", dims[-1])
+    res("encoder.middle.2", dims[-1], dims[-1])
+    norm("encoder.head.0", dims[-1])
+    conv3("encoder.head.2", dims[-1], z2)
+
+    # decoder
+    ddims = [cfg.dim * u for u in (cfg.dim_mult[-1],) + tuple(reversed(cfg.dim_mult))]
+    conv3("decoder.conv1", cfg.z_dim, ddims[0])
+    res("decoder.middle.0", ddims[0], ddims[0])
+    attn("decoder.middle.1", ddims[0])
+    res("decoder.middle.2", ddims[0], ddims[0])
+    li = 0
+    for i, (din, dout) in enumerate(zip(ddims[:-1], ddims[1:])):
+        if i in (1, 2, 3):
+            din = din // 2
+        d = din
+        for _ in range(cfg.num_res_blocks + 1):
+            res(f"decoder.upsamples.{li}", d, dout)
+            li += 1
+            d = dout
+        if i != len(cfg.dim_mult) - 1:
+            conv2(f"decoder.upsamples.{li}.resample.1", dout, dout // 2)
+            if cfg.temperal_upsample[i]:
+                conv3(f"decoder.upsamples.{li}.time_conv", dout, dout * 2, k=(3, 1, 1))
+            li += 1
+    norm("decoder.head.0", ddims[-1])
+    conv3("decoder.head.2", ddims[-1], 3)
+    return sd

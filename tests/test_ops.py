@@ -51,15 +51,16 @@ class TestNorms:
 
 class TestLinear:
     def test_mm_default(self):
+        # w keeps the torch Linear (out, in) layout
         x = rand(5, 8)
-        w = rand(8, 12, key=1)
+        w = rand(12, 8, key=1)
         b = rand(12, key=2)
         out = mm_default({"w": w, "b": b}, x)
-        np.testing.assert_allclose(out, np.asarray(x) @ np.asarray(w) + np.asarray(b), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(out, np.asarray(x) @ np.asarray(w).T + np.asarray(b), rtol=1e-5, atol=1e-5)
 
     def test_mm_fp32_from_bf16_input(self):
         x = rand(5, 8).astype(jnp.bfloat16)
-        w = rand(8, 12, key=1)
+        w = rand(12, 8, key=1)
         out = mm_fp32({"w": w, "b": None}, x)
         assert out.dtype == jnp.float32
 
@@ -80,16 +81,16 @@ class TestLinear:
         """Quant GEMM rel-error < 1e-2 vs fp GEMM — the reference's kernel
         accuracy bar (lightx2v_kernel/test/mxfp8_mxfp8/test_mxfp8_quant.py:37)."""
         x = rand(64, 128).astype(jnp.bfloat16)
-        w = rand(128, 96, key=1) * 0.05
+        w = rand(96, 128, key=1) * 0.05  # (out, in)
         b = rand(96, key=2) * 0.01
         ref = np.asarray(mm_default({"w": w, "b": b}, x), np.float32)
-        # per-channel symmetric weight quant
+        # per-output-channel symmetric weight quant
         if "int8" in mm_type:
-            ws = np.abs(np.asarray(w)).max(0) / 127.0
-            wq = jnp.asarray(np.clip(np.round(np.asarray(w) / ws), -127, 127).astype(np.int8))
+            ws = np.abs(np.asarray(w)).max(1) / 127.0
+            wq = jnp.asarray(np.clip(np.round(np.asarray(w) / ws[:, None]), -127, 127).astype(np.int8))
         else:
-            ws = np.abs(np.asarray(w)).max(0) / 448.0
-            wq = (jnp.asarray(w) / jnp.asarray(ws)).astype(jnp.float8_e4m3fn)
+            ws = np.abs(np.asarray(w)).max(1) / 448.0
+            wq = (jnp.asarray(w) / jnp.asarray(ws)[:, None]).astype(jnp.float8_e4m3fn)
         fn = resolve_mm(mm_type)
         out = np.asarray(fn({"w": wq, "w_scale": jnp.asarray(ws), "b": b}, x), np.float32)
         # SNR-style relative squared error, as in the reference's

@@ -1,0 +1,99 @@
+"""Wan causal 3D VAE tests.
+
+The streaming-prefix property is the key correctness check for the
+scan+cache design: a causal streaming decoder must satisfy
+decode(z[:, :k]) == decode(z)[:, :(k-1)*4+1] exactly — this exercises the
+whole cache pytree (the reference validates its ring/cache logic the same
+way, single-process; SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from lightx2v_tpu.vae.wan_vae import (
+    WanVAEConfig,
+    cconv3d,
+    init_random_vae_state_dict,
+    load_wan_vae_params,
+    vae_decode,
+    vae_encode,
+)
+
+TINY = WanVAEConfig(dim=8, z_dim=4, dim_mult=(1, 2, 2, 2), num_res_blocks=1,
+                    temperal_downsample=(False, True, True))
+
+
+@pytest.fixture(scope="module")
+def params():
+    sd = init_random_vae_state_dict(TINY, seed=0)
+    return load_wan_vae_params(sd, TINY)
+
+
+def test_cconv3d_matches_torch_causal():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 5, 6, 6, 3)).astype(np.float32)  # B,T,H,W,C
+    w = rng.standard_normal((4, 3, 3, 3, 3)).astype(np.float32)  # O,I,kt,kh,kw
+    b = rng.standard_normal(4).astype(np.float32)
+    p = {"w": jnp.asarray(w.transpose(2, 3, 4, 1, 0)), "b": jnp.asarray(b)}
+    ours = cconv3d(p, jnp.asarray(x), None)
+    xt = torch.from_numpy(x.transpose(0, 4, 1, 2, 3))  # B,C,T,H,W
+    xt = F.pad(xt, (1, 1, 1, 1, 2, 0))  # causal temporal left pad 2
+    ref = F.conv3d(xt, torch.from_numpy(w), torch.from_numpy(b)).numpy().transpose(0, 2, 3, 4, 1)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-4)
+
+
+class TestDecode:
+    def test_shapes(self, params):
+        z = jnp.asarray(np.random.default_rng(1).standard_normal((1, 5, 4, 6, 4)), jnp.float32)
+        out = vae_decode(params, z, TINY, scale=False)
+        assert out.shape == (1, 17, 32, 48, 3)  # (5-1)*4+1 frames, x8 spatial
+
+    def test_single_frame(self, params):
+        z = jnp.asarray(np.random.default_rng(1).standard_normal((1, 1, 4, 6, 4)), jnp.float32)
+        out = vae_decode(params, z, TINY, scale=False)
+        assert out.shape == (1, 1, 32, 48, 3)
+
+    def test_streaming_prefix_property(self, params):
+        rng = np.random.default_rng(2)
+        z = jnp.asarray(rng.standard_normal((1, 5, 4, 4, 4)), jnp.float32)
+        full = vae_decode(params, z, TINY, scale=False)
+        prefix = vae_decode(params, z[:, :3], TINY, scale=False)
+        np.testing.assert_allclose(np.asarray(prefix), np.asarray(full)[:, :9], rtol=1e-4, atol=1e-4)
+
+    def test_causality(self, params):
+        rng = np.random.default_rng(3)
+        z = np.asarray(rng.standard_normal((1, 5, 4, 4, 4)), np.float32)
+        out1 = np.asarray(vae_decode(params, jnp.asarray(z), TINY, scale=False))
+        z2 = z.copy()
+        z2[:, 3] += 1.0  # perturb latent frame 3
+        out2 = np.asarray(vae_decode(params, jnp.asarray(z2), TINY, scale=False))
+        # frames < (3-1)*4+1 = 9 must be identical
+        np.testing.assert_allclose(out1[:, :9], out2[:, :9], rtol=1e-5, atol=1e-5)
+        assert np.abs(out1[:, 9:] - out2[:, 9:]).max() > 1e-6
+
+
+class TestEncode:
+    def test_shapes(self, params):
+        x = jnp.asarray(np.random.default_rng(4).standard_normal((1, 9, 32, 32, 3)), jnp.float32)
+        z = vae_encode(params, x, TINY, scale=False)
+        assert z.shape == (1, 3, 4, 4, 4)  # (9-1)/4+1, /8 spatial
+
+    def test_streaming_prefix_property(self, params):
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((1, 9, 16, 16, 3)), jnp.float32)
+        full = vae_encode(params, x, TINY, scale=False)
+        prefix = vae_encode(params, x[:, :5], TINY, scale=False)
+        np.testing.assert_allclose(np.asarray(prefix), np.asarray(full)[:, :2], rtol=1e-4, atol=1e-4)
+
+    def test_latent_scale_normalization(self, params):
+        cfg = WanVAEConfig(dim=8, z_dim=16, dim_mult=(1, 2, 2, 2), num_res_blocks=1,
+                           temperal_downsample=(False, True, True))
+        p16 = load_wan_vae_params(init_random_vae_state_dict(cfg, seed=1), cfg)
+        x = jnp.asarray(np.random.default_rng(6).standard_normal((1, 5, 16, 16, 3)), jnp.float32)
+        z = vae_encode(p16, x, cfg, scale=True)
+        assert z.shape == (1, 2, 2, 2, 16)
+        rt = vae_decode(p16, z, cfg, scale=True)
+        assert rt.shape == (1, 5, 16, 16, 3)  # round-trips the frame count
