@@ -1,0 +1,237 @@
+"""Wan2.1 runners (reference: lightx2v/models/runners/wan_runner.py and
+wan_distill_runner.py).
+
+``wan2.1``        — UniPC, CFG double-pass (batched here), 40-50 steps.
+``wan2.1_distill``— 4-step LCM, CFG-free (reference wan_distill_runner.py:21-49).
+
+Checkpoint layout expectations (same as the reference): DiT safetensors in
+``model_path``, T5 in ``models_t5_umt5-xxl-enc-bf16.pth``, VAE in
+``Wan2.1_VAE.pth``; if ``config.synthetic_weights`` is set, randomly
+initialized weights of the configured architecture are used instead (CI /
+benchmarks without checkpoints).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.wan.config import WanArch, arch_from_config
+from ..models.wan.pipeline import make_denoise_fn
+from ..models.wan.weights import init_random_weight_dict, load_wan_params
+from ..encoders.t5 import T5Config, UMT5_XXL, T5EncoderModel, init_random_t5_state_dict, load_t5_params, t5_encode
+from ..schedulers.step_distill import WanStepDistillScheduler
+from ..schedulers.unipc import WanUniPCScheduler
+from ..utils.logging_utils import logger
+from ..utils.registry import RUNNER_REGISTER
+from ..vae.wan_vae import (
+    WanVAEConfig,
+    init_random_vae_state_dict,
+    load_wan_vae_from_path,
+    load_wan_vae_params,
+    vae_decode,
+    vae_encode,
+)
+from ..parallel.mesh import build_mesh
+from .base_runner import DefaultRunner
+
+
+class _SyntheticTokenizer:
+    """Deterministic hash tokenizer used when no HF tokenizer files are
+    available (synthetic-weights mode)."""
+
+    def __init__(self, seq_len: int, vocab_size: int):
+        self.seq_len = seq_len
+        self.vocab_size = vocab_size
+
+    def __call__(self, texts, return_mask=False, **kw):
+        if isinstance(texts, str):
+            texts = [texts]
+        ids = np.zeros((len(texts), self.seq_len), np.int32)
+        mask = np.zeros((len(texts), self.seq_len), np.int32)
+        for i, t in enumerate(texts):
+            toks = [(hash(w) % (self.vocab_size - 2)) + 2 for w in t.split()][: self.seq_len - 1]
+            toks = toks + [1]  # eos
+            ids[i, : len(toks)] = toks
+            mask[i, : len(toks)] = 1
+        return (ids, mask) if return_mask else ids
+
+
+@RUNNER_REGISTER.register("wan2.1")
+class WanRunner(DefaultRunner):
+    scheduler_cls = WanUniPCScheduler
+
+    # ---------------- component loading ----------------
+    def load_transformer(self):
+        if self.config.get("synthetic_weights"):
+            # small but structurally faithful default arch for checkpoint-free
+            # runs (text_dim matches the synthetic T5 encoder)
+            for k, v in dict(dim=384, ffn_dim=768, num_heads=6, num_layers=4,
+                             freq_dim=256, text_dim=256).items():
+                self.config.setdefault(k, v)
+        self.arch = arch_from_config(self.config)
+        mm_type = self.config.get("mm_config", {}).get("mm_type", "Default") if self.config.get("mm_config") else "Default"
+        self.mm_type = mm_type
+        if self.config.get("synthetic_weights"):
+            wd = init_random_weight_dict(self.arch, seed=0, scale=0.02)
+            return load_wan_params(wd, self.arch)
+        from ..utils.safetensors_io import load_sharded
+
+        path = self.config.get("dit_quantized_ckpt") or self.config["model_path"]
+        return load_wan_params(load_sharded(path), self.arch)
+
+    def load_text_encoder(self):
+        text_len = int(self.config.get("text_len", 512))
+        if self.config.get("synthetic_weights"):
+            cfg = T5Config(vocab_size=4096, dim=256, dim_attn=256, dim_ffn=512,
+                           num_heads=8, num_layers=2)
+            # text_dim of the DiT must match the encoder dim in synthetic mode
+            params = load_t5_params(init_random_t5_state_dict(cfg, seed=1), cfg)
+            enc = T5EncoderModel(text_len, cfg=cfg, params=params)
+            enc.tokenizer = _SyntheticTokenizer(text_len, cfg.vocab_size)
+            return enc
+        ckpt = os.path.join(self.config["model_path"], "models_t5_umt5-xxl-enc-bf16.pth")
+        tok = os.path.join(self.config["model_path"], "google", "umt5-xxl")
+        if not os.path.isdir(tok):
+            tok = "google/umt5-xxl"
+        return T5EncoderModel(int(self.config.get("text_len", 512)), checkpoint_path=ckpt, tokenizer_path=tok)
+
+    def load_image_encoder(self):
+        if self.config.get("task") != "i2v":
+            return None
+        if self.config.get("synthetic_weights"):
+            return "synthetic"
+        from ..encoders.clip import CLIPVisionModel
+
+        ckpt = os.path.join(self.config["model_path"], "models_clip_open-clip-xlm-roberta-large-vit-huge-14.pth")
+        return CLIPVisionModel(checkpoint_path=ckpt)
+
+    def load_vae(self):
+        if self.config.get("synthetic_weights"):
+            cfg = WanVAEConfig(dim=16, z_dim=16, dim_mult=(1, 2, 2, 2), num_res_blocks=1)
+            self.vae_cfg = cfg
+            return load_wan_vae_params(init_random_vae_state_dict(cfg, seed=2), cfg)
+        self.vae_cfg = WanVAEConfig()
+        return load_wan_vae_from_path(os.path.join(self.config["model_path"], "Wan2.1_VAE.pth"), self.vae_cfg)
+
+    # ---------------- pipeline stages ----------------
+    def set_target_shape(self):
+        """(C, F, H, W) latent shape (reference wan_runner.py:260-280)."""
+        cfg = self.config
+        st, sh, sw = cfg.get("vae_stride", (4, 8, 8))
+        frames = int(cfg.get("target_video_length", 81))
+        h, w = int(cfg.get("target_height", 480)), int(cfg.get("target_width", 832))
+        lat_f = (frames - 1) // st + 1
+        lat_h, lat_w = h // sh, w // sw
+        self.config["target_shape"] = (16, lat_f, lat_h, lat_w)
+        return self.config["target_shape"]
+
+    def init_scheduler(self):
+        return self.scheduler_cls(self.config)
+
+    def run_input_encoder(self) -> Dict[str, Any]:
+        prompt = self.config.get("prompt", "")
+        neg = self.config.get("negative_prompt", "") or ""
+        context = self.text_encoder.infer([prompt])
+        context_null = self.text_encoder.infer([neg]) if self.config.get("enable_cfg", True) else context
+        out: Dict[str, Any] = {
+            "text_encoder_output": {"context": context, "context_null": context_null},
+            "image_encoder_output": None,
+        }
+        if self.config.get("task") == "i2v" and self.config.get("image_path"):
+            out["image_encoder_output"] = self.run_image_encoder(self.config["image_path"])
+        return out
+
+    def run_image_encoder(self, image_path: str) -> Dict[str, Any]:
+        """i2v conditioning: CLIP tokens + VAE-encoded first frame with a
+        4x-repeated-first-frame mask (reference wan_runner.py:204-248)."""
+        from ..utils.media import load_image
+
+        img = load_image(image_path)  # (H, W, 3) in [-1, 1]
+        cfg = self.config
+        h, w = int(cfg.get("target_height", 480)), int(cfg.get("target_width", 832))
+        import cv2
+
+        img_r = cv2.resize(img, (w, h), interpolation=cv2.INTER_AREA)
+        frames = int(cfg.get("target_video_length", 81))
+        lat_f = (frames - 1) // 4 + 1
+
+        if self.config.get("synthetic_weights"):
+            clip_out = jnp.zeros((1, 257, self.arch.clip_dim), jnp.float32)
+        else:
+            clip_out = self.image_encoder.infer(img_r)
+
+        # VAE-encode [first_frame, zeros x (frames-1)]
+        vid = np.zeros((1, frames, h, w, 3), np.float32)
+        vid[0, 0] = img_r
+        z = vae_encode(self.vae, jnp.asarray(vid), self.vae_cfg)  # (1, lat_f, h/8, w/8, z)
+        z = jnp.transpose(z[0], (3, 0, 1, 2))  # (z, lat_f, h', w')
+        # mask: 1 for the (4x-repeated) first frame, 0 elsewhere
+        lat_h, lat_w = h // 8, w // 8
+        msk = np.zeros((4, lat_f, lat_h, lat_w), np.float32)
+        msk[:, 0] = 1.0
+        y = jnp.concatenate([jnp.asarray(msk), z], axis=0)  # (4+z, lat_f, h', w')
+        return {"clip_encoder_out": clip_out, "vae_encode_out": y[None]}
+
+    def run_dit(self, encoder_out: Dict[str, Any]):
+        target_shape = self.set_target_shape()
+        scheduler = self.init_scheduler()
+        self.scheduler = scheduler
+        state = scheduler.prepare(target_shape, int(self.config.get("seed", 42)))
+
+        mesh = None
+        sp_size = 1
+        if self.config.get("mesh_shape"):
+            mesh = build_mesh(dict(self.config["mesh_shape"]))
+            sp_size = dict(self.config["mesh_shape"]).get("sp", 1)
+
+        attn_default = self.config.get("attention_impl") or self.config.get("self_attn_1_type", "flash_attn3")
+        cross_attn = self.config.get("cross_attn_1_type", attn_default)
+        denoise = make_denoise_fn(
+            self.arch, scheduler, target_shape,
+            enable_cfg=bool(self.config.get("enable_cfg", True)),
+            guide_scale=float(self.config.get("sample_guide_scale", 5.0)),
+            mm_type=self.mm_type,
+            self_attn_type=attn_default,
+            cross_attn_type=cross_attn,
+            mesh=mesh,
+            sp_size=sp_size,
+            cfg_scale_embed=(float(self.config.get("cfg_scale", 4.0))
+                             if self.config.get("enable_dynamic_cfg") else None),
+        )
+        teo = encoder_out["text_encoder_output"]
+        ieo = encoder_out.get("image_encoder_output")
+        y = clip_fea = None
+        if ieo is not None:
+            y = ieo["vae_encode_out"]
+            clip_fea = ieo["clip_encoder_out"]
+        state = denoise(self.model, state, teo["context"], teo["context_null"], y, clip_fea)
+
+        if self.progress_callback:
+            self.progress_callback(scheduler.num_steps(), scheduler.num_steps())
+        return state["latents"]
+
+    def run_vae_decoder(self, latents) -> np.ndarray:
+        # latents (C, F, H, W) -> VAE layout (B, F, H, W, C)
+        z = jnp.transpose(latents, (1, 2, 3, 0))[None]
+        scale = not self.config.get("synthetic_weights")
+        frames = vae_decode(self.vae, z, self.vae_cfg, scale=scale)
+        return np.clip(np.asarray(frames[0], np.float32), -1.0, 1.0)
+
+
+@RUNNER_REGISTER.register("wan2.1_distill")
+class WanDistillRunner(WanRunner):
+    """4-step step+CFG-distilled model (reference wan_distill_runner.py)."""
+
+    scheduler_cls = WanStepDistillScheduler
+
+    def init_scheduler(self):
+        if "denoising_step_list" not in self.config:
+            self.config["denoising_step_list"] = [1000, 750, 500, 250]
+        self.config["infer_steps"] = len(self.config["denoising_step_list"])
+        return self.scheduler_cls(self.config)

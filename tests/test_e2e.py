@@ -1,0 +1,63 @@
+"""End-to-end pipeline smoke tests: CLI args -> config -> runner ->
+encoders -> denoise -> VAE decode -> mp4 (synthetic weights).
+
+Mirrors the reference's e2e path (SURVEY.md §3.1) at toy scale.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from lightx2v_tpu.infer import build_parser, init_runner
+from lightx2v_tpu.utils.config import set_config
+
+CFG = os.path.join(os.path.dirname(__file__), "..", "configs", "wan_t2v_synthetic_smoke.json")
+
+
+def make_runner(tmp_path, extra=None):
+    args = build_parser().parse_args([
+        "--model_cls", "wan2.1", "--task", "t2v",
+        "--config_json", CFG,
+        "--prompt", "a cat surfing a wave",
+        "--negative_prompt", "blurry",
+        "--save_video_path", str(tmp_path / "out.mp4"),
+        "--synthetic_weights",
+    ])
+    config = set_config(args)
+    if extra:
+        config.update(extra)
+    return init_runner(config), config
+
+
+def test_t2v_pipeline(tmp_path):
+    runner, config = make_runner(tmp_path)
+    frames = runner.run_pipeline(save_video=True)
+    # 9 frames at 64x96
+    assert frames.shape == (9, 64, 96, 3)
+    assert np.isfinite(frames).all()
+    assert (tmp_path / "out.mp4").exists()
+
+
+def test_t2v_distill_pipeline(tmp_path):
+    args = build_parser().parse_args([
+        "--model_cls", "wan2.1_distill", "--task", "t2v",
+        "--config_json", CFG,
+        "--prompt", "a dog in space",
+        "--save_video_path", str(tmp_path / "out.mp4"),
+        "--synthetic_weights",
+    ])
+    config = set_config(args)
+    config["enable_cfg"] = False
+    runner = init_runner(config)
+    frames = runner.run_pipeline(save_video=False)
+    assert frames.shape == (9, 64, 96, 3)
+    assert runner.scheduler.num_steps() == 4
+
+
+def test_determinism(tmp_path):
+    r1, _ = make_runner(tmp_path)
+    f1 = r1.run_pipeline(save_video=False)
+    r2, _ = make_runner(tmp_path)
+    f2 = r2.run_pipeline(save_video=False)
+    np.testing.assert_array_equal(f1, f2)
