@@ -63,12 +63,16 @@ def main():
             self_attn_type=attn, cross_attn_type=attn,
         )
     )
-    # warmup/compile
-    out = jax.block_until_ready(fwd(params, latents, t, context))
+    # warmup/compile; sync by fetching a scalar (block_until_ready does not
+    # actually block under the axon-tunneled backend)
+    def run_sync():
+        return float(jnp.sum(fwd(params, latents, t, context).astype(jnp.float32)))
+
+    run_sync()
     times = []
     for _ in range(steps):
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fwd(params, latents, t, context))
+        run_sync()
         times.append(time.perf_counter() - t0)
     ms = float(np.median(times) * 1000.0)
 

@@ -230,6 +230,49 @@ def wan_head(params: Params, x: jnp.ndarray, embed: jnp.ndarray, arch: WanArch, 
     return _mm(params["head"], out, mm_fn)
 
 
+def wan_pre_process(
+    params: Params,
+    latents: jnp.ndarray,
+    t: jnp.ndarray,
+    context: jnp.ndarray,
+    arch: WanArch,
+    y: Optional[jnp.ndarray] = None,
+    clip_fea: Optional[jnp.ndarray] = None,
+    cfg_scale: Optional[jnp.ndarray] = None,
+    seq_len: Optional[int] = None,
+):
+    """Patchify + embeddings (reference WanPreInfer, pre_infer.py:29-120).
+    Returns (x, embed, embed0, ctx, ctx_img, grid, s_tokens)."""
+    pt, ph, pw = arch.patch_size
+    if y is not None:
+        latents = jnp.concatenate([latents, y.astype(latents.dtype)], axis=1)
+    grid = (latents.shape[2] // pt, latents.shape[3] // ph, latents.shape[4] // pw)
+
+    # pre/post layers always run the Default bf16 GEMM; mm_type (quant)
+    # applies only to the transformer blocks, as in the reference
+    # (pre_weights.py / post_weights.py hardcode "Default").
+    mm_fn = resolve_mm("Default")
+    x = patchify(latents.astype(jnp.bfloat16), arch.patch_size)
+    x = _mm(params["patch_embedding"], x, mm_fn)
+    s_tokens = x.shape[1]
+    if seq_len is not None and seq_len > s_tokens:
+        x = jnp.pad(x, ((0, 0), (0, seq_len - s_tokens), (0, 0)))
+
+    embed, embed0 = time_embeddings(params, t, arch, cfg_scale)
+    ctx = text_embeddings(params, context, mm_fn)
+    ctx_img = None
+    if clip_fea is not None and "img_emb" in params:
+        ctx_img = img_embeddings(params, clip_fea, mm_fn)
+    return x, embed, embed0, ctx, ctx_img, grid, s_tokens
+
+
+def wan_post_process(params: Params, x: jnp.ndarray, embed: jnp.ndarray, grid, s_tokens: int, arch: WanArch) -> jnp.ndarray:
+    """Head + unpatchify (reference WanPostInfer)."""
+    out = wan_head(params, x, embed, arch, resolve_mm("Default"))
+    out = out[:, :s_tokens]
+    return unpatchify(out.astype(jnp.float32), grid, arch.patch_size, arch.out_dim)
+
+
 def wan_forward(
     params: Params,
     latents: jnp.ndarray,
@@ -255,29 +298,10 @@ def wan_forward(
     ``seq_len`` optionally pads the token sequence to a bucket length
     (reference pads to scheduler.seq_len, pre_infer.py:62).
     """
-    b = latents.shape[0]
-    pt, ph, pw = arch.patch_size
-    if y is not None:
-        latents = jnp.concatenate([latents, y.astype(latents.dtype)], axis=1)
-    f, h, w = latents.shape[2] // pt, latents.shape[3] // ph, latents.shape[4] // pw
-    grid = (f, h, w)
-
-    # pre/post layers always run the Default bf16 GEMM; mm_type (quant)
-    # applies only to the transformer blocks, as in the reference
-    # (pre_weights.py / post_weights.py hardcode "Default").
-    mm_fn = resolve_mm("Default")
-    x = patchify(latents.astype(jnp.bfloat16), arch.patch_size)
-    x = _mm(params["patch_embedding"], x, mm_fn)
-    s_tokens = x.shape[1]
-    if seq_len is not None and seq_len > s_tokens:
-        x = jnp.pad(x, ((0, 0), (0, seq_len - s_tokens), (0, 0)))
-
-    embed, embed0 = time_embeddings(params, t, arch, cfg_scale)
-
-    ctx = text_embeddings(params, context, mm_fn)
-    ctx_img = None
-    if clip_fea is not None and "img_emb" in params:
-        ctx_img = img_embeddings(params, clip_fea, mm_fn)
+    x, embed, embed0, ctx, ctx_img, grid, s_tokens = wan_pre_process(
+        params, latents, t, context, arch, y=y, clip_fea=clip_fea,
+        cfg_scale=cfg_scale, seq_len=seq_len,
+    )
 
     if transformer_fn is not None:
         # injected transformer (e.g. the shard_map'd sequence-parallel one)
@@ -288,9 +312,7 @@ def wan_forward(
             arch, mm_type, self_attn_type, cross_attn_type,
         )
 
-    out = wan_head(params, x, embed, arch, mm_fn)
-    out = out[:, :s_tokens]
-    return unpatchify(out.astype(jnp.float32), grid, arch.patch_size, arch.out_dim)
+    return wan_post_process(params, x, embed, grid, s_tokens, arch)
 
 
 def wan_forward_cfg(

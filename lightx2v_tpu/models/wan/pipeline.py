@@ -5,6 +5,10 @@ This replaces the reference's host-side Python loop
 -> step_post per step) with ONE compiled program: scheduler state is the
 scan carry, the DiT forward + scheduler update is the body. For the
 4-step distilled model the whole denoise is a single device launch.
+
+Feature caching (TeaCache) runs as traced ``lax.cond`` state inside the
+scan — the decision scalar never leaves the device (the reference decides
+host-side per step, feature_caching/transformer_infer.py:31-81).
 """
 
 from __future__ import annotations
@@ -16,10 +20,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...caching.teacache import TeaCacheConfig, init_tea_state, tea_decide, tea_transform
 from ...ops.rope import build_wan_rope_grid
 from .config import WanArch
-from .model import wan_forward, wan_forward_cfg
-from .sharded import wan_forward_sharded
+from .model import wan_pre_process, wan_post_process, wan_transformer
+from .sharded import make_sharded_transformer
+
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 def rope_for_shape(arch: WanArch, target_shape, sp_pad: int = 1):
@@ -49,61 +56,86 @@ def make_denoise_fn(
     mesh=None,
     sp_size: int = 1,
     cfg_scale_embed: Optional[float] = None,
+    feature_caching: str = "NoCaching",
+    caching_config=None,
 ):
     """Build a jitted fn(params, state, context, context_null, y, clip_fea)
     -> final scheduler state, running all ``scheduler.num_steps()`` steps
     on device."""
     rope_cos, rope_sin, seq_len = rope_for_shape(arch, target_shape, sp_pad=sp_size)
+    batch = 2 if enable_cfg else 1
 
-    fwd_kw = dict(
-        mm_type=mm_type,
-        self_attn_type=self_attn_type,
-        cross_attn_type=cross_attn_type,
-        seq_len=seq_len,
-    )
+    tea_cfg: Optional[TeaCacheConfig] = None
+    if feature_caching == "Tea":
+        tea_cfg = TeaCacheConfig.from_config(caching_config) if caching_config is not None else TeaCacheConfig()
 
-    def one_step(params, state, context, context_null, y, clip_fea):
+    sharded_tf = None
+    if mesh is not None:
+        sharded_tf = make_sharded_transformer(mesh, arch, mm_type, self_attn_type, cross_attn_type)
+
+    def transformer(params, x, embed0, ctx, ctx_img):
+        if sharded_tf is not None:
+            if ctx_img is None:
+                ctx_img = jnp.zeros((x.shape[0], 1, x.shape[-1]), x.dtype)
+            x = jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P("dp", "sp", None)))
+            return sharded_tf(params["blocks"], x, embed0, ctx, ctx_img, rope_cos, rope_sin)
+        return wan_transformer(
+            params["blocks"], x, embed0, ctx, ctx_img, rope_cos, rope_sin,
+            arch, mm_type, self_attn_type, cross_attn_type,
+        )
+
+    def one_step(params, state, cache, context, context_null, y, clip_fea):
         lat_b, t = scheduler.step_pre(state)  # (C,F,H,W) bf16, scalar t
         lat = lat_b[None]
         tb = t[None].astype(jnp.float32)
         cfg_vec = None
         if cfg_scale_embed is not None:
-            cfg_vec = jnp.full((1,), cfg_scale_embed, jnp.float32)
-        if mesh is not None:
-            fwd = partial(wan_forward_sharded, mesh=mesh)
-        else:
-            fwd = wan_forward
+            cfg_vec = jnp.full((batch,), cfg_scale_embed, jnp.float32)
         if enable_cfg:
-            if mesh is not None:
-                # batched CFG: B=2 through the dp axis
-                lat2 = jnp.concatenate([lat, lat], axis=0)
-                t2 = jnp.concatenate([tb, tb], axis=0)
-                ctx2 = jnp.concatenate([context, context_null], axis=0)
-                y2 = None if y is None else jnp.concatenate([y, y], axis=0)
-                c2 = None if clip_fea is None else jnp.concatenate([clip_fea, clip_fea], axis=0)
-                out = fwd(params, lat2, t2, ctx2, rope_cos, rope_sin, arch,
-                          y=y2, clip_fea=c2, cfg_scale=cfg_vec, **fwd_kw)
-                noise_pred = out[1] + guide_scale * (out[0] - out[1])
-            else:
-                noise_pred = wan_forward_cfg(
-                    params, lat, tb, context, context_null, guide_scale,
-                    rope_cos, rope_sin, arch, y=y, clip_fea=clip_fea,
-                    cfg_scale=cfg_vec, **fwd_kw,
-                )[0]
+            lat = jnp.concatenate([lat, lat], axis=0)
+            tb = jnp.concatenate([tb, tb], axis=0)
+            ctx2 = jnp.concatenate([context, context_null], axis=0)
+            y2 = None if y is None else jnp.concatenate([y, y], axis=0)
+            c2 = None if clip_fea is None else jnp.concatenate([clip_fea, clip_fea], axis=0)
         else:
-            noise_pred = fwd(params, lat, tb, context, rope_cos, rope_sin, arch,
-                             y=y, clip_fea=clip_fea, cfg_scale=cfg_vec, **fwd_kw)[0]
-        return scheduler.step_post(state, noise_pred)
+            ctx2, y2, c2 = context, y, clip_fea
+
+        x, embed, embed0, ctx_e, ctx_img, grid, s_tokens = wan_pre_process(
+            params, lat, tb, ctx2, arch, y=y2, clip_fea=c2, cfg_scale=cfg_vec, seq_len=seq_len,
+        )
+
+        if tea_cfg is not None:
+            should, cache = tea_decide(cache, embed, embed0, state["step_index"], tea_cfg)
+            x, cache = tea_transform(cache, should, x, lambda xx: transformer(params, xx, embed0, ctx_e, ctx_img))
+        else:
+            x = transformer(params, x, embed0, ctx_e, ctx_img)
+
+        out = wan_post_process(params, x, embed, grid, s_tokens, arch)
+        if enable_cfg:
+            noise_pred = out[1] + guide_scale * (out[0] - out[1])
+        else:
+            noise_pred = out[0]
+        return scheduler.step_post(state, noise_pred), cache
+
+    def init_cache():
+        if tea_cfg is None:
+            return {}
+        d = arch.dim
+        mod_shape = (batch, 6, d) if tea_cfg.use_ret_steps else (batch, d)
+        return init_tea_state((batch, seq_len, d), mod_shape)
 
     n_steps = scheduler.num_steps()
 
     @jax.jit
     def denoise(params, state, context, context_null, y=None, clip_fea=None):
-        def body(st, _):
-            return one_step(params, st, context, context_null, y, clip_fea), None
+        def body(carry, _):
+            st, cache = carry
+            st, cache = one_step(params, st, cache, context, context_null, y, clip_fea)
+            return (st, cache), None
 
-        state_f, _ = jax.lax.scan(body, state, None, length=n_steps)
+        (state_f, _), _ = jax.lax.scan(body, (state, init_cache()), None, length=n_steps)
         return state_f
 
-    denoise.one_step = one_step  # exposed for step-wise drivers (caching)
+    denoise.one_step = one_step  # exposed for step-wise drivers
+    denoise.init_cache = init_cache
     return denoise

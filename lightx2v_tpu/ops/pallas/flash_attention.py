@@ -1,0 +1,135 @@
+"""Flash attention Pallas TPU kernel.
+
+Replaces the reference's external flash-attn 2/3 CUDA kernels
+(lightx2v/common/ops/attn/attn_weight.py:71-186) for the DiT's bidirectional
+video attention (no causal mask; optional key-length mask for padded
+sequences).
+
+Design: grid (batch*heads, q_blocks, kv_blocks) with the kv axis minor —
+TPU grid iterations are sequential, so the (m, l, acc) online-softmax
+state lives in VMEM scratch across the kv sweep and the output block is
+written once on the last kv step. Logits/statistics in fp32 on the MXU,
+p@v accumulated in fp32, inputs bf16.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BQ = 512
+DEFAULT_BK = 512
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, kv_len, bk, nk):
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # (bq, d) bf16
+    k = k_ref[0]  # (bk, d)
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    s = s * scale
+    # mask keys beyond kv_len (padding); kv_len is static
+    start = k_idx * bk
+    if nk * bk > kv_len:  # padded/partial keys exist somewhere in the sweep
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + start
+        s = jnp.where(col < kv_len, s, -jnp.inf)
+
+    m_prev = m_ref[:, 0:1]  # (bq, 1)
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] * alpha + pv
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(k_idx == nk - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, 0:1], 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_bnsd(q, k, v, kv_len: int, bq: int, bk: int, interpret: bool = False):
+    """q: (BN, Sq, D), k/v: (BN, Sk, D) -> (BN, Sq, D)."""
+    bn, sq, d = q.shape
+    sk = k.shape[1]
+    scale = 1.0 / math.sqrt(d)
+
+    pq = (-sq) % bq
+    pk = (-sk) % bk
+    if pq:
+        q = jnp.pad(q, ((0, 0), (0, pq), (0, 0)))
+    if pk:
+        k = jnp.pad(k, ((0, 0), (0, pk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pk), (0, 0)))
+    nq = q.shape[1] // bq
+    nk = k.shape[1] // bk
+
+    kernel = functools.partial(_flash_kernel, scale=scale, kv_len=kv_len, bk=bk, nk=nk)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bn, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),  # m
+            pltpu.VMEM((bq, 128), jnp.float32),  # l
+            pltpu.VMEM((bq, d), jnp.float32),  # acc
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bn * sq * sk * d,
+            bytes_accessed=2 * bn * (sq * d + 2 * sk * d),
+            transcendentals=bn * sq * sk,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    if pq:
+        out = out[:, :sq]
+    return out
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_len: Optional[int] = None,
+    bq: int = DEFAULT_BQ,
+    bk: int = DEFAULT_BK,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """q/k/v: (B, S, N, D) -> (B, Sq, N, D). Full bidirectional attention,
+    keys masked beyond ``kv_len`` (static)."""
+    b, sq, n, d = q.shape
+    sk = k.shape[1]
+    kv_len = kv_len if kv_len is not None else sk
+    bq = min(bq, max(128, 1 << (sq - 1).bit_length()))
+    bk = min(bk, max(128, 1 << (kv_len - 1).bit_length()))
+
+    qf = q.transpose(0, 2, 1, 3).reshape(b * n, sq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * n, sk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * n, sk, d)
+    of = _flash_bnsd(qf, kf, vf, kv_len, bq, bk, interpret=interpret)
+    return of.reshape(b, n, sq, d).transpose(0, 2, 1, 3)

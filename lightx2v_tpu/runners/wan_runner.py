@@ -203,6 +203,8 @@ class WanRunner(DefaultRunner):
             sp_size=sp_size,
             cfg_scale_embed=(float(self.config.get("cfg_scale", 4.0))
                              if self.config.get("enable_dynamic_cfg") else None),
+            feature_caching=self.config.get("feature_caching", "NoCaching"),
+            caching_config=self.config,
         )
         teo = encoder_out["text_encoder_output"]
         ieo = encoder_out.get("image_encoder_output")

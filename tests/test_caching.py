@@ -1,0 +1,72 @@
+"""Feature caching tests.
+
+TeaCache semantics checks: warm-up always computes, small embedding
+deltas accumulate then skip, skip applies the cached residual exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightx2v_tpu.caching.teacache import TeaCacheConfig, init_tea_state, tea_decide, tea_transform
+from lightx2v_tpu.models.wan.config import WanArch
+from lightx2v_tpu.models.wan.pipeline import make_denoise_fn
+from lightx2v_tpu.models.wan.weights import init_random_weight_dict, load_wan_params
+from lightx2v_tpu.schedulers.unipc import WanUniPCScheduler
+from lightx2v_tpu.utils.config import ConfigDict
+
+ARCH = WanArch(dim=64, ffn_dim=96, num_heads=4, num_layers=2, in_dim=4, out_dim=4,
+               freq_dim=32, text_len=8, text_dim=16)
+TARGET = (4, 2, 4, 8)
+
+
+def test_tea_decide_warmup_and_accumulate():
+    cfg = TeaCacheConfig(thresh=0.5, coefficients=(1.0, 0.0), ret_steps=1, cutoff_steps=100)
+    # poly(x) = x: accumulator == sum of rel-L1 distances
+    st = init_tea_state((1, 4, 8), (1, 8))
+    e = jnp.ones((1, 8), jnp.float32)
+    # step 0: warmup -> always calc, accum reset
+    should, st = tea_decide(st, e, None, jnp.asarray(0), cfg)
+    assert bool(should)
+    assert float(st["accum"][0]) == 0.0
+    # step 1: tiny delta -> below thresh -> skip
+    should, st = tea_decide(st, e * 1.01, None, jnp.asarray(1), cfg)
+    assert not bool(should)
+    assert float(st["accum"][0]) > 0
+    # repeated deltas accumulate past thresh -> calc + reset
+    for i in range(2, 80):
+        should, st = tea_decide(st, e * (1 + 0.01 * i), None, jnp.asarray(i), cfg)
+        if bool(should):
+            break
+    assert bool(should)
+    assert float(st["accum"][0]) == 0.0
+
+
+def test_tea_transform_skip_applies_residual():
+    st = init_tea_state((1, 4, 8), (1, 8))
+    st["prev_residual"] = jnp.full((1, 4, 8), 0.5, jnp.bfloat16)
+    x = jnp.ones((1, 4, 8), jnp.bfloat16)
+    fn = lambda xx: xx * 3.0
+    out, st2 = tea_transform(st, jnp.asarray(False), x, fn)
+    np.testing.assert_allclose(np.asarray(out, np.float32), 1.5)
+    # compute branch stores new residual
+    out, st3 = tea_transform(st, jnp.asarray(True), x, fn)
+    np.testing.assert_allclose(np.asarray(out, np.float32), 3.0)
+    np.testing.assert_allclose(np.asarray(st3["prev_residual"], np.float32), 2.0)
+
+
+def test_tea_denoise_loop_runs():
+    cfg = ConfigDict({"infer_steps": 6, "sample_shift": 5.0, "teacache_thresh": 0.26,
+                      "use_ret_steps": False})
+    sched = WanUniPCScheduler(cfg)
+    state = sched.prepare(TARGET, seed=0)
+    params = load_wan_params(init_random_weight_dict(ARCH, seed=0, scale=0.05), ARCH)
+    rng = np.random.default_rng(0)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, 16)), jnp.float32)
+    denoise = make_denoise_fn(ARCH, sched, TARGET, enable_cfg=True, guide_scale=5.0,
+                              self_attn_type="xla", cross_attn_type="xla",
+                              feature_caching="Tea", caching_config=cfg)
+    out = denoise(params, state, ctx, ctx * 0.5)
+    assert np.isfinite(np.asarray(out["latents"])).all()
+    assert out["step_index"] == 6
