@@ -32,12 +32,17 @@ def _scale(d: int) -> float:
     return 1.0 / math.sqrt(d)
 
 
-def attn_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, kv_len: Optional[int] = None) -> jnp.ndarray:
-    """Reference softmax attention; materializes (S_q, S_k) logits."""
-    if kv_len is not None:
+def attn_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, kv_len=None) -> jnp.ndarray:
+    """Reference softmax attention; materializes (S_q, S_k) logits.
+    ``kv_len`` may be a static int or a traced scalar (masked)."""
+    if isinstance(kv_len, int):
         k, v = k[:, :kv_len], v[:, :kv_len]
+        kv_len = None
     logits = jnp.einsum("bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32)
     logits = logits * _scale(q.shape[-1])
+    if kv_len is not None:
+        valid = jnp.arange(k.shape[1]) < kv_len
+        logits = jnp.where(valid[None, None, None, :], logits, -jnp.inf)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bnqk,bknd->bqnd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
@@ -47,7 +52,7 @@ def attn_xla_chunked(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    kv_len: Optional[int] = None,
+    kv_len=None,
     q_chunk: int = 2048,
     k_chunk: int = 2048,
 ) -> jnp.ndarray:
@@ -56,9 +61,11 @@ def attn_xla_chunked(
     The same (m, l, acc) recurrence as flash attention, expressed with
     ``lax.scan`` so XLA pipelines it on any backend. Used as the portable
     fallback and as the numerics oracle for the Pallas kernel tests.
+    ``kv_len`` may be a static int or a traced scalar.
     """
-    if kv_len is not None:
+    if isinstance(kv_len, int):
         k, v = k[:, :kv_len], v[:, :kv_len]
+        kv_len = None
     b, sq, n, d = q.shape
     sk = k.shape[1]
     scale = _scale(d)
@@ -73,7 +80,8 @@ def attn_xla_chunked(
 
     kb = kp.reshape(b, nk, k_chunk, n, d).transpose(1, 0, 2, 3, 4)  # (nk,b,kc,n,d)
     vb = vp.reshape(b, nk, k_chunk, n, d).transpose(1, 0, 2, 3, 4)
-    k_ids = (jnp.arange(nk * k_chunk) < sk).reshape(nk, k_chunk)
+    valid_to = sk if kv_len is None else kv_len
+    k_ids = (jnp.arange(nk * k_chunk) < valid_to).reshape(nk, k_chunk)
 
     def q_block(qi):
         # qi: (b, q_chunk, n, d)

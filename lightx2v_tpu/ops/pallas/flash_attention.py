@@ -3,31 +3,35 @@
 Replaces the reference's external flash-attn 2/3 CUDA kernels
 (lightx2v/common/ops/attn/attn_weight.py:71-186) for the DiT's bidirectional
 video attention (no causal mask; optional key-length mask for padded
-sequences).
+sequences — Wan pads text context, Hunyuan concatenates img+txt tokens
+with a per-prompt valid length).
 
 Design: grid (batch*heads, q_blocks, kv_blocks) with the kv axis minor —
 TPU grid iterations are sequential, so the (m, l, acc) online-softmax
 state lives in VMEM scratch across the kv sweep and the output block is
-written once on the last kv step. Logits/statistics in fp32 on the MXU,
-p@v accumulated in fp32, inputs bf16.
+written once on the last kv step. The key-length bound is a dynamic SMEM
+scalar, so prompts of any length reuse one compiled kernel.
+Logits/statistics in fp32 on the MXU, p@v accumulated in fp32, inputs bf16.
 """
 
 from __future__ import annotations
 
 import functools
 import math
-from typing import Optional
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BQ = 512
-DEFAULT_BK = 512
+# block-size sweep on v5e @ 32k tokens: (1024,1024) 80.9 TFLOP/s,
+# (512,1024) 75.0, (512,512) 48.6 — see commit history
+DEFAULT_BQ = 1024
+DEFAULT_BK = 1024
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, kv_len, bk, nk):
+def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, bk, nk):
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
@@ -42,11 +46,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, k
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     s = s * scale
-    # mask keys beyond kv_len (padding); kv_len is static
-    start = k_idx * bk
-    if nk * bk > kv_len:  # padded/partial keys exist somewhere in the sweep
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + start
-        s = jnp.where(col < kv_len, s, -jnp.inf)
+    # mask keys beyond the dynamic valid length
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k_idx * bk
+    s = jnp.where(col < kvlen_ref[0], s, -jnp.inf)
 
     m_prev = m_ref[:, 0:1]  # (bq, 1)
     m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -64,8 +66,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, k
         o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, 0:1], 1e-30)).astype(o_ref.dtype)
 
 
-def _flash_bnsd(q, k, v, kv_len: int, bq: int, bk: int, interpret: bool = False):
-    """q: (BN, Sq, D), k/v: (BN, Sk, D) -> (BN, Sq, D)."""
+def _flash_bnsd(q, k, v, kv_len, bq: int, bk: int, interpret: bool = False):
+    """q: (BN, Sq, D), k/v: (BN, Sk, D) -> (BN, Sq, D). kv_len: i32 scalar."""
     bn, sq, d = q.shape
     sk = k.shape[1]
     scale = 1.0 / math.sqrt(d)
@@ -80,11 +82,13 @@ def _flash_bnsd(q, k, v, kv_len: int, bq: int, bk: int, interpret: bool = False)
     nq = q.shape[1] // bq
     nk = k.shape[1] // bk
 
-    kernel = functools.partial(_flash_kernel, scale=scale, kv_len=kv_len, bk=bk, nk=nk)
+    kvlen_arr = jnp.asarray(kv_len, jnp.int32).reshape(1)
+    kernel = functools.partial(_flash_kernel, scale=scale, bk=bk, nk=nk)
     out = pl.pallas_call(
         kernel,
         grid=(bn, nq, nk),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
@@ -105,7 +109,7 @@ def _flash_bnsd(q, k, v, kv_len: int, bq: int, bk: int, interpret: bool = False)
             transcendentals=bn * sq * sk,
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(kvlen_arr, q, k, v)
     if pq:
         out = out[:, :sq]
     return out
@@ -115,18 +119,18 @@ def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    kv_len: Optional[int] = None,
+    kv_len: Optional[Union[int, jnp.ndarray]] = None,
     bq: int = DEFAULT_BQ,
     bk: int = DEFAULT_BK,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """q/k/v: (B, S, N, D) -> (B, Sq, N, D). Full bidirectional attention,
-    keys masked beyond ``kv_len`` (static)."""
+    keys masked beyond ``kv_len`` (int or traced scalar)."""
     b, sq, n, d = q.shape
     sk = k.shape[1]
     kv_len = kv_len if kv_len is not None else sk
     bq = min(bq, max(128, 1 << (sq - 1).bit_length()))
-    bk = min(bk, max(128, 1 << (kv_len - 1).bit_length()))
+    bk = min(bk, max(128, 1 << (sk - 1).bit_length()))
 
     qf = q.transpose(0, 2, 1, 3).reshape(b * n, sq, d)
     kf = k.transpose(0, 2, 1, 3).reshape(b * n, sk, d)

@@ -61,3 +61,19 @@ def test_determinism(tmp_path):
     r2, _ = make_runner(tmp_path)
     f2 = r2.run_pipeline(save_video=False)
     np.testing.assert_array_equal(f1, f2)
+
+
+def test_hunyuan_t2v_pipeline(tmp_path):
+    cfg_path = os.path.join(os.path.dirname(__file__), "..", "configs", "hunyuan_t2v_synthetic_smoke.json")
+    args = build_parser().parse_args([
+        "--model_cls", "hunyuan", "--task", "t2v",
+        "--config_json", cfg_path,
+        "--prompt", "a city at night",
+        "--save_video_path", str(tmp_path / "hy.mp4"),
+        "--synthetic_weights",
+    ])
+    config = set_config(args)
+    runner = init_runner(config)
+    frames = runner.run_pipeline(save_video=False)
+    assert frames.shape == (9, 64, 96, 3)
+    assert np.isfinite(frames).all()
