@@ -1,0 +1,94 @@
+"""Diffusion-forcing matrix math + CausVid / SkyReels e2e smoke tests."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightx2v_tpu.infer import build_parser, init_runner
+from lightx2v_tpu.schedulers.df import generate_timestep_matrix
+from lightx2v_tpu.utils.config import set_config
+
+CFG = os.path.join(os.path.dirname(__file__), "..", "configs", "wan_t2v_synthetic_smoke.json")
+
+
+class TestTimestepMatrix:
+    def test_sync_mode_full_denoise(self):
+        """ar_step=0: every row advances all frames together."""
+        tmpl = np.array([900, 600, 300], np.int64)
+        sm, um, vi = generate_timestep_matrix(4, 4, tmpl, ar_step=0)
+        assert sm.shape == (3, 4)
+        # row i = tmpl[i] for every frame
+        np.testing.assert_array_equal(sm[0], [900] * 4)
+        np.testing.assert_array_equal(sm[2], [300] * 4)
+        assert um.all()
+        assert vi == [(0, 4)] * 3
+
+    def test_prefix_frames_skipped(self):
+        tmpl = np.array([900, 600, 300], np.int64)
+        sm, um, vi = generate_timestep_matrix(4, 4, tmpl, num_pre_ready=2)
+        # prefix frames never update
+        assert not um[:, :2].any()
+        assert um[:, 2:].all()
+
+    def test_ar_mode_staggered(self):
+        tmpl = np.arange(999, 0, -100, dtype=np.int64)  # 10 steps
+        sm, um, vi = generate_timestep_matrix(6, 6, tmpl, ar_step=2)
+        # later frames start denoising later
+        first_active = [np.argmax(um[:, i]) for i in range(6)]
+        assert first_active == sorted(first_active)
+        assert first_active[1] > first_active[0]
+        # every frame eventually completes all steps
+        assert (um.sum(0) == len(tmpl)).all()
+
+    def test_causal_block_size(self):
+        tmpl = np.array([900, 600], np.int64)
+        sm, um, vi = generate_timestep_matrix(4, 4, tmpl, casual_block_size=2)
+        assert sm.shape[1] == 4
+        np.testing.assert_array_equal(sm[:, 0], sm[:, 1])
+
+
+def _run(model_cls, extra_cfg=None):
+    args = build_parser().parse_args([
+        "--model_cls", model_cls, "--task", "t2v",
+        "--config_json", CFG,
+        "--prompt", "a spinning top",
+        "--synthetic_weights",
+    ])
+    config = set_config(args)
+    config["enable_cfg"] = False
+    if extra_cfg:
+        config.update(extra_cfg)
+    runner = init_runner(config)
+    return runner.run_pipeline(save_video=False)
+
+
+def test_causvid_pipeline():
+    frames = _run("wan2.1_causvid", {
+        "num_frames": 3, "num_frame_per_block": 1, "num_blocks": 3,
+        "num_fragments": 2,
+        "denoising_step_list": [999, 500, 100],
+    })
+    # 3 + 1*(3-1) = 5 latent frames -> (5-1)*4+1 = 17 video frames
+    assert frames.shape == (17, 64, 96, 3)
+    assert np.isfinite(frames).all()
+
+
+def test_skyreels_df_pipeline_single_segment():
+    frames = _run("wan2.1_skyreels_v2_df", {
+        "infer_steps": 3, "ar_step": 0, "addnoise_condition": 0,
+        "base_num_frames": 9, "overlap_history": 0,
+    })
+    assert frames.shape == (9, 64, 96, 3)
+    assert np.isfinite(frames).all()
+
+
+def test_skyreels_df_pipeline_two_segments():
+    frames = _run("wan2.1_skyreels_v2_df", {
+        "infer_steps": 2, "ar_step": 0, "addnoise_condition": 20,
+        "target_video_length": 13, "base_num_frames": 9, "overlap_history": 5,
+    })
+    # total latent frames 4: segment1 = 3 latent (9 px frames), overlap 2
+    assert frames.shape[0] >= 9
+    assert np.isfinite(frames).all()
