@@ -80,10 +80,17 @@ class WanRunner(DefaultRunner):
         if self.config.get("synthetic_weights"):
             wd = init_random_weight_dict(self.arch, seed=0, scale=0.02)
             return load_wan_params(wd, self.arch)
-        from ..utils.safetensors_io import load_sharded
+        from ..utils.safetensors_io import load_file, load_sharded
 
         path = self.config.get("dit_quantized_ckpt") or self.config["model_path"]
-        return load_wan_params(load_sharded(path), self.arch)
+        weights = load_sharded(path)
+        # fold LoRAs into raw weights before building the pytree
+        # (reference lora_adapter.py:9-131 applies then re-inits weights)
+        for lc in self.config.get("lora_configs") or []:
+            from ..tools.convert import apply_lora
+
+            apply_lora(weights, load_file(lc["path"]), float(lc.get("strength", 1.0)))
+        return load_wan_params(weights, self.arch)
 
     def load_text_encoder(self):
         text_len = int(self.config.get("text_len", 512))

@@ -1,0 +1,170 @@
+"""Checkpoint converter / quantizer (reference: tools/convert/converter.py).
+
+Produces quantized DiT checkpoints consumable by the runtime's int8/fp8
+matmul paths: per-output-channel symmetric scales stored as
+``<name>.weight_scale`` next to int8/fp8 ``<name>.weight`` tensors
+(matching the reference's quantized-ckpt layout, converter.py:294-409).
+Supports LoRA folding before quantization and three output layouts:
+single file, chunked-with-index, per-block ``block_N.safetensors``
+(the lazy-load layout, converter.py:591-612).
+
+Usage:
+    python -m lightx2v_tpu.tools.convert --source <ckpt_dir> --output <dir> \
+        --quant int8 --layout single [--lora path:strength ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+from typing import Dict, List, Optional, Tuple
+
+import ml_dtypes
+import numpy as np
+
+from ..utils.logging_utils import logger
+from ..utils.safetensors_io import load_sharded, save_file
+
+# weights that must stay high precision (norms/modulation/embeddings)
+_SKIP_QUANT = re.compile(
+    r"(norm|modulation|embedding|time_|head\.|img_emb|patch_embedding|bias$|txt_in|vector_in|guidance_in|final_layer)"
+)
+_BLOCK_RE = re.compile(r"^(blocks|double_blocks|single_blocks)\.(\d+)\.")
+
+
+def quantize_tensor(w: np.ndarray, scheme: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-output-channel symmetric quantization (reference converter.py:294-341)."""
+    wf = np.asarray(w, np.float32)
+    absmax = np.abs(wf).max(axis=1)
+    if scheme == "int8":
+        scale = np.maximum(absmax, 1e-8) / 127.0
+        q = np.clip(np.round(wf / scale[:, None]), -127, 127).astype(np.int8)
+    elif scheme == "fp8":
+        scale = np.maximum(absmax, 1e-8) / 448.0
+        q = (wf / scale[:, None]).astype(ml_dtypes.float8_e4m3fn)
+    else:
+        raise ValueError(f"unknown quant scheme {scheme}")
+    return q, scale.astype(np.float32)
+
+
+def apply_lora(weights: Dict[str, np.ndarray], lora: Dict[str, np.ndarray], strength: float = 1.0) -> None:
+    """Fold LoRA factors into base weights in place (reference
+    lora_adapter.py:39-131: lora_A/B pairs, diff/diff_b additive deltas)."""
+    applied = 0
+    for key in list(lora.keys()):
+        if key.endswith("lora_A.weight") or key.endswith("lora_down.weight"):
+            up_key = key.replace("lora_A", "lora_B").replace("lora_down", "lora_up")
+            base_key = re.sub(r"\.(lora_A|lora_down)\.weight$", ".weight", key)
+            base_key = base_key.replace("diffusion_model.", "")
+            if up_key in lora and base_key in weights:
+                a = np.asarray(lora[key], np.float32)
+                b = np.asarray(lora[up_key], np.float32)
+                weights[base_key] = (np.asarray(weights[base_key], np.float32) + strength * (b @ a)).astype(
+                    weights[base_key].dtype)
+                applied += 1
+        elif key.endswith(".diff"):
+            base_key = key[: -len(".diff")] + ".weight"
+            base_key = base_key.replace("diffusion_model.", "")
+            if base_key in weights:
+                weights[base_key] = (np.asarray(weights[base_key], np.float32)
+                                     + strength * np.asarray(lora[key], np.float32)).astype(weights[base_key].dtype)
+                applied += 1
+        elif key.endswith(".diff_b"):
+            base_key = key[: -len(".diff_b")] + ".bias"
+            base_key = base_key.replace("diffusion_model.", "")
+            if base_key in weights:
+                weights[base_key] = (np.asarray(weights[base_key], np.float32)
+                                     + strength * np.asarray(lora[key], np.float32)).astype(weights[base_key].dtype)
+                applied += 1
+    logger.info(f"applied {applied} LoRA deltas")
+
+
+def quantize_model(weights: Dict[str, np.ndarray], scheme: str) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    n_q = 0
+    for name, w in weights.items():
+        if w.ndim == 2 and not _SKIP_QUANT.search(name):
+            q, scale = quantize_tensor(w, scheme)
+            out[name] = q
+            out[name.replace(".weight", ".weight_scale") if name.endswith(".weight") else name + "_scale"] = scale
+            n_q += 1
+        else:
+            out[name] = w
+    logger.info(f"quantized {n_q} matmul weights to {scheme}")
+    return out
+
+
+def save_quantized(weights: Dict[str, np.ndarray], out_dir: str, layout: str = "single",
+                   scheme: Optional[str] = None, chunk_gb: float = 4.0) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    if layout == "single":
+        save_file(weights, os.path.join(out_dir, "model.safetensors"))
+    elif layout == "chunked":
+        index = {"weight_map": {}, "metadata": {}}
+        chunk, size, idx = {}, 0, 0
+        limit = chunk_gb * 2**30
+
+        def flush():
+            nonlocal chunk, size, idx
+            if chunk:
+                fname = f"model-{idx:05d}.safetensors"
+                save_file(chunk, os.path.join(out_dir, fname))
+                for k in chunk:
+                    index["weight_map"][k] = fname
+                chunk, size = {}, 0
+                idx += 1
+
+        for k, v in weights.items():
+            chunk[k] = v
+            size += v.nbytes
+            if size >= limit:
+                flush()
+        flush()
+        with open(os.path.join(out_dir, "model.safetensors.index.json"), "w") as f:
+            json.dump(index, f, indent=2)
+    elif layout == "blocks":
+        # per-block files for lazy / streamed loading (reference lazy layout)
+        blocks: Dict[str, Dict[str, np.ndarray]] = {}
+        non_block: Dict[str, np.ndarray] = {}
+        for k, v in weights.items():
+            m = _BLOCK_RE.match(k)
+            if m:
+                blocks.setdefault(f"{m.group(1)}_{m.group(2)}", {})[k] = v
+            else:
+                non_block[k] = v
+        for bname, tensors in blocks.items():
+            save_file(tensors, os.path.join(out_dir, f"block_{bname.split('_')[-1]}.safetensors"))
+        save_file(non_block, os.path.join(out_dir, "non_block.safetensors"))
+    else:
+        raise ValueError(f"unknown layout {layout}")
+
+    cfg = {"mm_type": (f"W-{scheme}-channel-sym-A-{scheme}-channel-sym-dynamic-Tpu" if scheme else "Default")}
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=2)
+
+
+def main():
+    p = argparse.ArgumentParser(description="quantize / convert checkpoints")
+    p.add_argument("--source", required=True, help="source checkpoint dir (safetensors)")
+    p.add_argument("--output", required=True)
+    p.add_argument("--quant", choices=["int8", "fp8", "none"], default="int8")
+    p.add_argument("--layout", choices=["single", "chunked", "blocks"], default="single")
+    p.add_argument("--lora", action="append", default=[], help="path[:strength]")
+    args = p.parse_args()
+
+    weights = load_sharded(args.source)
+    for spec in args.lora:
+        path, _, s = spec.partition(":")
+        from ..utils.safetensors_io import load_file
+
+        apply_lora(weights, load_file(path), float(s or 1.0))
+    if args.quant != "none":
+        weights = quantize_model(weights, args.quant)
+    save_quantized(weights, args.output, args.layout, None if args.quant == "none" else args.quant)
+    logger.info(f"saved to {args.output}")
+
+
+if __name__ == "__main__":
+    main()
