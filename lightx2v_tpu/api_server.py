@@ -1,0 +1,36 @@
+"""API server entry point (reference: lightx2v/api_server.py).
+
+    python -m lightx2v_tpu.api_server --model_cls wan2.1 --task t2v \
+        --model_path ... --config_json ... --port 8000
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from .infer import build_parser, init_runner
+from .server.api import ApiServer
+from .server.service import VideoGenerationService
+from .utils.config import set_config
+from .utils.logging_utils import logger
+
+
+def main():
+    parser = build_parser()
+    parser.add_argument("--host", type=str, default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    args = parser.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    config = set_config(args)
+
+    service = VideoGenerationService(lambda: init_runner(config))
+    server = ApiServer(service, host=args.host, port=args.port)
+    logger.info(f"serving model_cls={config.get('model_cls')} on {args.host}:{server.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

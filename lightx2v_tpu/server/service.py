@@ -1,0 +1,117 @@
+"""Inference service: task queue + worker thread.
+
+The reference spawns ``nproc_per_node`` torch.multiprocessing workers and
+broadcasts pickled tasks over NCCL (lightx2v/server/service.py:77-309,
+server/distributed_utils.py:53-97). On TPU that whole data plane
+disappears: single-controller JAX drives every chip in this process, so
+the service is one worker thread pulling from a queue and calling
+``runner.run_pipeline()`` — task state machine and single-task-at-a-time
+semantics preserved (reference server/utils.py ServiceStatus)."""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+import time
+import traceback
+from typing import Any, Dict, Optional
+
+from ..utils.logging_utils import logger
+from .schema import TaskRequest
+
+
+def generate_task_id() -> str:
+    """XXXX-XXXX-XXXX-XXXX-XXXX ids (reference utils/generate_task_id.py:7-38)."""
+    chars = "ABCDEFGHJKLMNPQRSTUVWXYZ23456789"
+    return "-".join("".join(random.choices(chars, k=4)) for _ in range(5))
+
+
+class TaskRecord:
+    def __init__(self, req: TaskRequest):
+        self.request = req
+        self.status = "pending"
+        self.error: Optional[str] = None
+        self.save_video_path = req.save_video_path
+        self.created = time.time()
+
+
+class VideoGenerationService:
+    """Owns the runner and the task loop (single task at a time)."""
+
+    def __init__(self, runner_factory):
+        self._runner_factory = runner_factory
+        self._runner = None
+        self._queue: "queue.Queue[str]" = queue.Queue()
+        self._tasks: Dict[str, TaskRecord] = {}
+        self._lock = threading.Lock()
+        self._current: Optional[str] = None
+        self._stop_flag = threading.Event()
+        self._shutdown = threading.Event()
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    # ---------------- public API ----------------
+    def submit(self, req: TaskRequest) -> TaskRecord:
+        task_id = req.task_id or generate_task_id()
+        req.task_id = task_id
+        if not req.save_video_path:
+            req.save_video_path = f"./outputs/{task_id}.mp4"
+        rec = TaskRecord(req)
+        with self._lock:
+            self._tasks[task_id] = rec
+        self._queue.put(task_id)
+        return rec
+
+    def get(self, task_id: str) -> Optional[TaskRecord]:
+        with self._lock:
+            return self._tasks.get(task_id)
+
+    def all_tasks(self) -> Dict[str, TaskRecord]:
+        with self._lock:
+            return dict(self._tasks)
+
+    def status(self) -> Dict[str, Any]:
+        with self._lock:
+            busy = self._current is not None
+            return {"service_status": "busy" if busy else "idle", "task_id": self._current}
+
+    def stop_running(self) -> Dict[str, Any]:
+        with self._lock:
+            if self._current is None:
+                return {"stop_status": "do_nothing", "reason": "no running task"}
+            self._stop_flag.set()
+            return {"stop_status": "requested", "reason": None}
+
+    def shutdown(self):
+        self._shutdown.set()
+        self._queue.put(None)  # wake the worker
+
+    # ---------------- worker ----------------
+    def _loop(self):
+        while not self._shutdown.is_set():
+            task_id = self._queue.get()
+            if task_id is None:
+                break
+            rec = self.get(task_id)
+            if rec is None:
+                continue
+            with self._lock:
+                self._current = task_id
+                rec.status = "processing"
+            try:
+                if self._runner is None:
+                    self._runner = self._runner_factory()
+                inputs = rec.request.model_dump()
+                inputs = {k: v for k, v in inputs.items() if v not in (None, "")}
+                self._runner.set_inputs(inputs)
+                self._runner.run_pipeline()
+                rec.status = "completed"
+            except Exception as e:  # pragma: no cover
+                logger.error(f"task {task_id} failed: {e}\n{traceback.format_exc()}")
+                rec.status = "failed"
+                rec.error = str(e)
+            finally:
+                with self._lock:
+                    self._current = None
+                self._stop_flag.clear()
