@@ -77,3 +77,20 @@ def test_hunyuan_t2v_pipeline(tmp_path):
     frames = runner.run_pipeline(save_video=False)
     assert frames.shape == (9, 64, 96, 3)
     assert np.isfinite(frames).all()
+
+
+def test_cogvideox_t2v_pipeline(tmp_path):
+    args = build_parser().parse_args([
+        "--model_cls", "cogvideox", "--task", "t2v",
+        "--config_json", CFG,
+        "--prompt", "fireworks over a lake",
+        "--synthetic_weights",
+    ])
+    config = set_config(args)
+    config.update({"enable_cfg": True, "guidance_scale": 6.0,
+                   "num_inference_steps": 2, "infer_steps": 2,
+                   "self_attn_1_type": "xla", "attention_type": "xla"})
+    runner = init_runner(config)
+    frames = runner.run_pipeline(save_video=False)
+    assert frames.shape == (9, 64, 96, 3)
+    assert np.isfinite(frames).all()
