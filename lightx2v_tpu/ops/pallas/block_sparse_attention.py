@@ -1,0 +1,108 @@
+"""Block-sparse flash attention (Pallas TPU) for radial attention.
+
+The (nq, nk) block mask is compressed to per-row column indices + counts,
+scalar-prefetched so the K/V BlockSpec index_map fetches ONLY the active
+blocks — skipped blocks cost neither DMA nor FLOPs (the reference gets
+this from flashinfer's BSR wrapper; here it's PrefetchScalarGridSpec).
+Grid: (batch*heads, q_blocks, max_nnz_per_row) with the nnz axis minor and
+the online-softmax state in VMEM scratch, as in flash_attention.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK = 128
+
+
+def _bs_kernel(idx_ref, cnt_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, nnz):
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(j < cnt_ref[i])
+    def _():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
+        m_prev = m_ref[:, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:] = jnp.broadcast_to(l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
+        pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(j == nnz - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, 0:1], 1e-30)).astype(o_ref.dtype)
+
+
+def block_sparse_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    indices: jnp.ndarray,  # (nq, max_nnz) int32 block-column ids
+    counts: jnp.ndarray,   # (nq,) int32
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, sq, n, d = q.shape
+    sk = k.shape[1]
+    scale = 1.0 / math.sqrt(d)
+    bq = bk = BLOCK
+
+    pq = (-sq) % bq
+    pk = (-sk) % bk
+    qf = q.transpose(0, 2, 1, 3).reshape(b * n, sq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * n, sk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * n, sk, d)
+    if pq:
+        qf = jnp.pad(qf, ((0, 0), (0, pq), (0, 0)))
+    if pk:
+        kf = jnp.pad(kf, ((0, 0), (0, pk), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, pk), (0, 0)))
+    nq = qf.shape[1] // bq
+    nnz = indices.shape[1]
+    assert indices.shape[0] >= nq, f"mask rows {indices.shape[0]} < {nq}"
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b * n, nq, nnz),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda bb, i, j, idx, cnt: (bb, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda bb, i, j, idx, cnt: (bb, idx[i, j], 0)),
+            pl.BlockSpec((1, bk, d), lambda bb, i, j, idx, cnt: (bb, idx[i, j], 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda bb, i, j, idx, cnt: (bb, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_bs_kernel, scale=scale, nnz=nnz)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(qf.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(indices.astype(jnp.int32), counts.astype(jnp.int32), qf, kf, vf)
+    if pq:
+        out = out[:, :sq]
+    return out.reshape(b, n, sq, d).transpose(0, 2, 1, 3)

@@ -31,7 +31,18 @@ DEFAULT_BQ = 1024
 DEFAULT_BK = 1024
 
 
+def _flash_kernel_lse(kvlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *, scale, bk, nk):
+    """Variant emitting log-sum-exp per query row (ring-attention partials)."""
+    _flash_body(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                scale=scale, bk=bk, nk=nk, lse_ref=lse_ref)
+
+
 def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, bk, nk):
+    _flash_body(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                scale=scale, bk=bk, nk=nk, lse_ref=None)
+
+
+def _flash_body(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, bk, nk, lse_ref):
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
@@ -64,6 +75,9 @@ def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, 
     @pl.when(k_idx == nk - 1)
     def _():
         o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, 0:1], 1e-30)).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse = m_ref[:, 0:1] + jnp.log(jnp.maximum(l_ref[:, 0:1], 1e-30))
+            lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:]).astype(jnp.float32)
 
 
 def _flash_bnsd(q, k, v, kv_len, bq: int, bk: int, interpret: bool = False):
@@ -137,3 +151,66 @@ def flash_attention(
     vf = v.transpose(0, 2, 1, 3).reshape(b * n, sk, d)
     of = _flash_bnsd(qf, kf, vf, kv_len, bq, bk, interpret=interpret)
     return of.reshape(b, n, sq, d).transpose(0, 2, 1, 3)
+
+
+def flash_attention_with_lse(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_len: Optional[Union[int, jnp.ndarray]] = None,
+    bq: int = DEFAULT_BQ,
+    bk: int = DEFAULT_BK,
+    interpret: bool = False,
+):
+    """(out (B,S,N,D), lse (B,S,N) fp32) — ring-attention building block."""
+    b, sq, n, d = q.shape
+    sk = k.shape[1]
+    kv_len = kv_len if kv_len is not None else sk
+    bq = min(bq, max(128, 1 << (sq - 1).bit_length()))
+    bk = min(bk, max(128, 1 << (sk - 1).bit_length()))
+    scale = 1.0 / math.sqrt(d)
+
+    qf = q.transpose(0, 2, 1, 3).reshape(b * n, sq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * n, sk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * n, sk, d)
+    pq = (-sq) % bq
+    pk = (-sk) % bk
+    if pq:
+        qf = jnp.pad(qf, ((0, 0), (0, pq), (0, 0)))
+    if pk:
+        kf = jnp.pad(kf, ((0, 0), (0, pk), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, pk), (0, 0)))
+    nq = qf.shape[1] // bq
+    nk = kf.shape[1] // bk
+    kvlen_arr = jnp.asarray(kv_len, jnp.int32).reshape(1)
+    kernel = functools.partial(_flash_kernel_lse, scale=scale, bk=bk, nk=nk)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(b * n, nq, nk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bq, d), lambda bb, i, j: (bb, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda bb, i, j: (bb, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda bb, i, j: (bb, j, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bq, d), lambda bb, i, j: (bb, i, 0)),
+            pl.BlockSpec((1, bq, 128), lambda bb, i, j: (bb, i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(qf.shape, q.dtype),
+            jax.ShapeDtypeStruct((b * n, qf.shape[1], 128), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kvlen_arr, qf, kf, vf)
+    out = out[:, :sq].reshape(b, n, sq, d).transpose(0, 2, 1, 3)
+    lse = lse[:, :sq, 0].reshape(b, n, sq).transpose(0, 2, 1)
+    return out, lse

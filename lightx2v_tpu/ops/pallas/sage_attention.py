@@ -1,0 +1,142 @@
+"""SageAttention-style INT8-QK flash attention (Pallas TPU).
+
+The reference dispatches to the SageAttention2 CUDA kernel
+(lightx2v/common/ops/attn/attn_weight.py sage_attn2): Q/K are quantized to
+int8 so the big S x S logits matmul runs on the int8 tensor cores; softmax
+and P @ V stay high precision. On TPU the int8 MXU path has 2x the bf16
+throughput, and at video sequence lengths (32k+) QK^T is ~half the
+attention FLOPs — worth ~1.5x on the attention-dominated 480P workload.
+
+Structure matches ops/pallas/flash_attention.py (kv-minor grid, online
+softmax in VMEM scratch); Q/K are quantized per token-row outside the
+kernel (smoothing by the per-tile mean is left to a later pass).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BQ = 1024
+DEFAULT_BK = 1024
+
+
+def _quant_rows(x: jnp.ndarray):
+    """(BN, S, D) -> int8 values + (BN, S, 1) fp32 scales (per token-row)."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-6) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _sage_kernel(kvlen_ref, q_ref, k_ref, v_ref, qs_ref, ks_ref, o_ref,
+                 m_ref, l_ref, acc_ref, *, scale, bk, nk):
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]   # (bq, d) int8
+    k = k_ref[0]   # (bk, d) int8
+    v = v_ref[0]   # (bk, d) bf16
+    qs = qs_ref[0]  # (bq, 1) f32
+    ks = ks_ref[0]  # (bk, 1) f32
+
+    s_i32 = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+    s = s_i32.astype(jnp.float32) * (qs * scale) * ks[:, 0][None, :]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k_idx * bk
+    s = jnp.where(col < kvlen_ref[0], s, -jnp.inf)
+
+    m_prev = m_ref[:, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] * alpha + pv
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(k_idx == nk - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, 0:1], 1e-30)).astype(o_ref.dtype)
+
+
+def sage_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_len: Optional[Union[int, jnp.ndarray]] = None,
+    bq: int = DEFAULT_BQ,
+    bk: int = DEFAULT_BK,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """q/k/v: (B, S, N, D) bf16 -> (B, Sq, N, D)."""
+    b, sq, n, d = q.shape
+    sk = k.shape[1]
+    kv_len = kv_len if kv_len is not None else sk
+    bq = min(bq, max(128, 1 << (sq - 1).bit_length()))
+    bk = min(bk, max(128, 1 << (sk - 1).bit_length()))
+    scale = 1.0 / math.sqrt(d)
+
+    qf = q.transpose(0, 2, 1, 3).reshape(b * n, sq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * n, sk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * n, sk, d).astype(jnp.bfloat16)
+    qi, qscale = _quant_rows(qf)
+    ki, kscale = _quant_rows(kf)
+
+    pq = (-sq) % bq
+    pk = (-sk) % bk
+    if pq:
+        qi = jnp.pad(qi, ((0, 0), (0, pq), (0, 0)))
+        qscale = jnp.pad(qscale, ((0, 0), (0, pq), (0, 0)), constant_values=1.0)
+    if pk:
+        ki = jnp.pad(ki, ((0, 0), (0, pk), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, pk), (0, 0)))
+        kscale = jnp.pad(kscale, ((0, 0), (0, pk), (0, 0)), constant_values=1.0)
+    nq = qi.shape[1] // bq
+    nk = ki.shape[1] // bk
+
+    kvlen_arr = jnp.asarray(kv_len, jnp.int32).reshape(1)
+    kernel = functools.partial(_sage_kernel, scale=scale, bk=bk, nk=nk)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * n, nq, nk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bq, d), lambda bb, i, j: (bb, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda bb, i, j: (bb, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda bb, i, j: (bb, j, 0)),
+            pl.BlockSpec((1, bq, 1), lambda bb, i, j: (bb, i, 0)),
+            pl.BlockSpec((1, bk, 1), lambda bb, i, j: (bb, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda bb, i, j: (bb, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * n, qi.shape[1], d), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * sq * sk * d,
+            bytes_accessed=b * n * (sq * d + 2 * sk * d) * 2,
+            transcendentals=b * n * sq * sk,
+        ),
+        interpret=interpret,
+    )(kvlen_arr, qi, ki, vf, qscale, kscale)
+    if pq:
+        out = out[:, :sq]
+    return out.reshape(b, n, sq, d).transpose(0, 2, 1, 3).astype(q.dtype)

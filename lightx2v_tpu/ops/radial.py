@@ -1,0 +1,146 @@
+"""Radial (block-sparse spatiotemporal-decay) attention.
+
+Reference: lightx2v/attentions/common/radial_attn.py — the RadialAttention
+O(n log n) mask: full attention within a frame, window width halving with
+temporal distance (power-of-2 groups), frame 0 as attention sink, text
+rows/columns dense; the block mask feeds a block-sparse flash kernel
+(flashinfer BSR there, a scalar-prefetch Pallas kernel here).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BLOCK = 128
+
+
+def _window_width(dist: int, token_per_frame: int, decay_factor: float, model_type: str) -> float:
+    """reference get_window_width (:131-151)."""
+    if model_type == "wan":
+        if dist < 1:
+            return token_per_frame
+        if dist == 1:
+            return token_per_frame // 2
+    elif model_type == "hunyuan":
+        if dist <= 1:
+            return token_per_frame
+    group = dist.bit_length()
+    decay = 2 ** token_per_frame.bit_length() / 2**group * decay_factor
+    return decay if decay >= BLOCK else BLOCK
+
+
+def _diag_split_keep(dist: int, token_per_frame: int) -> bool:
+    """reference get_diagonal_split_mask (:115-129): distant frame pairs are
+    kept only every split_factor-th diagonal."""
+    group = dist.bit_length()
+    decay = 2 ** token_per_frame.bit_length() / 2**group
+    if decay >= BLOCK:
+        return True
+    return dist % int(BLOCK / decay) == 0
+
+
+def radial_block_mask(
+    seq_len: int,
+    video_token_num: int,
+    num_frame: int,
+    decay_factor: float = 0.5,
+    model_type: str = "wan",
+    block_size: int = BLOCK,
+) -> np.ndarray:
+    """(nq, nk) boolean block mask (reference gen_log_mask_shrinked :154-196,
+    computed directly at block granularity)."""
+    s = ((seq_len + block_size - 1) // block_size) * block_size
+    nb = s // block_size
+    tpf = video_token_num // num_frame
+    mask = np.zeros((nb, nb), bool)
+    border = video_token_num // block_size
+    mask[border:, :] = True
+    mask[:, border:] = True
+
+    centers = np.arange(nb) * block_size + block_size // 2  # block center tokens
+    frame_of = np.minimum(centers // tpf, num_frame - 1)
+    pos_in_frame = centers - frame_of * tpf
+
+    for bi in range(min(border + 1, nb)):
+        for bj in range(min(border + 1, nb)):
+            i, j = int(frame_of[bi]), int(frame_of[bj])
+            dist = abs(i - j)
+            if j == 0:  # attention sink
+                mask[bi, bj] = True
+                continue
+            if not _diag_split_keep(dist, tpf) and dist >= 1 and _window_width(dist, tpf, decay_factor, model_type) <= block_size:
+                continue
+            w = _window_width(dist, tpf, decay_factor, model_type)
+            # block centers within the intra-frame window (block-granular test)
+            if abs(int(pos_in_frame[bi]) - int(pos_in_frame[bj])) <= w + block_size:
+                mask[bi, bj] = True
+    np.fill_diagonal(mask, True)
+    return mask
+
+
+class MaskMap:
+    """Cached block mask per (seq_len, config) — reference MaskMap (:197-211)."""
+
+    def __init__(self, video_token_num: int, num_frame: int):
+        self.video_token_num = video_token_num
+        self.num_frame = num_frame
+        self._mask: Optional[np.ndarray] = None
+
+    def query_mask(self, seq_len: int, decay_factor: float = 0.5, model_type: str = "wan") -> np.ndarray:
+        if self._mask is None or self._mask.shape[0] * BLOCK < seq_len:
+            self._mask = radial_block_mask(seq_len, self.video_token_num, self.num_frame,
+                                           decay_factor, model_type)
+        return self._mask
+
+
+def mask_to_indices(mask: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(nq, nk) bool -> (indices (nq, max_nnz) int32, counts (nq,) int32)."""
+    nq = mask.shape[0]
+    counts = mask.sum(axis=1).astype(np.int32)
+    max_nnz = max(int(counts.max()), 1)
+    idx = np.zeros((nq, max_nnz), np.int32)
+    for i in range(nq):
+        nz = np.nonzero(mask[i])[0]
+        idx[i, : len(nz)] = nz
+        if len(nz) < max_nnz:
+            idx[i, len(nz):] = nz[-1] if len(nz) else 0
+    return idx, counts
+
+
+def radial_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask_map: Optional[MaskMap] = None,
+    sparsity_type: str = "radial",
+    decay_factor: float = 0.5,
+    model_type: str = "wan",
+) -> jnp.ndarray:
+    """q/k/v (B, S, N, D). Falls back to dense when no mask_map is given."""
+    s = q.shape[1]
+    if mask_map is None:
+        from .attention import attention
+
+        return attention("flash_attn3", q, k, v)
+    mask = mask_map.query_mask(s, decay_factor, model_type)
+    if jax.default_backend() == "tpu":
+        try:
+            from .pallas.block_sparse_attention import block_sparse_attention
+
+            idx, counts = mask_to_indices(mask)
+            return block_sparse_attention(q, k, v, jnp.asarray(idx), jnp.asarray(counts))
+        except Exception:
+            pass
+    # dense fallback: expand the block mask to token level
+    nb = mask.shape[0]
+    tok_mask = np.repeat(np.repeat(mask, BLOCK, 0), BLOCK, 1)[:s, :s]
+    logits = jnp.einsum("bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits / np.sqrt(q.shape[-1])
+    logits = jnp.where(jnp.asarray(tok_mask)[None, None], logits, -jnp.inf)
+    p = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bnqk,bknd->bqnd", p, v).astype(q.dtype)

@@ -48,3 +48,12 @@ def ulysses_attention(
     vh = seq2head(v, axis)
     oh = attn_fn(qh, kh, vh)
     return head2seq(oh, axis)
+
+
+def partial_heads_attention(attn_fn, q, k, v, axis: str = "sp"):
+    """Head-parallel attention TP (reference attentions/distributed/
+    partial_heads_attn/attn.py:6-37): inputs already head-sharded
+    (B, S, N/sp, D) inside shard_map; each device computes its head slice
+    on the full sequence — no communication inside (the all-gather is the
+    shard_map out_spec)."""
+    return attn_fn(q, k, v)

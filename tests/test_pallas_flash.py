@@ -49,3 +49,30 @@ def test_compiles_on_backend():
     q = rand(1, 512, 2, 128).astype(jnp.bfloat16)
     out = flash_attention(q, q, q)
     assert out.shape == q.shape
+
+
+class TestSageAttention:
+    def test_matches_oracle(self):
+        from lightx2v_tpu.ops.pallas.sage_attention import sage_attention
+
+        q = rand(1, 256, 2, 128, key=7).astype(jnp.bfloat16)
+        k = rand(1, 300, 2, 128, key=8).astype(jnp.bfloat16)
+        v = rand(1, 300, 2, 128, key=9).astype(jnp.bfloat16)
+        ref = np.asarray(attn_xla(q, k, v), np.float32)
+        out = np.asarray(sage_attention(q, k, v, bq=128, bk=128, interpret=True), np.float32)
+        # int8 QK: SNR-style bar like the reference's quant kernels
+        snr = ((out - ref) ** 2).mean() / ((ref**2).mean() + 1e-9)
+        assert snr < 1e-2, f"snr {snr}"
+        c = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
+        assert c > 0.995, f"corr {c}"
+
+    def test_kv_len(self):
+        from lightx2v_tpu.ops.pallas.sage_attention import sage_attention
+
+        q = rand(1, 128, 1, 128, key=10).astype(jnp.bfloat16)
+        k = rand(1, 256, 1, 128, key=11).astype(jnp.bfloat16)
+        v = rand(1, 256, 1, 128, key=12).astype(jnp.bfloat16)
+        ref = np.asarray(attn_xla(q, k, v, kv_len=180), np.float32)
+        out = np.asarray(sage_attention(q, k, v, kv_len=180, bq=128, bk=128, interpret=True), np.float32)
+        snr = ((out - ref) ** 2).mean() / ((ref**2).mean() + 1e-9)
+        assert snr < 1e-2

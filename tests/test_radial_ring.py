@@ -1,0 +1,107 @@
+"""Radial block-sparse attention + ring attention tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from lightx2v_tpu.ops.attention import attn_xla
+from lightx2v_tpu.ops.pallas.block_sparse_attention import block_sparse_attention
+from lightx2v_tpu.ops.radial import MaskMap, mask_to_indices, radial_block_mask
+from lightx2v_tpu.parallel.mesh import build_mesh
+from lightx2v_tpu.parallel.ring import _partial_attn_jnp, merge_partials, ring_attention
+
+
+def rand(*shape, key=0):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32) * 0.5
+
+
+class TestRadialMask:
+    def test_structure(self):
+        # 8 frames x 1024 tokens video + 256 text tokens
+        m = radial_block_mask(seq_len=8448, video_token_num=8192, num_frame=8)
+        assert m.shape == (66, 66)
+        assert m.diagonal().all()           # self blocks
+        assert m[64:, :].all() and m[:, 64:].all()  # text rows/cols dense
+        assert m[:, :8].all()               # frame-0 attention sink
+        # distant frame pairs are sparse
+        assert not m.all()
+        assert m.mean() < 0.85
+
+    def test_indices_roundtrip(self):
+        m = radial_block_mask(640, 512, 4)
+        idx, cnt = mask_to_indices(m)
+        for i in range(m.shape[0]):
+            assert set(idx[i, : cnt[i]].tolist()) == set(np.nonzero(m[i])[0].tolist())
+
+
+class TestBlockSparseKernel:
+    def test_dense_mask_matches_full_attention(self):
+        b, s, n, d = 1, 256, 2, 128
+        q, k, v = rand(b, s, n, d, key=1), rand(b, s, n, d, key=2), rand(b, s, n, d, key=3)
+        q, k, v = [t.astype(jnp.bfloat16) for t in (q, k, v)]
+        mask = np.ones((2, 2), bool)
+        idx, cnt = mask_to_indices(mask)
+        out = block_sparse_attention(q, k, v, jnp.asarray(idx), jnp.asarray(cnt), interpret=True)
+        ref = attn_xla(q, k, v)
+        np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref, np.float32),
+                                   rtol=0.05, atol=0.02)
+
+    def test_sparse_mask_matches_masked_attention(self):
+        b, s, n, d = 1, 384, 1, 128
+        q, k, v = [rand(b, s, n, d, key=i).astype(jnp.bfloat16) for i in (4, 5, 6)]
+        mask = np.eye(3, dtype=bool)
+        mask[0, 2] = True
+        idx, cnt = mask_to_indices(mask)
+        out = block_sparse_attention(q, k, v, jnp.asarray(idx), jnp.asarray(cnt), interpret=True)
+        # reference: dense attention with token-level mask
+        tok = np.repeat(np.repeat(mask, 128, 0), 128, 1)
+        logits = np.einsum("bqnd,bknd->bnqk", np.asarray(q, np.float32), np.asarray(k, np.float32)) / np.sqrt(d)
+        logits = np.where(tok[None, None], logits, -np.inf)
+        p = np.exp(logits - logits.max(-1, keepdims=True))
+        p = p / p.sum(-1, keepdims=True)
+        ref = np.einsum("bnqk,bknd->bqnd", p, np.asarray(v, np.float32))
+        np.testing.assert_allclose(np.asarray(out, np.float32), ref, rtol=0.05, atol=0.02)
+
+
+class TestRing:
+    def test_merge_partials_identity(self):
+        """Splitting keys into two halves and merging partials == full attn."""
+        b, s, n, d = 1, 32, 2, 16
+        q, k, v = rand(b, s, n, d, key=7), rand(b, s, n, d, key=8), rand(b, s, n, d, key=9)
+        o1, l1 = _partial_attn_jnp(q, k[:, :16], v[:, :16])
+        o2, l2 = _partial_attn_jnp(q, k[:, 16:], v[:, 16:])
+        out, _ = merge_partials(o1, l1, o2, l2)
+        ref = attn_xla(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+    @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+    def test_ring_attention_matches_dense(self):
+        mesh = build_mesh({"sp": 4, "dp": 2})
+        b, s, n, d = 2, 64, 2, 16
+        q, k, v = [rand(b, s, n, d, key=i) for i in (10, 11, 12)]
+        ref = attn_xla(q, k, v)
+
+        def f(ql, kl, vl):
+            return ring_attention(ql, kl, vl, axis="sp")
+
+        out = jax.shard_map(f, mesh=mesh, in_specs=P("dp", "sp"), out_specs=P("dp", "sp"),
+                            check_vma=False)(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=1e-3)
+
+    @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+    def test_ring_attention_with_text_tail(self):
+        mesh = build_mesh({"sp": 4, "dp": 2})
+        b, s, n, d = 2, 32, 2, 16
+        q, k, v = [rand(b, s, n, d, key=i) for i in (13, 14, 15)]
+        tk, tv = rand(b, 8, n, d, key=16), rand(b, 8, n, d, key=17)
+        ref = attn_xla(q, jnp.concatenate([k, tk], 1), jnp.concatenate([v, tv], 1))
+
+        def f(ql, kl, vl, tkl, tvl):
+            return ring_attention(ql, kl, vl, axis="sp", txt_k=tkl, txt_v=tvl)
+
+        out = jax.shard_map(f, mesh=mesh,
+                            in_specs=(P("dp", "sp"), P("dp", "sp"), P("dp", "sp"), P("dp"), P("dp")),
+                            out_specs=P("dp", "sp"), check_vma=False)(q, k, v, tk, tv)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=1e-3)
