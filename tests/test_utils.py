@@ -106,3 +106,26 @@ def test_safetensors_sharded_index(tmp_path):
     (tmp_path / "model.safetensors.index.json").write_text(json.dumps(index))
     out = st.load_sharded(str(tmp_path))
     assert set(out) == {"a", "b"}
+
+
+def test_native_safetensors_loader(tmp_path):
+    """C++ mmap reader (csrc/safetensors_reader.cpp): correctness vs the
+    Python reader, including parallel bf16 widening."""
+    from lightx2v_tpu.utils.native_loader import load_file_native, native_available
+
+    if not native_available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(0)
+    tensors = {
+        "a": (rng.standard_normal((64, 128)) * 0.1).astype(ml_dtypes.bfloat16),
+        "b": rng.standard_normal((33,)).astype(np.float32),
+        "c": rng.integers(-100, 100, (8, 8)).astype(np.int8),
+    }
+    path = str(tmp_path / "n.safetensors")
+    st.save_file(tensors, path)
+    out = load_file_native(path, num_threads=4)
+    for k in tensors:
+        np.testing.assert_array_equal(out[k], tensors[k])
+    widened = load_file_native(path, widen_bf16=True)
+    assert widened["a"].dtype == np.float32
+    np.testing.assert_allclose(widened["a"], tensors["a"].astype(np.float32))
