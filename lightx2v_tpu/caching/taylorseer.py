@@ -1,0 +1,96 @@
+"""TaylorSeer caching: per-block per-module Taylor extrapolation.
+
+Reference (lightx2v/models/networks/wan/infer/feature_caching/
+transformer_infer.py:173-307 + common/transformer_infer/transformer_infer.py
+:30-47): a fixed 1-calc / 3-skip step pattern; on calc steps every block's
+self-attn / cross-attn / FFN outputs and their finite-difference
+derivatives are cached; skip steps reconstruct each module's output with
+the first-order Taylor formula f0 + f1 * dt and apply only the (cheap)
+modulation gates.
+
+TPU structure: the pattern and step distances are host-precomputed and fed
+to the denoise scan as per-step inputs; caches are stacked (L, B, S, D)
+arrays in the scan carry, and the skip branch is a ``lax.scan`` over
+blocks touching only gates and cached tensors. Memory note: the cache is
+6 * L * S * D values — sized for big-HBM parts (v5p) at 14B/480P, or small
+models anywhere (the reference holds the same on the GPU).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.wan.config import WanArch
+from ..models.wan.model import _mm, _split_modulation, wan_block_parts
+from ..ops.linear import resolve_mm
+
+
+def taylor_schedule(n_steps: int, pattern: int = 4) -> Tuple[np.ndarray, np.ndarray]:
+    """(is_calc (n,), step_diff (n,)): calc every `pattern` steps
+    (reference scheduler sets [True, False, False, False] repeating);
+    step_diff = distance from the previous calc step (both for the
+    derivative at calc steps and the Taylor x at skip steps)."""
+    is_calc = np.array([i % pattern == 0 for i in range(n_steps)])
+    step_diff = np.zeros(n_steps, np.float32)
+    last_calc = 0
+    for i in range(n_steps):
+        if is_calc[i]:
+            step_diff[i] = i - last_calc if i > 0 else 1.0
+            last_calc = i
+        else:
+            step_diff[i] = i - last_calc
+    return is_calc, step_diff
+
+
+def init_taylor_cache(arch: WanArch, batch: int, seq_len: int, dtype=jnp.bfloat16) -> Dict:
+    shape = (arch.num_layers, batch, seq_len, arch.dim)
+    z = lambda: jnp.zeros(shape, dtype)
+    return {name: {"f0": z(), "f1": z()} for name in ("self_attn", "cross_attn", "ffn")}
+
+
+def taylor_calc_step(params, x, embed0, ctx, ctx_img, rope_cos, rope_sin, arch: WanArch,
+                     cache: Dict, step_diff, mm_type="Default",
+                     self_attn_fn=None, cross_attn_fn=None):
+    """Full compute, recording module outputs + derivatives
+    (reference derivative_approximation)."""
+    mm_fn = resolve_mm(mm_type)
+
+    def body(carry, layer):
+        xc = carry
+        block, c_self, c_cross, c_ffn = layer
+        xc, y_self, y_cross, y_ffn = wan_block_parts(
+            block, xc, embed0, ctx, ctx_img, rope_cos, rope_sin, arch, mm_fn,
+            self_attn_fn, cross_attn_fn)
+        new = {}
+        for name, y, c in (("self_attn", y_self, c_self), ("cross_attn", y_cross, c_cross), ("ffn", y_ffn, c_ffn)):
+            f1 = (y.astype(jnp.float32) - c["f0"].astype(jnp.float32)) / step_diff
+            new[name] = {"f0": y.astype(c["f0"].dtype), "f1": f1.astype(c["f1"].dtype)}
+        return xc, (new["self_attn"], new["cross_attn"], new["ffn"])
+
+    x, (cs, cc, cf) = jax.lax.scan(
+        body, x, (params["blocks"], cache["self_attn"], cache["cross_attn"], cache["ffn"]))
+    return x, {"self_attn": cs, "cross_attn": cc, "ffn": cf}
+
+
+def taylor_skip_step(params, x, embed0, arch: WanArch, cache: Dict, x_diff, mm_type="Default"):
+    """Cheap reconstruction: x += taylor(self)*gate + taylor(cross) +
+    taylor(ffn)*c_gate per block (reference infer_block :254-282)."""
+
+    def taylor(c):
+        return c["f0"].astype(jnp.float32) + c["f1"].astype(jnp.float32) * x_diff
+
+    def body(carry, layer):
+        xc = carry.astype(jnp.float32)
+        block, c_self, c_cross, c_ffn = layer
+        _, _, gate, _, _, c_gate = _split_modulation(block, embed0)
+        xc = xc + taylor(c_self) * gate.astype(jnp.float32)
+        xc = xc + taylor(c_cross)
+        xc = xc + taylor(c_ffn) * c_gate.astype(jnp.float32)
+        return xc.astype(carry.dtype), None
+
+    x, _ = jax.lax.scan(body, x, (params["blocks"], cache["self_attn"], cache["cross_attn"], cache["ffn"]))
+    return x

@@ -134,6 +134,28 @@ def wan_block(
     ``self_attn_fn`` / ``cross_attn_fn`` are dense-attention callables
     (q, k, v) -> out; the sequence-parallel path injects Ulysses-wrapped
     versions here."""
+    x, _, _, _ = wan_block_parts(
+        block, x, embed0, context, context_img, rope_cos, rope_sin,
+        arch, mm_fn, self_attn_fn, cross_attn_fn)
+    return x
+
+
+def wan_block_parts(
+    block: Params,
+    x: jnp.ndarray,
+    embed0: jnp.ndarray,
+    context: jnp.ndarray,
+    context_img: Optional[jnp.ndarray],
+    rope_cos: jnp.ndarray,
+    rope_sin: jnp.ndarray,
+    arch: WanArch,
+    mm_fn,
+    self_attn_fn=None,
+    cross_attn_fn=None,
+):
+    """wan_block that also returns the per-module outputs
+    (self-attn o-proj out, cross-attn o-proj out, FFN out) — the tensors
+    TaylorSeer caches (feature_caching/transformer_infer.py:223-246)."""
     b, s, d = x.shape
     n, hd = arch.num_heads, arch.head_dim
     shift_msa, scale_msa, gate_msa, c_shift, c_scale, c_gate = _split_modulation(block, embed0)
@@ -156,8 +178,8 @@ def wan_block(
     q = apply_rope(q, rope_cos, rope_sin)
     k = apply_rope(k, rope_cos, rope_sin)
     attn_out = self_attn_fn(q, k, v).reshape(b, s, d)
-    y = _mm(sa["o"], attn_out, mm_fn)
-    x = (x.astype(jnp.float32) + y.astype(jnp.float32) * gate_msa.astype(jnp.float32)).astype(x.dtype)
+    y_sa = _mm(sa["o"], attn_out, mm_fn)
+    x = (x.astype(jnp.float32) + y_sa.astype(jnp.float32) * gate_msa.astype(jnp.float32)).astype(x.dtype)
 
     # ---- cross attention ----
     ca = block["cross_attn"]
@@ -170,7 +192,8 @@ def wan_block(
         ik = rms_norm(_mm(ca["k_img"], context_img, mm_fn), ca["norm_k_img"], eps=1e-5).reshape(b, -1, n, hd)
         iv = _mm(ca["v_img"], context_img, mm_fn).reshape(b, -1, n, hd)
         cross_out = cross_out + cross_attn_fn(cq, ik, iv).reshape(b, s, d)
-    x = x + _mm(ca["o"], cross_out, mm_fn)
+    cross_proj = _mm(ca["o"], cross_out, mm_fn)
+    x = x + cross_proj
 
     # ---- FFN ----
     if "smooth_norm2" in block:
@@ -182,9 +205,9 @@ def wan_block(
         norm2 = modulated_layer_norm(x, c_shift, c_scale, eps=arch.eps)
     h = _mm(block["ffn"]["0"], norm2, mm_fn)
     h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(h.dtype)
-    y = _mm(block["ffn"]["2"], h, mm_fn)
-    x = (x.astype(jnp.float32) + y.astype(jnp.float32) * c_gate.astype(jnp.float32)).astype(x.dtype)
-    return x
+    y_ffn = _mm(block["ffn"]["2"], h, mm_fn)
+    x = (x.astype(jnp.float32) + y_ffn.astype(jnp.float32) * c_gate.astype(jnp.float32)).astype(x.dtype)
+    return x, y_sa, cross_proj, y_ffn
 
 
 def wan_transformer(

@@ -20,10 +20,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...caching.adacache import ada_skip_length, init_ada_state
+from ...caching.taylorseer import init_taylor_cache, taylor_calc_step, taylor_schedule, taylor_skip_step
 from ...caching.teacache import TeaCacheConfig, init_tea_state, tea_decide, tea_transform
+from ...ops.attention import attention
+from ...ops.linear import resolve_mm
 from ...ops.rope import build_wan_rope_grid
 from .config import WanArch
-from .model import wan_pre_process, wan_post_process, wan_transformer
+from .model import wan_block_parts, wan_pre_process, wan_post_process, wan_transformer
 from .sharded import make_sharded_transformer
 
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -66,8 +70,15 @@ def make_denoise_fn(
     batch = 2 if enable_cfg else 1
 
     tea_cfg: Optional[TeaCacheConfig] = None
-    if feature_caching == "Tea":
+    if feature_caching in ("Tea", "Custom"):
         tea_cfg = TeaCacheConfig.from_config(caching_config) if caching_config is not None else TeaCacheConfig()
+    use_taylor = feature_caching == "TaylorSeer"
+    use_ada = feature_caching == "Ada"
+    if (use_taylor or use_ada) and mesh is not None:
+        raise NotImplementedError("TaylorSeer/Ada caching with sequence parallelism lands later")
+    n_steps_static = scheduler.num_steps()
+    if use_taylor:
+        taylor_is_calc, taylor_step_diff = taylor_schedule(n_steps_static)
 
     sharded_tf = None
     if mesh is not None:
@@ -104,9 +115,62 @@ def make_denoise_fn(
             params, lat, tb, ctx2, arch, y=y2, clip_fea=c2, cfg_scale=cfg_vec, seq_len=seq_len,
         )
 
+        i = state["step_index"]
         if tea_cfg is not None:
-            should, cache = tea_decide(cache, embed, embed0, state["step_index"], tea_cfg)
+            should, cache = tea_decide(cache, embed, embed0, i, tea_cfg)
             x, cache = tea_transform(cache, should, x, lambda xx: transformer(params, xx, embed0, ctx_e, ctx_img))
+        elif use_taylor:
+            is_calc = jnp.asarray(taylor_is_calc)[i]
+            step_diff = jnp.asarray(taylor_step_diff)[i]
+            self_fn = partial(attention, self_attn_type)
+            cross_fn = partial(attention, cross_attn_type)
+
+            def calc(op):
+                xx, c = op
+                return taylor_calc_step(params, xx, embed0, ctx_e, ctx_img, rope_cos, rope_sin,
+                                        arch, c, step_diff, mm_type, self_fn, cross_fn)
+
+            def skip(op):
+                xx, c = op
+                return taylor_skip_step(params, xx, embed0, arch, c, step_diff, mm_type), c
+
+            x, cache = jax.lax.cond(is_calc, calc, skip, (x, cache))
+        elif use_ada:
+            mid = arch.num_layers // 2
+            mm_fn = resolve_mm(mm_type)
+            self_fn = partial(attention, self_attn_type)
+            cross_fn = partial(attention, cross_attn_type)
+            tokens_per_frame = seq_len // max(target_shape[1] // arch.patch_size[0], 1)
+
+            def compute(op):
+                xx, c = op
+                x_in = xx
+
+                def body(carry, layer):
+                    xc, tiny = carry
+                    block, li = layer
+                    xc, y_self, _, _ = wan_block_parts(
+                        block, xc, embed0, ctx_e, ctx_img, rope_cos, rope_sin,
+                        arch, mm_fn, self_fn, cross_fn)
+                    # gated self-attn output of the decisive middle block
+                    gate = (block["modulation"][2] + embed0[:, 2].astype(jnp.float32))[:, None, :]
+                    tiny = jnp.where(li == mid, (y_self.astype(jnp.float32) * gate), tiny)
+                    return (xc, tiny), None
+
+                tiny0 = jnp.zeros(x_in.shape, jnp.float32)
+                (x_out, tiny), _ = jax.lax.scan(
+                    body, (x_in, tiny0),
+                    (params["blocks"], jnp.arange(arch.num_layers)))
+                c = dict(c)
+                c["prev_residual"] = (x_out - x_in).astype(c["prev_residual"].dtype)
+                _, c = ada_skip_length(c, tiny, i, n_steps_static, tokens_per_frame)
+                return x_out, c
+
+            def skip(op):
+                xx, c = op
+                return xx + c["prev_residual"].astype(xx.dtype), dict(c)
+
+            x, cache = jax.lax.cond(i >= cache["skip_until"], compute, skip, (x, cache))
         else:
             x = transformer(params, x, embed0, ctx_e, ctx_img)
 
@@ -118,11 +182,15 @@ def make_denoise_fn(
         return scheduler.step_post(state, noise_pred), cache
 
     def init_cache():
-        if tea_cfg is None:
-            return {}
         d = arch.dim
-        mod_shape = (batch, 6, d) if tea_cfg.use_ret_steps else (batch, d)
-        return init_tea_state((batch, seq_len, d), mod_shape)
+        if tea_cfg is not None:
+            mod_shape = (batch, 6, d) if tea_cfg.use_ret_steps else (batch, d)
+            return init_tea_state((batch, seq_len, d), mod_shape)
+        if use_taylor:
+            return init_taylor_cache(arch, batch, seq_len)
+        if use_ada:
+            return init_ada_state((batch, seq_len, d))
+        return {}
 
     n_steps = scheduler.num_steps()
 

@@ -70,3 +70,55 @@ def test_tea_denoise_loop_runs():
     out = denoise(params, state, ctx, ctx * 0.5)
     assert np.isfinite(np.asarray(out["latents"])).all()
     assert out["step_index"] == 6
+
+
+def test_taylor_schedule():
+    from lightx2v_tpu.caching.taylorseer import taylor_schedule
+
+    is_calc, diff = taylor_schedule(8, pattern=4)
+    assert list(is_calc) == [True, False, False, False] * 2
+    assert list(diff) == [1.0, 1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0]
+
+
+def test_taylor_denoise_loop_runs():
+    cfg = ConfigDict({"infer_steps": 6, "sample_shift": 5.0})
+    sched = WanUniPCScheduler(cfg)
+    state = sched.prepare(TARGET, seed=0)
+    params = load_wan_params(init_random_weight_dict(ARCH, seed=0, scale=0.05), ARCH)
+    ctx = jnp.asarray(np.random.default_rng(0).standard_normal((1, 8, 16)), jnp.float32)
+    denoise = make_denoise_fn(ARCH, sched, TARGET, enable_cfg=False,
+                              self_attn_type="xla", cross_attn_type="xla",
+                              feature_caching="TaylorSeer", caching_config=cfg)
+    out = denoise(params, state, ctx, ctx)
+    assert np.isfinite(np.asarray(out["latents"])).all()
+
+
+def test_ada_denoise_loop_runs():
+    cfg = ConfigDict({"infer_steps": 8, "sample_shift": 5.0})
+    sched = WanUniPCScheduler(cfg)
+    state = sched.prepare(TARGET, seed=0)
+    params = load_wan_params(init_random_weight_dict(ARCH, seed=0, scale=0.05), ARCH)
+    ctx = jnp.asarray(np.random.default_rng(1).standard_normal((1, 8, 16)), jnp.float32)
+    denoise = make_denoise_fn(ARCH, sched, TARGET, enable_cfg=False,
+                              self_attn_type="xla", cross_attn_type="xla",
+                              feature_caching="Ada", caching_config=cfg)
+    out = denoise(params, state, ctx, ctx)
+    assert np.isfinite(np.asarray(out["latents"])).all()
+
+
+def test_taylor_caching_approximates_full(  ):
+    """With smooth dynamics (small weights) the Taylor-cached trajectory
+    should stay close to the exact one."""
+    cfg = ConfigDict({"infer_steps": 8, "sample_shift": 5.0})
+    params = load_wan_params(init_random_weight_dict(ARCH, seed=0, scale=0.02), ARCH)
+    ctx = jnp.asarray(np.random.default_rng(2).standard_normal((1, 8, 16)) * 0.1, jnp.float32)
+    outs = {}
+    for caching in ("NoCaching", "TaylorSeer"):
+        sched = WanUniPCScheduler(cfg)
+        state = sched.prepare(TARGET, seed=3)
+        d = make_denoise_fn(ARCH, sched, TARGET, enable_cfg=False,
+                            self_attn_type="xla", cross_attn_type="xla",
+                            feature_caching=caching, caching_config=cfg)
+        outs[caching] = np.asarray(d(params, state, ctx, ctx)["latents"], np.float32)
+    c = np.corrcoef(outs["NoCaching"].ravel(), outs["TaylorSeer"].ravel())[0, 1]
+    assert c > 0.98, f"caching diverged, corr {c}"
