@@ -62,6 +62,7 @@ def make_denoise_fn(
     cfg_scale_embed: Optional[float] = None,
     feature_caching: str = "NoCaching",
     caching_config=None,
+    num_steps: Optional[int] = None,
 ):
     """Build a jitted fn(params, state, context, context_null, y, clip_fea)
     -> final scheduler state, running all ``scheduler.num_steps()`` steps
@@ -192,7 +193,7 @@ def make_denoise_fn(
             return init_ada_state((batch, seq_len, d))
         return {}
 
-    n_steps = scheduler.num_steps()
+    n_steps = num_steps if num_steps is not None else scheduler.num_steps()
 
     @jax.jit
     def denoise(params, state, context, context_null, y=None, clip_fea=None):

@@ -143,6 +143,12 @@ class WanRunner(DefaultRunner):
 
     def run_input_encoder(self) -> Dict[str, Any]:
         prompt = self.config.get("prompt", "")
+        if self.config.get("use_prompt_enhancer") and self.config.get("prompt_enhancer_url"):
+            from ..utils.prompt_enhancer import enhance_via_service
+
+            enhanced = enhance_via_service(prompt, self.config["prompt_enhancer_url"])
+            if enhanced:
+                prompt = enhanced
         neg = self.config.get("negative_prompt", "") or ""
         context = self.text_encoder.infer([prompt])
         context_null = self.text_encoder.infer([neg]) if self.config.get("enable_cfg", True) else context
@@ -186,6 +192,8 @@ class WanRunner(DefaultRunner):
         return {"clip_encoder_out": clip_out, "vae_encode_out": y[None]}
 
     def run_dit(self, encoder_out: Dict[str, Any]):
+        if self.config.get("changing_resolution"):
+            return self._run_dit_changing_resolution(encoder_out)
         target_shape = self.set_target_shape()
         scheduler = self.init_scheduler()
         self.scheduler = scheduler
@@ -224,6 +232,68 @@ class WanRunner(DefaultRunner):
         if self.progress_callback:
             self.progress_callback(scheduler.num_steps(), scheduler.num_steps())
         return state["latents"]
+
+    def _run_dit_changing_resolution(self, encoder_out: Dict[str, Any]):
+        """Two-phase denoise: low resolution for the first half, then
+        x0-predict -> trilinear upsample -> re-noise -> continue at full
+        resolution with shift+2 (reference wan/changing_resolution/
+        scheduler.py:32-66)."""
+        from ..models.wan.model import wan_forward, wan_forward_cfg
+        from ..models.wan.pipeline import rope_for_shape
+
+        cfg = self.config
+        target = self.set_target_shape()
+        c, f_, h, w = target
+        rate = float(cfg.get("resolution_rate", 0.75))
+        n = int(cfg.infer_steps)
+        k = int(cfg.get("changing_resolution_steps", n // 2))
+        low = (c, f_, int(h * rate) // 2 * 2, int(w * rate) // 2 * 2)
+        seed = int(cfg.get("seed", 42))
+        enable_cfg = bool(cfg.get("enable_cfg", True))
+        guide = float(cfg.get("sample_guide_scale", 5.0))
+        attn = cfg.get("attention_impl") or cfg.get("self_attn_1_type", "flash_attn3")
+        teo = encoder_out["text_encoder_output"]
+        ctx, ctx_null = teo["context"], teo["context_null"]
+
+        # phase A: steps 0..k-1 at low resolution
+        sched_a = self.scheduler_cls(cfg)
+        self.scheduler = sched_a
+        state = sched_a.prepare(low, seed)
+        denoise_a = make_denoise_fn(self.arch, sched_a, low, enable_cfg=enable_cfg,
+                                    guide_scale=guide, mm_type=self.mm_type,
+                                    self_attn_type=attn, cross_attn_type=attn, num_steps=k)
+        state = denoise_a(self.model, state, ctx, ctx_null)
+
+        # boundary step k: forward at low res, x0-predict, upsample, re-noise
+        cos, sin, _ = rope_for_shape(self.arch, low)
+        lat, t = sched_a.step_pre(state)
+        if enable_cfg:
+            pred = wan_forward_cfg(self.model, lat[None], t[None].astype(jnp.float32),
+                                   ctx, ctx_null, guide, cos, sin, self.arch,
+                                   self_attn_type=attn, cross_attn_type=attn)[0]
+        else:
+            pred = wan_forward(self.model, lat[None], t[None].astype(jnp.float32), ctx,
+                               cos, sin, self.arch, self_attn_type=attn, cross_attn_type=attn)[0]
+        sig_k = float(sched_a.sigmas[k])
+        x0 = state["latents"].astype(jnp.float32) - sig_k * pred.astype(jnp.float32)
+        clean = jax.image.resize(x0, target, method="trilinear")
+        noise_full = jax.random.normal(jax.random.PRNGKey(seed + 101), target, jnp.float32)
+        noisy = (1.0 - sig_k) * clean + sig_k * noise_full
+
+        # phase B: steps k+1..n-1 at full resolution with shift+2 and a
+        # fresh multistep history
+        sched_b = self.scheduler_cls(cfg)
+        self.scheduler = sched_b
+        state_b = sched_b.prepare(target, seed + 1, shift=float(cfg.sample_shift) + 2.0,
+                                  start_step=k + 1)
+        state_b["latents"] = noisy
+        state_b["step_index"] = jnp.asarray(k + 1, jnp.int32)
+        denoise_b = make_denoise_fn(self.arch, sched_b, target, enable_cfg=enable_cfg,
+                                    guide_scale=guide, mm_type=self.mm_type,
+                                    self_attn_type=attn, cross_attn_type=attn,
+                                    num_steps=n - (k + 1))
+        state_b = denoise_b(self.model, state_b, ctx, ctx_null)
+        return state_b["latents"]
 
     def run_vae_decoder(self, latents) -> np.ndarray:
         # latents (C, F, H, W) -> VAE layout (B, F, H, W, C)

@@ -20,7 +20,7 @@ step as per-step scalars.
 from __future__ import annotations
 
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -45,23 +45,27 @@ class WanUniPCScheduler(SchedulerBase):
         super().__init__(config)
         self.sample_shift = float(config.sample_shift)
 
-    def prepare(self, target_shape, seed: int) -> State:
+    def prepare(self, target_shape, seed: int, shift: Optional[float] = None,
+                start_step: int = 0) -> State:
         base = flow_sigmas(self.num_train_timesteps, shift=1.0)
         sigma_max, sigma_min = float(base[0]), float(base[-1])
         # inference grid (reference set_timesteps :65-94)
         sig = np.linspace(sigma_max, sigma_min, self.infer_steps + 1).copy()[:-1]
-        sig = self.sample_shift * sig / (1 + (self.sample_shift - 1) * sig)
+        sh = self.sample_shift if shift is None else shift
+        sig = sh * sig / (1 + (sh - 1) * sig)
         self.timesteps = (sig * self.num_train_timesteps).astype(np.float32)
         self.sigmas = np.concatenate([sig, [0.0]]).astype(np.float32)
 
         n = self.infer_steps
-        # host-side order schedules
+        # host-side order schedules; ``start_step`` restarts the multistep
+        # warm-up mid-schedule (changing-resolution phase B resets history,
+        # reference set_timesteps :88-93)
         pred_order = np.zeros(n, np.int32)
         corr_order = np.zeros(n, np.int32)  # order used by corrector at step i
         lower = 0
         prev_this_order = 0
-        for i in range(n):
-            corr_order[i] = prev_this_order if i > 0 else 0  # 0 = no corrector
+        for i in range(start_step, n):
+            corr_order[i] = prev_this_order if i > start_step else 0  # 0 = no corrector
             this_order = min(self.solver_order, n - i, lower + 1)
             pred_order[i] = this_order
             prev_this_order = this_order

@@ -94,3 +94,14 @@ def test_cogvideox_t2v_pipeline(tmp_path):
     frames = runner.run_pipeline(save_video=False)
     assert frames.shape == (9, 64, 96, 3)
     assert np.isfinite(frames).all()
+
+
+def test_changing_resolution_pipeline(tmp_path):
+    runner, config = make_runner(tmp_path, extra={
+        "changing_resolution": True, "resolution_rate": 0.5,
+        "infer_steps": 4, "changing_resolution_steps": 2,
+        "target_height": 64, "target_width": 128, "enable_cfg": True,
+    })
+    frames = runner.run_pipeline(save_video=False)
+    assert frames.shape == (9, 64, 128, 3)
+    assert np.isfinite(frames).all()
