@@ -92,3 +92,30 @@ def test_skyreels_df_pipeline_two_segments():
     # total latent frames 4: segment1 = 3 latent (9 px frames), overlap 2
     assert frames.shape[0] >= 9
     assert np.isfinite(frames).all()
+
+
+def test_audio_pipeline(tmp_path):
+    import wave
+
+    # tiny 1-second wav
+    wav_path = str(tmp_path / "a.wav")
+    with wave.open(wav_path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        t = np.linspace(0, 1, 16000)
+        w.writeframes((np.sin(2 * np.pi * 220 * t) * 20000).astype(np.int16).tobytes())
+
+    args = build_parser().parse_args([
+        "--model_cls", "wan2.1_audio", "--task", "t2v",
+        "--config_json", CFG,
+        "--prompt", "a person talking",
+        "--audio_path", wav_path,
+        "--synthetic_weights",
+    ])
+    config = set_config(args)
+    config["enable_cfg"] = False
+    runner = init_runner(config)
+    frames = runner.run_pipeline(save_video=False)
+    assert frames.shape == (9, 64, 96, 3)
+    assert np.isfinite(frames).all()
