@@ -194,6 +194,8 @@ class WanRunner(DefaultRunner):
     def run_dit(self, encoder_out: Dict[str, Any]):
         if self.config.get("changing_resolution"):
             return self._run_dit_changing_resolution(encoder_out)
+        if self.config.get("weight_streaming"):
+            return self._run_dit_streamed(encoder_out)
         target_shape = self.set_target_shape()
         scheduler = self.init_scheduler()
         self.scheduler = scheduler
@@ -294,6 +296,38 @@ class WanRunner(DefaultRunner):
                                     num_steps=n - (k + 1))
         state_b = denoise_b(self.model, state_b, ctx, ctx_null)
         return state_b["latents"]
+
+    def _run_dit_streamed(self, encoder_out: Dict[str, Any]):
+        """Host-RAM weight streaming for over-HBM models (the reference's
+        block-offload mode; see models/wan/streaming.py)."""
+        from ..models.wan.pipeline import rope_for_shape
+        from ..models.wan.streaming import make_streamed_forward, split_blocks_to_host
+
+        cfg = self.config
+        target_shape = self.set_target_shape()
+        scheduler = self.init_scheduler()
+        self.scheduler = scheduler
+        state = scheduler.prepare(target_shape, int(cfg.get("seed", 42)))
+        rope_cos, rope_sin, _ = rope_for_shape(self.arch, target_shape)
+        attn = cfg.get("attention_impl") or cfg.get("self_attn_1_type", "flash_attn3")
+        fwd = make_streamed_forward(self.arch, mm_type=self.mm_type,
+                                    self_attn_type=attn, cross_attn_type=attn)
+        host_params = split_blocks_to_host(self.model)
+        teo = encoder_out["text_encoder_output"]
+        enable_cfg = bool(cfg.get("enable_cfg", True))
+        guide = float(cfg.get("sample_guide_scale", 5.0))
+
+        for _ in range(scheduler.num_steps()):
+            lat, t = scheduler.step_pre(state)
+            lat_b, tb = lat[None], t[None].astype(jnp.float32)
+            if enable_cfg:
+                cond = fwd(host_params, lat_b, tb, teo["context"], rope_cos, rope_sin)[0]
+                uncond = fwd(host_params, lat_b, tb, teo["context_null"], rope_cos, rope_sin)[0]
+                pred = uncond + guide * (cond - uncond)
+            else:
+                pred = fwd(host_params, lat_b, tb, teo["context"], rope_cos, rope_sin)[0]
+            state = scheduler.step_post(state, pred)
+        return state["latents"]
 
     def run_vae_decoder(self, latents) -> np.ndarray:
         # latents (C, F, H, W) -> VAE layout (B, F, H, W, C)

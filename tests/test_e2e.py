@@ -105,3 +105,10 @@ def test_changing_resolution_pipeline(tmp_path):
     frames = runner.run_pipeline(save_video=False)
     assert frames.shape == (9, 64, 128, 3)
     assert np.isfinite(frames).all()
+
+
+def test_weight_streaming_pipeline(tmp_path):
+    runner, config = make_runner(tmp_path, extra={"weight_streaming": True, "enable_cfg": False})
+    frames = runner.run_pipeline(save_video=False)
+    assert frames.shape == (9, 64, 96, 3)
+    assert np.isfinite(frames).all()
