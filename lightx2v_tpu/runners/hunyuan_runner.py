@@ -121,15 +121,59 @@ class HunyuanRunner(DefaultRunner):
 
         n_steps = scheduler.num_steps()
 
+        # TeaCache for Hunyuan (reference hunyuan/infer/feature_caching/):
+        # the decision metric is the time embedding; the whole double+single
+        # stack skips via the cached flow-pred residual on the LATENT (the
+        # model has no exposed pre/post split here, so the residual is taken
+        # on the prediction — equivalent skip semantics)
+        use_tea = self.config.get("feature_caching") == "Tea"
+        if use_tea:
+            from ..caching.teacache import TeaCacheConfig, init_tea_state, tea_decide
+
+            import dataclasses
+
+            tea_cfg = dataclasses.replace(TeaCacheConfig.from_config(self.config), use_ret_steps=False)
+
         @jax.jit
         def denoise(params, st, states, mask, pooled):
-            def body(s, _):
-                lat_b, t = scheduler.step_pre(s)
-                pred = hunyuan_forward(
-                    params, lat_b[None], t[None].astype(jnp.float32), states, mask, pooled,
+            def fwd(lat_b, t):
+                return hunyuan_forward(
+                    params, lat_b, t, states, mask, pooled,
                     cos, sin, arch, guidance=guidance, attn_type=attn,
                     token_replace=token_replace,
-                )[0]
+                )
+
+            if use_tea:
+                c, lat_f_, lh, lw = target_shape
+                cache0 = init_tea_state((1, c, lat_f_, lh, lw), (1, 256), dtype=jnp.float32)
+
+                def body(carry, _):
+                    s, cache = carry
+                    lat_b, t = scheduler.step_pre(s)
+                    # metric: the timestep embedding (vec); cheap recompute
+                    from ..models.hunyuan.model import _timestep_embedding
+
+                    temb = _timestep_embedding(t[None])
+                    should, cache = tea_decide(cache, temb, None, s["step_index"], tea_cfg)
+
+                    def compute(op):
+                        cc = dict(op)
+                        pred = fwd(lat_b[None], t[None].astype(jnp.float32))
+                        cc["prev_residual"] = pred.astype(cc["prev_residual"].dtype)
+                        return pred, cc
+
+                    def skip(op):
+                        return op["prev_residual"].astype(jnp.float32), dict(op)
+
+                    pred, cache = jax.lax.cond(should, compute, skip, cache)
+                    return (scheduler.step_post(s, pred[0]), cache), None
+
+                (s, _), _ = jax.lax.scan(body, (st, cache0), None, length=n_steps)
+                return s
+
+            def body(s, _):
+                lat_b, t = scheduler.step_pre(s)
+                pred = fwd(lat_b[None], t[None].astype(jnp.float32))[0]
                 return scheduler.step_post(s, pred), None
 
             s, _ = jax.lax.scan(body, st, None, length=n_steps)

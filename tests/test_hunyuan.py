@@ -85,3 +85,24 @@ def test_rope_tables():
     assert 4 <= k <= 8
     cos_r, sin_r = build_hunyuan_rope(TINY, 3, 2, 2, riflex_k=2, l_test=3)
     assert not np.allclose(cos, cos_r)
+
+
+def test_hunyuan_teacache_pipeline():
+    import os as _os
+
+    from lightx2v_tpu.infer import build_parser, init_runner
+    from lightx2v_tpu.utils.config import set_config
+
+    cfg_path = _os.path.join(_os.path.dirname(__file__), "..", "configs",
+                             "hunyuan_t2v_synthetic_smoke.json")
+    args = build_parser().parse_args([
+        "--model_cls", "hunyuan", "--task", "t2v",
+        "--config_json", cfg_path,
+        "--prompt", "a forest in the rain",
+        "--synthetic_weights",
+    ])
+    config = set_config(args)
+    config.update({"feature_caching": "Tea", "infer_steps": 4, "teacache_thresh": 0.26})
+    runner = init_runner(config)
+    frames = runner.run_pipeline(save_video=False)
+    assert np.isfinite(frames).all()
