@@ -37,6 +37,7 @@ class T5Config:
     num_layers: int = 24
     num_buckets: int = 32
     max_dist: int = 128
+    shared_pos: bool = False  # T5 v1.1 shares one relative bias table
 
 
 UMT5_XXL = T5Config()
@@ -127,13 +128,17 @@ def load_t5_params(state_dict: Dict[str, np.ndarray], cfg: T5Config = UMT5_XXL, 
 
     def block(i):
         p = f"blocks.{i}"
+        if cfg.shared_pos:
+            rel = np.asarray(sd["pos_embedding.embedding.weight"], np.float32)
+        else:
+            rel = np.asarray(sd[f"{p}.pos_embedding.embedding.weight"], np.float32)
         return {
             "norm1": np.asarray(sd[f"{p}.norm1.weight"], np.float32),
             "q": w(f"{p}.attn.q.weight"),
             "k": w(f"{p}.attn.k.weight"),
             "v": w(f"{p}.attn.v.weight"),
             "o": w(f"{p}.attn.o.weight"),
-            "rel_emb": np.asarray(sd[f"{p}.pos_embedding.embedding.weight"], np.float32),
+            "rel_emb": rel,
             "norm2": np.asarray(sd[f"{p}.norm2.weight"], np.float32),
             "gate": w(f"{p}.ffn.gate.0.weight"),
             "fc1": w(f"{p}.ffn.fc1.weight"),
@@ -174,12 +179,15 @@ def init_random_t5_state_dict(cfg: T5Config, seed: int = 0, scale: float = 0.02)
         return np.resize(np.roll(pool, -_off[0]), shape).astype(np.float32)
 
     sd["token_embedding.weight"] = randn(cfg.vocab_size, cfg.dim)
+    if cfg.shared_pos:
+        sd["pos_embedding.embedding.weight"] = randn(cfg.num_buckets, cfg.num_heads)
     for i in range(cfg.num_layers):
         p = f"blocks.{i}"
         sd[f"{p}.norm1.weight"] = np.ones(cfg.dim, np.float32)
         for m in ("q", "k", "v", "o"):
             sd[f"{p}.attn.{m}.weight"] = randn(cfg.dim_attn, cfg.dim)
-        sd[f"{p}.pos_embedding.embedding.weight"] = randn(cfg.num_buckets, cfg.num_heads)
+        if not cfg.shared_pos:
+            sd[f"{p}.pos_embedding.embedding.weight"] = randn(cfg.num_buckets, cfg.num_heads)
         sd[f"{p}.norm2.weight"] = np.ones(cfg.dim, np.float32)
         sd[f"{p}.ffn.gate.0.weight"] = randn(cfg.dim_ffn, cfg.dim)
         sd[f"{p}.ffn.fc1.weight"] = randn(cfg.dim_ffn, cfg.dim)

@@ -50,7 +50,7 @@ class CogvideoxRunner(DefaultRunner):
 
         # T5 v1.1 xxl: shared relative position bias (first layer's table)
         cfg = T5Config(vocab_size=32128, dim=4096, dim_attn=4096, dim_ffn=10240,
-                       num_heads=64, num_layers=24)
+                       num_heads=64, num_layers=24, shared_pos=True)
         return T5EncoderModel(int(self.config.get("text_len", 226)),
                               checkpoint_path=os.path.join(self.config["model_path"], "text_encoder"),
                               tokenizer_path=os.path.join(self.config["model_path"], "tokenizer"), cfg=cfg)

@@ -561,3 +561,84 @@ def init_random_vae_state_dict(cfg: WanVAEConfig, seed: int = 0, scale: float = 
     norm("decoder.head.0", ddims[-1])
     conv3("decoder.head.2", ddims[-1], 3)
     return sd
+
+
+# --------------------------------------------------------------------------
+# spatial tiling (reference tiled_encode/tiled_decode, vae.py:568-685:
+# overlapping tiles, linear-ramp blending of the overlaps, crop to stride)
+# --------------------------------------------------------------------------
+
+def _blend_h(a: jnp.ndarray, b: jnp.ndarray, extent: int) -> jnp.ndarray:
+    """Blend tile b's left edge with tile a's right edge along W (axis 3)."""
+    e = min(a.shape[3], b.shape[3], extent)
+    if e <= 0:
+        return b
+    w = (jnp.arange(e, dtype=jnp.float32) / e).reshape(1, 1, 1, e, 1)
+    mixed = a[:, :, :, -e:].astype(jnp.float32) * (1 - w) + b[:, :, :, :e].astype(jnp.float32) * w
+    return jnp.concatenate([mixed.astype(b.dtype), b[:, :, :, e:]], axis=3)
+
+
+def _blend_v(a: jnp.ndarray, b: jnp.ndarray, extent: int) -> jnp.ndarray:
+    """Blend tile b's top edge with tile a's bottom edge along H (axis 2)."""
+    e = min(a.shape[2], b.shape[2], extent)
+    if e <= 0:
+        return b
+    w = (jnp.arange(e, dtype=jnp.float32) / e).reshape(1, 1, e, 1, 1)
+    mixed = a[:, :, -e:].astype(jnp.float32) * (1 - w) + b[:, :, :e].astype(jnp.float32) * w
+    return jnp.concatenate([mixed.astype(b.dtype), b[:, :, e:]], axis=2)
+
+
+def vae_decode_tiled(params: Dict, z: jnp.ndarray, cfg: WanVAEConfig = WanVAEConfig(),
+                     scale: bool = True, dtype=jnp.float32,
+                     tile_latent: int = 32, stride_latent: int = 24) -> jnp.ndarray:
+    """Tiled decode: 256px tiles with 192px stride by default (reference
+    tile_sample_min/stride, vae.py:530-535). z: (B, T, h, w, C)."""
+    b, t, h, w, c = z.shape
+    blend = (tile_latent - stride_latent) * 8
+    rows = []
+    for i in range(0, h, stride_latent):
+        row = []
+        for j in range(0, w, stride_latent):
+            tile = z[:, :, i : i + tile_latent, j : j + tile_latent]
+            row.append(vae_decode(params, tile, cfg, scale=scale, dtype=dtype))
+        rows.append(row)
+    out_rows = []
+    for i, row in enumerate(rows):
+        merged = []
+        for j, tile in enumerate(row):
+            if i > 0:
+                tile = _blend_v(rows[i - 1][j], tile, blend)
+            if j > 0:
+                tile = _blend_h(row[j - 1], tile, blend)
+            merged.append(tile[:, :, : stride_latent * 8, : stride_latent * 8])
+        out_rows.append(jnp.concatenate(merged, axis=3))
+    out = jnp.concatenate(out_rows, axis=2)
+    return out[:, :, : h * 8, : w * 8]
+
+
+def vae_encode_tiled(params: Dict, x: jnp.ndarray, cfg: WanVAEConfig = WanVAEConfig(),
+                     scale: bool = True, dtype=jnp.float32,
+                     tile_px: int = 256, stride_px: int = 192) -> jnp.ndarray:
+    """Tiled encode (reference tiled_encode, vae.py:568-630). x: (B,T,H,W,3)."""
+    b, t, h, w, _ = x.shape
+    tl, sl = tile_px // 8, stride_px // 8
+    blend = tl - sl
+    rows = []
+    for i in range(0, h, stride_px):
+        row = []
+        for j in range(0, w, stride_px):
+            tile = x[:, :, i : i + tile_px, j : j + tile_px]
+            row.append(vae_encode(params, tile, cfg, scale=scale, dtype=dtype))
+        rows.append(row)
+    out_rows = []
+    for i, row in enumerate(rows):
+        merged = []
+        for j, tile in enumerate(row):
+            if i > 0:
+                tile = _blend_v(rows[i - 1][j], tile, blend)
+            if j > 0:
+                tile = _blend_h(row[j - 1], tile, blend)
+            merged.append(tile[:, :, :sl, :sl])
+        out_rows.append(jnp.concatenate(merged, axis=3))
+    out = jnp.concatenate(out_rows, axis=2)
+    return out[:, :, : h // 8, : w // 8]

@@ -71,3 +71,18 @@ def test_oracle_parity():
     np.testing.assert_allclose(got, ref, rtol=0.15, atol=0.05)
     # padded rows exactly zero
     assert np.all(got[1, 6:] == 0)
+
+
+def test_shared_pos_variant():
+    """T5 v1.1 (CogVideoX encoder) shares one relative-bias table."""
+    cfg = T5Config(vocab_size=50, dim=16, dim_attn=16, dim_ffn=24, num_heads=2,
+                   num_layers=2, num_buckets=8, max_dist=16, shared_pos=True)
+    sd = init_random_t5_state_dict(cfg, seed=0, scale=0.1)
+    assert "pos_embedding.embedding.weight" in sd
+    assert "blocks.0.pos_embedding.embedding.weight" not in sd
+    params = load_t5_params(sd, cfg, dtype=np.float32)
+    ids = np.arange(8)[None] % 50
+    mask = np.ones((1, 8), np.int32)
+    out = t5_encode(params, jnp.asarray(ids), jnp.asarray(mask), cfg)
+    assert out.shape == (1, 8, 16)
+    assert np.isfinite(np.asarray(out, np.float32)).all()

@@ -97,3 +97,24 @@ class TestEncode:
         assert z.shape == (1, 2, 2, 2, 16)
         rt = vae_decode(p16, z, cfg, scale=True)
         assert rt.shape == (1, 5, 16, 16, 3)  # round-trips the frame count
+
+
+class TestTiling:
+    def test_tiled_decode_close_to_full(self, params):
+        from lightx2v_tpu.vae.wan_vae import vae_decode_tiled
+
+        z = jnp.asarray(np.random.default_rng(7).standard_normal((1, 3, 8, 12, 4)), jnp.float32)
+        full = np.asarray(vae_decode(params, z, TINY, scale=False))
+        tiled = np.asarray(vae_decode_tiled(params, z, TINY, scale=False,
+                                            tile_latent=6, stride_latent=4))
+        assert tiled.shape == full.shape
+        c = np.corrcoef(tiled.ravel(), full.ravel())[0, 1]
+        assert c > 0.95, f"tiled decode diverged, corr {c}"
+
+    def test_tiled_encode_shapes(self, params):
+        from lightx2v_tpu.vae.wan_vae import vae_encode_tiled
+
+        x = jnp.asarray(np.random.default_rng(8).standard_normal((1, 5, 48, 64, 3)), jnp.float32)
+        z = vae_encode_tiled(params, x, TINY, scale=False, tile_px=32, stride_px=24)
+        assert z.shape == (1, 2, 6, 8, 4)
+        assert np.isfinite(np.asarray(z)).all()
