@@ -35,14 +35,10 @@ def build_mesh(mesh_shape: Optional[Dict[str, int]] = None, devices=None) -> Mes
         shape = {"sp": n}
     sizes = [int(shape.get(a, 1)) for a in AXES]
     total = int(np.prod(sizes))
-    if total != n:
-        # auto-expand the sp axis to absorb remaining devices
-        if n % (total // sizes[AXES.index("sp")] if sizes[AXES.index("sp")] else 1) == 0:
-            sizes[AXES.index("sp")] = n // (total // sizes[AXES.index("sp")])
-        total = int(np.prod(sizes))
-    if total != n:
-        raise ValueError(f"mesh shape {shape} incompatible with {n} devices")
-    dev_array = np.asarray(devices).reshape(sizes)
+    if total > n:
+        raise ValueError(f"mesh shape {shape} needs {total} devices, have {n}")
+    # an explicit shape uses exactly that many devices (extra devices idle)
+    dev_array = np.asarray(devices[:total]).reshape(sizes)
     return Mesh(dev_array, AXES)
 
 

@@ -333,7 +333,17 @@ class WanRunner(DefaultRunner):
         # latents (C, F, H, W) -> VAE layout (B, F, H, W, C)
         z = jnp.transpose(latents, (1, 2, 3, 0))[None]
         scale = not self.config.get("synthetic_weights")
-        frames = vae_decode(self.vae, z, self.vae_cfg, scale=scale)
+        if self.config.get("parallel_vae") and self.config.get("mesh_shape"):
+            from ..parallel.vae_parallel import parallel_vae_decode
+
+            mesh = build_mesh(dict(self.config["mesh_shape"]))
+            frames = parallel_vae_decode(self.vae, z, self.vae_cfg, mesh, scale=scale)
+        elif self.config.get("use_tiling_vae"):
+            from ..vae.wan_vae import vae_decode_tiled
+
+            frames = vae_decode_tiled(self.vae, z, self.vae_cfg, scale=scale)
+        else:
+            frames = vae_decode(self.vae, z, self.vae_cfg, scale=scale)
         return np.clip(np.asarray(frames[0], np.float32), -1.0, 1.0)
 
 

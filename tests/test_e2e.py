@@ -112,3 +112,28 @@ def test_weight_streaming_pipeline(tmp_path):
     frames = runner.run_pipeline(save_video=False)
     assert frames.shape == (9, 64, 96, 3)
     assert np.isfinite(frames).all()
+
+
+def test_mesh_sharded_pipeline(tmp_path):
+    """Runner-level multi-chip config: dp=2 (CFG) x sp=2 (tokens) on the
+    virtual CPU mesh, with spatially-parallel VAE decode."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        import pytest as _pytest
+
+        _pytest.skip("needs 4 virtual devices")
+    runner, config = make_runner(tmp_path, extra={
+        "mesh_shape": {"dp": 2, "sp": 2},
+        "parallel_vae": True,
+        "enable_cfg": True,
+    })
+    frames = runner.run_pipeline(save_video=False)
+    assert frames.shape == (9, 64, 96, 3)
+    assert np.isfinite(frames).all()
+
+
+def test_tiling_vae_pipeline(tmp_path):
+    runner, config = make_runner(tmp_path, extra={"use_tiling_vae": True, "enable_cfg": False})
+    frames = runner.run_pipeline(save_video=False)
+    assert frames.shape == (9, 64, 96, 3)
