@@ -66,7 +66,15 @@ def t5_norm(w: jnp.ndarray, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
 
 
 def _lin(p, x):
-    # (out, in) layout, no bias (T5 linears are bias-free)
+    # (out, in) layout, no bias (T5 linears are bias-free). Quantized
+    # encoder linears (reference q_linear.py) arrive as {"w": int8/fp8,
+    # "w_scale": fp32} dicts and take the w8a8 MXU path.
+    if isinstance(p, dict):
+        from ..ops.linear import resolve_mm
+
+        scheme = "int8" if p["w"].dtype == jnp.int8 else "fp8"
+        fn = resolve_mm(f"W-{scheme}-channel-sym-A-{scheme}-channel-sym-dynamic-Tpu")
+        return fn({"w": p["w"], "w_scale": p["w_scale"], "b": None}, x)
     return jax.lax.dot_general(x, p, (((x.ndim - 1,), (1,)), ((), ())), preferred_element_type=jnp.float32).astype(x.dtype)
 
 
@@ -217,3 +225,23 @@ class T5EncoderModel:
         assert self.tokenizer is not None, "tokenizer_path required for text input"
         ids, mask = self.tokenizer(texts, return_mask=True, add_special_tokens=True)
         return self._encode(self.params, jnp.asarray(ids), jnp.asarray(mask))
+
+
+def quantize_t5_params(params: Params, scheme: str = "int8") -> Params:
+    """Auto-quantize the encoder's matmul weights to int8/fp8 per output
+    channel (reference t5_quantized / q_linear.py path)."""
+    from ..tools.convert import quantize_tensor
+    import numpy as np
+
+    out = dict(params)
+    blocks = dict(params["blocks"])
+    for name in ("q", "k", "v", "o", "gate", "fc1", "fc2"):
+        w = np.asarray(blocks[name], np.float32)  # (L, out, in)
+        qs, scales = [], []
+        for i in range(w.shape[0]):
+            qi, si = quantize_tensor(w[i], scheme)
+            qs.append(qi)
+            scales.append(si)
+        blocks[name] = {"w": jnp.asarray(np.stack(qs)), "w_scale": jnp.asarray(np.stack(scales))}
+    out["blocks"] = blocks
+    return out

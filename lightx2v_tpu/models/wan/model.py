@@ -222,11 +222,12 @@ def wan_transformer(
     mm_type: str = "Default",
     self_attn_type: str = "flash_attn3",
     cross_attn_type: str = "flash_attn3",
+    self_attn_kwargs: Optional[dict] = None,
 ) -> jnp.ndarray:
     """Scan the block stack (reference _infer_without_offload loop,
     transformer_infer.py:269-287)."""
     mm_fn = resolve_mm(mm_type)
-    self_attn_fn = partial(attention, self_attn_type)
+    self_attn_fn = partial(attention, self_attn_type, **(self_attn_kwargs or {}))
     cross_attn_fn = partial(attention, cross_attn_type)
 
     def body(carry, layer):
@@ -312,6 +313,7 @@ def wan_forward(
     cross_attn_type: str = "flash_attn3",
     seq_len: Optional[int] = None,
     transformer_fn=None,
+    self_attn_kwargs: Optional[dict] = None,
 ) -> jnp.ndarray:
     """Full DiT forward: latents (B, C, F, H, W) + timestep + context ->
     flow prediction (B, out_dim, F, H, W).
@@ -332,7 +334,7 @@ def wan_forward(
     else:
         x = wan_transformer(
             params["blocks"], x, embed0, ctx, ctx_img, rope_cos, rope_sin,
-            arch, mm_type, self_attn_type, cross_attn_type,
+            arch, mm_type, self_attn_type, cross_attn_type, self_attn_kwargs,
         )
 
     return wan_post_process(params, x, embed, grid, s_tokens, arch)

@@ -63,6 +63,7 @@ def make_denoise_fn(
     feature_caching: str = "NoCaching",
     caching_config=None,
     num_steps: Optional[int] = None,
+    self_attn_kwargs: Optional[dict] = None,
 ):
     """Build a jitted fn(params, state, context, context_null, y, clip_fea)
     -> final scheduler state, running all ``scheduler.num_steps()`` steps
@@ -93,7 +94,7 @@ def make_denoise_fn(
             return sharded_tf(params["blocks"], x, embed0, ctx, ctx_img, rope_cos, rope_sin)
         return wan_transformer(
             params["blocks"], x, embed0, ctx, ctx_img, rope_cos, rope_sin,
-            arch, mm_type, self_attn_type, cross_attn_type,
+            arch, mm_type, self_attn_type, cross_attn_type, self_attn_kwargs,
         )
 
     def one_step(params, state, cache, context, context_null, y, clip_fea):

@@ -209,6 +209,19 @@ class WanRunner(DefaultRunner):
 
         attn_default = self.config.get("attention_impl") or self.config.get("self_attn_1_type", "flash_attn3")
         cross_attn = self.config.get("cross_attn_1_type", attn_default)
+        if cross_attn == "radial_attn":
+            cross_attn = "flash_attn3"  # radial masks apply to video self-attn only
+        self_attn_kwargs = None
+        if attn_default == "radial_attn":
+            from ..ops.radial import MaskMap
+
+            pt, ph, pw = self.arch.patch_size
+            gf = target_shape[1] // pt
+            vid_tokens = gf * (target_shape[2] // ph) * (target_shape[3] // pw)
+            self_attn_kwargs = {
+                "mask_map": MaskMap(video_token_num=vid_tokens, num_frame=gf),
+                "decay_factor": float(self.config.get("decay_factor", 0.5)),
+            }
         denoise = make_denoise_fn(
             self.arch, scheduler, target_shape,
             enable_cfg=bool(self.config.get("enable_cfg", True)),
@@ -222,6 +235,7 @@ class WanRunner(DefaultRunner):
                              if self.config.get("enable_dynamic_cfg") else None),
             feature_caching=self.config.get("feature_caching", "NoCaching"),
             caching_config=self.config,
+            self_attn_kwargs=self_attn_kwargs,
         )
         teo = encoder_out["text_encoder_output"]
         ieo = encoder_out.get("image_encoder_output")

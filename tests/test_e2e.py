@@ -137,3 +137,13 @@ def test_tiling_vae_pipeline(tmp_path):
     runner, config = make_runner(tmp_path, extra={"use_tiling_vae": True, "enable_cfg": False})
     frames = runner.run_pipeline(save_video=False)
     assert frames.shape == (9, 64, 96, 3)
+
+
+def test_radial_attention_pipeline(tmp_path):
+    runner, config = make_runner(tmp_path, extra={
+        "self_attn_1_type": "radial_attn", "cross_attn_1_type": "xla",
+        "enable_cfg": False,
+    })
+    frames = runner.run_pipeline(save_video=False)
+    assert frames.shape == (9, 64, 96, 3)
+    assert np.isfinite(frames).all()

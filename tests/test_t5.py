@@ -86,3 +86,18 @@ def test_shared_pos_variant():
     out = t5_encode(params, jnp.asarray(ids), jnp.asarray(mask), cfg)
     assert out.shape == (1, 8, 16)
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_quantized_t5_matches_dense():
+    """int8-quantized encoder linears (reference q_linear.py) vs dense."""
+    from lightx2v_tpu.encoders.t5 import quantize_t5_params
+
+    sd = init_random_t5_state_dict(TINY, seed=0, scale=0.1)
+    params = load_t5_params(sd, TINY, dtype=np.float32)
+    qparams = quantize_t5_params(params, "int8")
+    ids = np.random.default_rng(1).integers(0, TINY.vocab_size, (1, 12))
+    mask = np.ones((1, 12), np.int32)
+    ref = np.asarray(t5_encode(params, jnp.asarray(ids), jnp.asarray(mask), TINY), np.float32)
+    out = np.asarray(t5_encode(qparams, jnp.asarray(ids), jnp.asarray(mask), TINY), np.float32)
+    snr = ((out - ref) ** 2).mean() / ((ref**2).mean() + 1e-9)
+    assert snr < 1e-2, f"snr {snr}"
