@@ -27,7 +27,13 @@ from ..models.hunyuan.model import build_hunyuan_rope, hunyuan_forward, riflex_k
 from ..models.hunyuan.weights import init_random_hunyuan_state_dict, load_hunyuan_from_path, load_hunyuan_params
 from ..schedulers.euler import FlowMatchEulerScheduler
 from ..utils.registry import RUNNER_REGISTER
-from ..vae.wan_vae import WanVAEConfig, init_random_vae_state_dict, load_wan_vae_params, vae_decode
+from ..vae.hunyuan_vae import (
+    HunyuanVAEConfig,
+    hunyuan_vae_decode,
+    init_random_hunyuan_vae_state_dict,
+    load_hunyuan_vae_from_path,
+    load_hunyuan_vae_params,
+)
 from .base_runner import DefaultRunner
 
 
@@ -60,10 +66,14 @@ class HunyuanRunner(DefaultRunner):
 
     def load_vae(self):
         if self.config.get("synthetic_weights"):
-            cfg = WanVAEConfig(dim=16, z_dim=16, dim_mult=(1, 2, 2, 2), num_res_blocks=1)
+            cfg = HunyuanVAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
+                                   latent_channels=16, norm_num_groups=4)
             self.vae_cfg = cfg
-            return load_wan_vae_params(init_random_vae_state_dict(cfg, seed=2), cfg)
-        raise NotImplementedError("Hunyuan causal VAE checkpoint loading lands with real-ckpt support")
+            return load_hunyuan_vae_params(init_random_hunyuan_vae_state_dict(cfg, seed=2), cfg)
+        self.vae_cfg = HunyuanVAEConfig()
+        return load_hunyuan_vae_from_path(
+            os.path.join(self.config["model_path"], "hunyuan-video-t2v-720p", "vae", "pytorch_model.pt"),
+            self.vae_cfg)
 
     def set_target_shape(self):
         cfg = self.config
@@ -187,5 +197,6 @@ class HunyuanRunner(DefaultRunner):
 
     def run_vae_decoder(self, latents) -> np.ndarray:
         z = jnp.transpose(latents, (1, 2, 3, 0))[None]
-        frames = vae_decode(self.vae, z, self.vae_cfg, scale=not self.config.get("synthetic_weights"))
+        frames = hunyuan_vae_decode(self.vae, z, self.vae_cfg,
+                                    scale=not self.config.get("synthetic_weights"))
         return np.clip(np.asarray(frames[0], np.float32), -1.0, 1.0)

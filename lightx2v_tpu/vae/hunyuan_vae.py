@@ -1,0 +1,375 @@
+"""HunyuanVideo causal 3D VAE (diffusers-style AutoencoderKLCausal3D).
+
+Reference: lightx2v/models/video_encoders/hf/autoencoder_kl_causal_3d/
+{autoencoder_kl_causal_3d.py, vae.py, unet_causal_3d_blocks.py}. The
+"884-16c" configuration: block channels (128, 256, 512, 512), 2 resnet
+layers per block, 16 latent channels, GroupNorm(32) + SiLU, causal convs
+with REPLICATE temporal padding, strided-causal-conv downsampling,
+nearest upsampling where the first frame upsamples spatially only (hence
+T latent frames -> 4(T-1)+1 video frames), and a frame-causal single-head
+attention in the mid blocks.
+
+TPU notes: channels-last layout; whole-clip forward (the reference relies
+on spatial/temporal tiling rather than streaming — mid-block attention is
+quadratic in tile tokens), with the same tiling entry points.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+HUNYUAN_LATENT_SCALING = 0.476986
+
+
+@dataclass(frozen=True)
+class HunyuanVAEConfig:
+    in_channels: int = 3
+    latent_channels: int = 16
+    block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    norm_num_groups: int = 32
+    time_compression_ratio: int = 4
+    spatial_compression_ratio: int = 8
+
+    def down_strides(self):
+        """Per-stage (t, h, w) downsample stride (reference vae.py:62-75)."""
+        n = len(self.block_out_channels)
+        nspat = int(np.log2(self.spatial_compression_ratio))
+        ntime = int(np.log2(self.time_compression_ratio))
+        strides = []
+        for i in range(n):
+            final = i == n - 1
+            sp = i < nspat
+            tm = (i >= n - 1 - ntime) and not final
+            strides.append(((2 if tm else 1, 2 if sp else 1, 2 if sp else 1) if (sp or tm) else None))
+        return strides
+
+    def up_scales(self):
+        """Per-stage decoder (t, h, w) upsample factors (reference :178-192)."""
+        n = len(self.block_out_channels)
+        nspat = int(np.log2(self.spatial_compression_ratio))
+        ntime = int(np.log2(self.time_compression_ratio))
+        scales = []
+        for i in range(n):
+            final = i == n - 1
+            sp = i < nspat
+            tm = (i >= n - 1 - ntime) and not final
+            scales.append(((2 if tm else 1, 2 if sp else 1, 2 if sp else 1) if (sp or tm) else None))
+        return scales
+
+
+# ---------------------------------------------------------------- primitives
+
+def causal_conv3d(p: Params, x: jnp.ndarray, stride=(1, 1, 1)) -> jnp.ndarray:
+    """Causal conv with REPLICATE temporal left pad (reference
+    unet_causal_3d_blocks.py:65-91). x (B,T,H,W,C); w (kt,kh,kw,I,O)."""
+    w = p["w"]
+    kt, kh, kw = w.shape[0], w.shape[1], w.shape[2]
+    if kt > 1:
+        first = jnp.repeat(x[:, :1], kt - 1, axis=1)
+        x = jnp.concatenate([first, x], axis=1)
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=stride,
+        padding=((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    if p.get("b") is not None:
+        out = out + p["b"].astype(out.dtype)
+    return out
+
+
+def group_norm(p: Params, x: jnp.ndarray, groups: int, eps: float = 1e-6) -> jnp.ndarray:
+    """GroupNorm over (T, H, W, C/G) per group, channels-last."""
+    b, t, h, w, c = x.shape
+    xf = x.astype(jnp.float32).reshape(b, t * h * w, groups, c // groups)
+    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=(1, 3), keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf.reshape(b, t, h, w, c)
+    return (xf * p["w"].astype(jnp.float32) + p["b"].astype(jnp.float32)).astype(x.dtype)
+
+
+def resnet_block(p: Params, x: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """GroupNorm -> SiLU -> conv -> GroupNorm -> SiLU -> conv (+ 1x1
+    shortcut) (reference ResnetBlockCausal3D :265-380)."""
+    h = group_norm(p["norm1"], x, groups)
+    h = jax.nn.silu(h.astype(jnp.float32)).astype(x.dtype)
+    h = causal_conv3d(p["conv1"], h)
+    h = group_norm(p["norm2"], h, groups)
+    h = jax.nn.silu(h.astype(jnp.float32)).astype(x.dtype)
+    h = causal_conv3d(p["conv2"], h)
+    sc = causal_conv3d(p["shortcut"], x) if "shortcut" in p else x
+    return sc + h
+
+
+def causal_frame_attention(p: Params, x: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """Mid-block single-head attention with the frame-causal mask
+    (reference UNetMidBlockCausal3D forward + prepare_causal_attention_mask)."""
+    b, t, h, w, c = x.shape
+    res = x
+    xn = group_norm(p["group_norm"], x, groups)
+    flat = xn.reshape(b, t * h * w, c)
+
+    def lin(pp, v):
+        return (jax.lax.dot_general(v, pp["w"], (((2,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) + pp["b"]).astype(v.dtype)
+
+    q, k, v = lin(p["to_q"], flat), lin(p["to_k"], flat), lin(p["to_v"], flat)
+    logits = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32) / np.sqrt(c)
+    hw = h * w
+    qf = jnp.arange(t * hw) // hw
+    mask = qf[:, None] >= qf[None, :]
+    logits = jnp.where(mask[None], logits, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bqk,bkc->bqc", probs, v)
+    out = lin(p["to_out"], out).reshape(b, t, h, w, c)
+    return res + out
+
+
+def upsample_causal(x: jnp.ndarray, scale: Tuple[int, int, int]) -> jnp.ndarray:
+    """Nearest upsample; first frame spatial-only (reference
+    UpsampleCausal3D.forward :146-200)."""
+    st, sh, sw = scale
+    first, rest = x[:, :1], x[:, 1:]
+    if sh > 1:
+        first = jnp.repeat(jnp.repeat(first, sh, axis=2), sw, axis=3)
+        rest = jnp.repeat(jnp.repeat(rest, sh, axis=2), sw, axis=3)
+    if st > 1 and rest.shape[1] > 0:
+        rest = jnp.repeat(rest, st, axis=1)
+    return jnp.concatenate([first, rest], axis=1) if rest.shape[1] > 0 else first
+
+
+# ---------------------------------------------------------------- forward
+
+def hunyuan_vae_encode(params: Params, x: jnp.ndarray, cfg: HunyuanVAEConfig = HunyuanVAEConfig(),
+                       scale: bool = True, rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """x (B, T, H, W, 3) -> latents (B, t, h, w, 16) scaled."""
+    g = cfg.norm_num_groups
+    h = causal_conv3d(params["encoder"]["conv_in"], x.astype(jnp.float32))
+    for stage, stride in zip(params["encoder"]["down"], cfg.down_strides()):
+        for rb in stage["resnets"]:
+            h = resnet_block(rb, h, g)
+        if stride is not None:
+            h = causal_conv3d(stage["downsample"], h, stride=stride)
+    mid = params["encoder"]["mid"]
+    h = resnet_block(mid["resnet1"], h, g)
+    h = causal_frame_attention(mid["attn"], h, g)
+    h = resnet_block(mid["resnet2"], h, g)
+    h = group_norm(params["encoder"]["norm_out"], h, g)
+    h = jax.nn.silu(h.astype(jnp.float32))
+    h = causal_conv3d(params["encoder"]["conv_out"], h)
+    moments = causal_conv3d(params["quant_conv"], h)
+    mu, logvar = jnp.split(moments, 2, axis=-1)
+    if rng is not None:
+        std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
+        mu = mu + std * jax.random.normal(rng, mu.shape, mu.dtype)
+    if scale:
+        mu = mu * HUNYUAN_LATENT_SCALING
+    return mu
+
+
+def hunyuan_vae_decode(params: Params, z: jnp.ndarray, cfg: HunyuanVAEConfig = HunyuanVAEConfig(),
+                       scale: bool = True) -> jnp.ndarray:
+    """z (B, t, h, w, 16) -> frames (B, 4(t-1)+1, 8h, 8w, 3)."""
+    g = cfg.norm_num_groups
+    if scale:
+        z = z / HUNYUAN_LATENT_SCALING
+    h = causal_conv3d(params["post_quant_conv"], z.astype(jnp.float32))
+    h = causal_conv3d(params["decoder"]["conv_in"], h)
+    mid = params["decoder"]["mid"]
+    h = resnet_block(mid["resnet1"], h, g)
+    h = causal_frame_attention(mid["attn"], h, g)
+    h = resnet_block(mid["resnet2"], h, g)
+    for stage, sc in zip(params["decoder"]["up"], cfg.up_scales()):
+        for rb in stage["resnets"]:
+            h = resnet_block(rb, h, g)
+        if sc is not None:
+            h = upsample_causal(h, sc)
+            h = causal_conv3d(stage["upsample"], h)
+    h = group_norm(params["decoder"]["norm_out"], h, g)
+    h = jax.nn.silu(h.astype(jnp.float32))
+    return causal_conv3d(params["decoder"]["conv_out"], h)
+
+
+# ---------------------------------------------------------------- weights
+
+def _conv_p(sd, key, dtype=np.float32) -> Params:
+    w = np.asarray(sd[f"{key}.weight"], np.float32)  # (O,I,kt,kh,kw)
+    p = {"w": w.transpose(2, 3, 4, 1, 0).astype(dtype)}
+    if f"{key}.bias" in sd:
+        p["b"] = np.asarray(sd[f"{key}.bias"], np.float32)
+    return p
+
+
+def _norm_p(sd, key) -> Params:
+    return {"w": np.asarray(sd[f"{key}.weight"], np.float32),
+            "b": np.asarray(sd[f"{key}.bias"], np.float32)}
+
+
+def _lin_p(sd, key, dtype=np.float32) -> Params:
+    return {"w": np.asarray(sd[f"{key}.weight"], np.float32).astype(dtype),
+            "b": np.asarray(sd[f"{key}.bias"], np.float32)}
+
+
+def load_hunyuan_vae_params(sd: Dict[str, np.ndarray], cfg: HunyuanVAEConfig = HunyuanVAEConfig(),
+                            dtype=np.float32) -> Params:
+    def resnet(prefix, has_shortcut):
+        p = {
+            "norm1": _norm_p(sd, f"{prefix}.norm1"),
+            "conv1": _conv_p(sd, f"{prefix}.conv1.conv", dtype),
+            "norm2": _norm_p(sd, f"{prefix}.norm2"),
+            "conv2": _conv_p(sd, f"{prefix}.conv2.conv", dtype),
+        }
+        if has_shortcut:
+            p["shortcut"] = _conv_p(sd, f"{prefix}.conv_shortcut.conv", dtype)
+        return p
+
+    def attn(prefix):
+        return {
+            "group_norm": _norm_p(sd, f"{prefix}.group_norm"),
+            "to_q": _lin_p(sd, f"{prefix}.to_q", dtype),
+            "to_k": _lin_p(sd, f"{prefix}.to_k", dtype),
+            "to_v": _lin_p(sd, f"{prefix}.to_v", dtype),
+            "to_out": _lin_p(sd, f"{prefix}.to_out.0", dtype),
+        }
+
+    boc = cfg.block_out_channels
+
+    def enc_stage(i):
+        cin = boc[0] if i == 0 else boc[i - 1]
+        st = {"resnets": [
+            resnet(f"encoder.down_blocks.{i}.resnets.{j}",
+                   has_shortcut=(j == 0 and cin != boc[i]))
+            for j in range(cfg.layers_per_block)
+        ]}
+        if f"encoder.down_blocks.{i}.downsamplers.0.conv.conv.weight" in sd:
+            st["downsample"] = _conv_p(sd, f"encoder.down_blocks.{i}.downsamplers.0.conv.conv", dtype)
+        return st
+
+    rev = list(reversed(boc))
+
+    def dec_stage(i):
+        cin = rev[0] if i == 0 else rev[i - 1]
+        st = {"resnets": [
+            resnet(f"decoder.up_blocks.{i}.resnets.{j}",
+                   has_shortcut=(j == 0 and cin != rev[i]))
+            for j in range(cfg.layers_per_block + 1)
+        ]}
+        if f"decoder.up_blocks.{i}.upsamplers.0.conv.conv.weight" in sd:
+            st["upsample"] = _conv_p(sd, f"decoder.up_blocks.{i}.upsamplers.0.conv.conv", dtype)
+        return st
+
+    params = {
+        "quant_conv": _conv_p(sd, "quant_conv", dtype),
+        "post_quant_conv": _conv_p(sd, "post_quant_conv", dtype),
+        "encoder": {
+            "conv_in": _conv_p(sd, "encoder.conv_in.conv", dtype),
+            "down": [enc_stage(i) for i in range(len(boc))],
+            "mid": {
+                "resnet1": resnet("encoder.mid_block.resnets.0", False),
+                "attn": attn("encoder.mid_block.attentions.0"),
+                "resnet2": resnet("encoder.mid_block.resnets.1", False),
+            },
+            "norm_out": _norm_p(sd, "encoder.conv_norm_out"),
+            "conv_out": _conv_p(sd, "encoder.conv_out.conv", dtype),
+        },
+        "decoder": {
+            "conv_in": _conv_p(sd, "decoder.conv_in.conv", dtype),
+            "mid": {
+                "resnet1": resnet("decoder.mid_block.resnets.0", False),
+                "attn": attn("decoder.mid_block.attentions.0"),
+                "resnet2": resnet("decoder.mid_block.resnets.1", False),
+            },
+            "up": [dec_stage(i) for i in range(len(boc))],
+            "norm_out": _norm_p(sd, "decoder.conv_norm_out"),
+            "conv_out": _conv_p(sd, "decoder.conv_out.conv", dtype),
+        },
+    }
+    return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def load_hunyuan_vae_from_path(path: str, cfg: HunyuanVAEConfig = HunyuanVAEConfig()) -> Params:
+    if path.endswith(".safetensors"):
+        from ..utils.safetensors_io import load_file
+
+        sd = load_file(path)
+    else:
+        import torch
+
+        raw = torch.load(path, map_location="cpu", weights_only=True)
+        if "state_dict" in raw:
+            raw = raw["state_dict"]
+        sd = {k.replace("vae.", "", 1) if k.startswith("vae.") else k:
+              v.float().numpy() for k, v in raw.items()}
+    return load_hunyuan_vae_params(sd, cfg)
+
+
+def init_random_hunyuan_vae_state_dict(cfg: HunyuanVAEConfig, seed: int = 0, scale: float = 0.1) -> Dict[str, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    sd: Dict[str, np.ndarray] = {}
+
+    def conv(key, i, o, k=3):
+        fan = i * k * k * k
+        sd[f"{key}.weight"] = (rng.standard_normal((o, i, k, k, k), dtype=np.float32) * scale / np.sqrt(fan))
+        sd[f"{key}.bias"] = np.zeros(o, np.float32)
+
+    def norm(key, c):
+        sd[f"{key}.weight"] = np.ones(c, np.float32)
+        sd[f"{key}.bias"] = np.zeros(c, np.float32)
+
+    def lin(key, i, o):
+        sd[f"{key}.weight"] = rng.standard_normal((o, i), dtype=np.float32) * scale / np.sqrt(i)
+        sd[f"{key}.bias"] = np.zeros(o, np.float32)
+
+    def resnet(prefix, cin, cout):
+        norm(f"{prefix}.norm1", cin)
+        conv(f"{prefix}.conv1.conv", cin, cout)
+        norm(f"{prefix}.norm2", cout)
+        conv(f"{prefix}.conv2.conv", cout, cout)
+        if cin != cout:
+            conv(f"{prefix}.conv_shortcut.conv", cin, cout, k=1)
+
+    def attn(prefix, c):
+        norm(f"{prefix}.group_norm", c)
+        for m in ("to_q", "to_k", "to_v"):
+            lin(f"{prefix}.{m}", c, c)
+        lin(f"{prefix}.to_out.0", c, c)
+
+    boc = cfg.block_out_channels
+    z2 = cfg.latent_channels * 2
+    conv("quant_conv", z2, z2, k=1)
+    conv("post_quant_conv", cfg.latent_channels, cfg.latent_channels, k=1)
+    conv("encoder.conv_in.conv", cfg.in_channels, boc[0])
+    for i in range(len(boc)):
+        cin = boc[0] if i == 0 else boc[i - 1]
+        for j in range(cfg.layers_per_block):
+            resnet(f"encoder.down_blocks.{i}.resnets.{j}", cin if j == 0 else boc[i], boc[i])
+        if cfg.down_strides()[i] is not None:
+            conv(f"encoder.down_blocks.{i}.downsamplers.0.conv.conv", boc[i], boc[i])
+    for j, nm in ((0, "resnets.0"), (1, "resnets.1")):
+        resnet(f"encoder.mid_block.{nm}", boc[-1], boc[-1])
+    attn("encoder.mid_block.attentions.0", boc[-1])
+    norm("encoder.conv_norm_out", boc[-1])
+    conv("encoder.conv_out.conv", boc[-1], z2)
+
+    rev = list(reversed(boc))
+    conv("decoder.conv_in.conv", cfg.latent_channels, rev[0])
+    for j, nm in ((0, "resnets.0"), (1, "resnets.1")):
+        resnet(f"decoder.mid_block.{nm}", rev[0], rev[0])
+    attn("decoder.mid_block.attentions.0", rev[0])
+    for i in range(len(rev)):
+        cin = rev[0] if i == 0 else rev[i - 1]
+        for j in range(cfg.layers_per_block + 1):
+            resnet(f"decoder.up_blocks.{i}.resnets.{j}", cin if j == 0 else rev[i], rev[i])
+        if cfg.up_scales()[i] is not None:
+            conv(f"decoder.up_blocks.{i}.upsamplers.0.conv.conv", rev[i], rev[i])
+    norm("decoder.conv_norm_out", boc[0])
+    conv("decoder.conv_out.conv", boc[0], cfg.in_channels)
+    return sd
