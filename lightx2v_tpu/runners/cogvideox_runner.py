@@ -21,7 +21,12 @@ from ..models.cogvideox.model import (
 )
 from ..schedulers.cogvideox import CogvideoxXDPMScheduler
 from ..utils.registry import RUNNER_REGISTER
-from ..vae.wan_vae import WanVAEConfig, init_random_vae_state_dict, load_wan_vae_params, vae_decode
+from ..vae.cogvideox_vae import (
+    CogVAEConfig,
+    cog_vae_decode,
+    init_random_cog_vae_state_dict,
+    load_cog_vae_params,
+)
 from .base_runner import DefaultRunner
 
 
@@ -57,10 +62,15 @@ class CogvideoxRunner(DefaultRunner):
 
     def load_vae(self):
         if self.config.get("synthetic_weights"):
-            cfg = WanVAEConfig(dim=16, z_dim=16, dim_mult=(1, 2, 2, 2), num_res_blocks=1)
+            cfg = CogVAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
+                               latent_channels=16, norm_num_groups=4)
             self.vae_cfg = cfg
-            return load_wan_vae_params(init_random_vae_state_dict(cfg, seed=2), cfg)
-        raise NotImplementedError("CogVideoX VAE checkpoint loading lands with real-ckpt support")
+            return load_cog_vae_params(init_random_cog_vae_state_dict(cfg, seed=2), cfg)
+        self.vae_cfg = CogVAEConfig()
+        from ..utils.safetensors_io import load_sharded
+
+        sd = load_sharded(os.path.join(self.config["model_path"], "vae"))
+        return load_cog_vae_params(sd, self.vae_cfg)
 
     def set_target_shape(self):
         cfg = self.config
@@ -127,5 +137,6 @@ class CogvideoxRunner(DefaultRunner):
 
     def run_vae_decoder(self, latents) -> np.ndarray:
         z = jnp.transpose(latents, (1, 2, 3, 0))[None]
-        frames = vae_decode(self.vae, z, self.vae_cfg, scale=not self.config.get("synthetic_weights"))
+        frames = cog_vae_decode(self.vae, z, self.vae_cfg,
+                                scale=not self.config.get("synthetic_weights"))
         return np.clip(np.asarray(frames[0], np.float32), -1.0, 1.0)

@@ -1,0 +1,50 @@
+"""CogVideoX VAE tests (tiny config)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightx2v_tpu.vae.cogvideox_vae import (
+    CogVAEConfig,
+    cog_vae_decode,
+    cog_vae_encode,
+    init_random_cog_vae_state_dict,
+    load_cog_vae_params,
+)
+
+TINY = CogVAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
+                    latent_channels=4, norm_num_groups=4)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return load_cog_vae_params(init_random_cog_vae_state_dict(TINY, seed=0), TINY)
+
+
+def test_encode_shape(params):
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 9, 32, 32, 3)), jnp.float32)
+    z = cog_vae_encode(params, x, TINY)
+    assert z.shape == (1, 3, 4, 4, 4)
+
+
+def test_decode_shape(params):
+    z = jnp.asarray(np.random.default_rng(1).standard_normal((1, 3, 4, 4, 4)), jnp.float32)
+    out = cog_vae_decode(params, z, TINY)
+    assert out.shape == (1, 9, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_roundtrip(params):
+    # CogVideoX round-trips odd latent counts (real configs: 49/81 frames
+    # -> 13/21 latents); 9 frames -> 3 latents -> 9 frames
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((1, 9, 32, 32, 3)), jnp.float32)
+    z = cog_vae_encode(params, x, TINY, scale=True)
+    assert z.shape[1] == 3
+    rt = cog_vae_decode(params, z, TINY, scale=True)
+    assert rt.shape == x.shape
+
+
+def test_single_frame(params):
+    z = jnp.asarray(np.random.default_rng(3).standard_normal((1, 1, 4, 4, 4)), jnp.float32)
+    out = cog_vae_decode(params, z, TINY)
+    assert out.shape == (1, 1, 32, 32, 3)
