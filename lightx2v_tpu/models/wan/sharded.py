@@ -30,6 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ...ops.attention import attention
 from ...ops.linear import resolve_mm
 from ...parallel.mesh import mesh_axis_size
+from ...parallel.tensor_parallel import tp_block_specs, wan_block_tp
 from ...parallel.ulysses import ulysses_attention
 from .config import WanArch
 from .model import wan_block, wan_forward
@@ -45,6 +46,7 @@ def make_sharded_transformer(
     """Returns transformer_fn(blocks, x, embed0, context, context_img) with
     x sharded (dp, sp) — pluggable into wan_forward(transformer_fn=...)."""
     sp = mesh_axis_size(mesh, "sp")
+    tp = mesh_axis_size(mesh, "tp")
     mm_fn = resolve_mm(mm_type)
     dense_self = partial(attention, self_attn_type)
     dense_cross = partial(attention, cross_attn_type)
@@ -55,17 +57,27 @@ def make_sharded_transformer(
         else:
             self_fn = dense_self
 
-        def body(carry, layer):
-            out = wan_block(
-                layer, carry, embed0, context, context_img, cos, sin,
-                arch, mm_fn, self_fn, dense_cross,
-            )
-            return out, None
+        if tp > 1:
+            # heads + FFN sharded over tp (Megatron pattern); the attention
+            # fn sees the local head slice (and still Ulysses-shards tokens)
+            def body(carry, layer):
+                out = wan_block_tp(
+                    layer, carry, embed0, context, context_img, cos, sin,
+                    arch, mm_fn, self_fn, dense_cross, tp_axis="tp",
+                )
+                return out, None
+        else:
+            def body(carry, layer):
+                out = wan_block(
+                    layer, carry, embed0, context, context_img, cos, sin,
+                    arch, mm_fn, self_fn, dense_cross,
+                )
+                return out, None
 
         x, _ = jax.lax.scan(body, x, blocks)
         return x
 
-    rep = P()  # replicated weights (tp weight sharding layers on later)
+    rep = tp_block_specs(arch.task) if tp > 1 else P()
     xspec = P("dp", "sp", None)
     bspec = P("dp")
     rope_spec = P("sp", None)

@@ -82,3 +82,78 @@ def test_sharded_wan_forward_matches_single_device():
     out = wan_forward_sharded(params, latents, t, context, cos, sin, arch, mesh,
                               self_attn_type="xla", cross_attn_type="xla")
     np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=0.02, atol=0.02)
+
+
+def test_tensor_parallel_block_matches_single_device():
+    """TP-sharded Wan block (heads + FFN over tp, psum row projections,
+    full-dim QK-norm stats) == unsharded block."""
+    from functools import partial as _partial
+
+    from lightx2v_tpu.models.wan.model import wan_block
+    from lightx2v_tpu.ops.linear import resolve_mm
+    from lightx2v_tpu.parallel.tensor_parallel import tp_block_specs, wan_block_tp
+
+    arch = WanArch(dim=64, ffn_dim=96, num_heads=4, num_layers=1, in_dim=4, out_dim=4,
+                   freq_dim=32, text_len=8, text_dim=16)
+    wd = init_random_weight_dict(arch, seed=0, scale=0.05)
+    params = load_wan_params(wd, arch)
+    block = jax.tree_util.tree_map(lambda a: a, params["blocks"])  # (L=1, ...)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 16, 64)), jnp.float32).astype(jnp.bfloat16)
+    e0 = jnp.asarray(rng.standard_normal((1, 6, 64)) * 0.1, jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, 64)) * 0.1, jnp.bfloat16)
+    cos, sin = build_wan_rope_grid(arch.head_dim, 2, 2, 4)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+    mm = resolve_mm("Default")
+
+    blk0 = jax.tree_util.tree_map(lambda a: a[0], block)
+    ref = wan_block(blk0, x, e0, ctx, None, cos, sin, arch, mm,
+                    _partial(attn_xla), _partial(attn_xla))
+
+    mesh = build_mesh({"tp": 4, "dp": 2})
+    specs = tp_block_specs()
+    # strip the leading L axis from the specs for a single unstacked block
+    def drop_l(spec):
+        if isinstance(spec, P):
+            return P(*spec[1:])
+        return spec
+    specs1 = jax.tree_util.tree_map(drop_l, specs,
+                                    is_leaf=lambda v: isinstance(v, P))
+
+    def f(blk, xx, ee, cc):
+        return wan_block_tp(blk, xx, ee, cc, None, cos, sin, arch, mm, attn_xla)
+
+    out = jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(specs1, P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(blk0, x, e0, ctx)
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref, np.float32),
+                               rtol=0.05, atol=0.05)
+    c = np.corrcoef(np.asarray(out, np.float32).ravel(), np.asarray(ref, np.float32).ravel())[0, 1]
+    assert c > 0.999
+
+
+def test_full_mesh_dp_sp_tp_forward():
+    """dp=2 x sp=2 x tp=2 combined: sharded forward == single device."""
+    arch = WanArch(dim=64, ffn_dim=96, num_heads=4, num_layers=2, in_dim=4, out_dim=4,
+                   freq_dim=32, text_len=8, text_dim=16)
+    wd = init_random_weight_dict(arch, seed=0, scale=0.05)
+    params = load_wan_params(wd, arch)
+    rng = np.random.default_rng(1)
+    B = 2
+    latents = jnp.asarray(rng.standard_normal((B, 4, 2, 4, 8)), jnp.float32)
+    t = jnp.asarray([500.0, 500.0], jnp.float32)
+    context = jnp.asarray(rng.standard_normal((B, 8, 16)), jnp.float32)
+    cos, sin = build_wan_rope_grid(arch.head_dim, 2, 2, 4)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+
+    ref = wan_forward(params, latents, t, context, cos, sin, arch,
+                      self_attn_type="xla", cross_attn_type="xla")
+    mesh = build_mesh({"dp": 2, "sp": 2, "tp": 2})
+    out = wan_forward_sharded(params, latents, t, context, cos, sin, arch, mesh,
+                              self_attn_type="xla", cross_attn_type="xla")
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref, np.float32),
+                               rtol=0.03, atol=0.03)
