@@ -63,6 +63,16 @@ def make_handler(service: VideoGenerationService, output_root: str = "."):
             return self._json(404, {"detail": "not found"})
 
         def do_GET(self):
+            if self.path in ("/", "/index.html"):
+                from .webui import WEB_UI_HTML
+
+                body = WEB_UI_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if self.path == "/v1/service/status":
                 return self._json(200, service.status())
             if self.path == "/v1/tasks" or self.path == "/v1/tasks/":
@@ -88,8 +98,9 @@ def make_handler(service: VideoGenerationService, output_root: str = "."):
                 })
             m = re.match(r"^/v1/files/download/(.+)$", self.path)
             if m:
-                path = os.path.normpath(os.path.join(output_root, m.group(1)))
-                if not path.startswith(os.path.abspath(output_root) if os.path.isabs(path) else output_root.rstrip("/")):
+                root = os.path.abspath(output_root)
+                path = os.path.abspath(os.path.join(root, m.group(1).lstrip("/")))
+                if os.path.commonpath([root, path]) != root:
                     return self._json(403, {"detail": "forbidden"})
                 if not os.path.isfile(path):
                     return self._json(404, {"detail": "file not found"})

@@ -94,6 +94,16 @@ def test_full_task_lifecycle(server):
         assert len(r.read()) > 100
 
 
+def test_web_ui_served(server):
+    srv, _ = server
+    url = f"http://127.0.0.1:{srv.port}/"
+    with urllib.request.urlopen(url, timeout=30) as r:
+        assert r.status == 200
+        assert "text/html" in r.headers["Content-Type"]
+        page = r.read().decode()
+    assert "/v1/tasks" in page and "submitTask" in page
+
+
 def test_unknown_task_404(server):
     srv, _ = server
     code, _ = _req(srv.port, "GET", "/v1/tasks/NOPE-NOPE/status")
