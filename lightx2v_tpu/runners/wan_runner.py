@@ -119,6 +119,14 @@ class WanRunner(DefaultRunner):
         return CLIPVisionModel(checkpoint_path=ckpt)
 
     def load_vae(self):
+        if self.config.get("tiny_vae"):
+            # taew2_1 fast approximate decoder (reference wan_runner.py:143-152)
+            from ..vae.tiny_vae import init_random_tiny_vae_params, load_tiny_vae_params
+
+            self.vae_cfg = None
+            if self.config.get("synthetic_weights") or not self.config.get("tiny_vae_path"):
+                return init_random_tiny_vae_params(seed=2)
+            return load_tiny_vae_params(self.config["tiny_vae_path"])
         if self.config.get("synthetic_weights"):
             cfg = WanVAEConfig(dim=16, z_dim=16, dim_mult=(1, 2, 2, 2), num_res_blocks=1)
             self.vae_cfg = cfg
@@ -344,6 +352,11 @@ class WanRunner(DefaultRunner):
         return state["latents"]
 
     def run_vae_decoder(self, latents) -> np.ndarray:
+        if self.config.get("tiny_vae"):
+            from ..vae.tiny_vae import tiny_decode_wan_latents
+
+            frames = tiny_decode_wan_latents(self.vae, latents)
+            return np.clip(np.asarray(frames, np.float32), -1.0, 1.0)
         # latents (C, F, H, W) -> VAE layout (B, F, H, W, C)
         z = jnp.transpose(latents, (1, 2, 3, 0))[None]
         scale = not self.config.get("synthetic_weights")
