@@ -148,8 +148,22 @@ def _dispatch_radial(q, k, v, kv_len: Optional[int] = None, mask_map=None, spars
     return radial_attention(q, k, v, mask_map=mask_map, sparsity_type=sparsity_type, decay_factor=decay_factor)
 
 
+def _dispatch_sparge(q, k, v, kv_len: Optional[int] = None, keep_ratio=0.3, l1=0.07, **kw):
+    """Sparge: dynamic meansim block sparsity (reference attn_weight.py:242-291
+    wraps the spas_sage_attn CUDA package; ops/sparge.py is the TPU analog)."""
+    from .sparge import sparge_attention, sparge_attention_xla
+
+    if jax.default_backend() == "tpu":
+        try:
+            return sparge_attention(q, k, v, keep_ratio=keep_ratio, l1=l1)
+        except Exception:
+            pass
+    return sparge_attention_xla(q, k, v, keep_ratio=keep_ratio, l1=l1)
+
+
 ATTN_REGISTER.register(["flash_attn2", "flash_attn3"], _dispatch_flash)
 ATTN_REGISTER.register("sage_attn2", _dispatch_sage)
+ATTN_REGISTER.register(["Sparge", "sparge", "sparge_attn"], _dispatch_sparge)
 ATTN_REGISTER.register(["torch_sdpa", "xla"], lambda q, k, v, kv_len=None, **kw: attn_xla(q, k, v, kv_len=kv_len))
 ATTN_REGISTER.register("xla_chunked", lambda q, k, v, kv_len=None, **kw: attn_xla_chunked(q, k, v, kv_len=kv_len))
 ATTN_REGISTER.register("radial_attn", _dispatch_radial)

@@ -21,7 +21,7 @@ from jax.experimental.pallas import tpu as pltpu
 BLOCK = 128
 
 
-def _bs_kernel(idx_ref, cnt_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, nnz):
+def _bs_kernel(kvlen_ref, idx_ref, cnt_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, nnz):
     i = pl.program_id(1)
     j = pl.program_id(2)
 
@@ -37,6 +37,46 @@ def _bs_kernel(idx_ref, cnt_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_r
         k = k_ref[0]
         v = v_ref[0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
+        # mask key positions past the true (unpadded) sequence length
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + idx_ref[i, j] * k.shape[0]
+        s = jnp.where(col < kvlen_ref[0], s, -jnp.inf)
+        m_prev = m_ref[:, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:] = jnp.broadcast_to(l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
+        pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(j == nnz - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, 0:1], 1e-30)).astype(o_ref.dtype)
+
+
+def _bs_kernel_per_head(kvlen_ref, idx_ref, cnt_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, nnz):
+    """Same online-softmax body, but indices/counts carry a leading
+    batch*heads axis (per-head sparsity patterns, e.g. sparge selection).
+    Invariant: the j=0 selected block must contain at least one valid key
+    (guaranteed by diagonal inclusion), else m stays -inf and p NaNs."""
+    bb = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(j < cnt_ref[bb, i])
+    def _():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + idx_ref[bb, i, j] * k.shape[0]
+        s = jnp.where(col < kvlen_ref[0], s, -jnp.inf)
         m_prev = m_ref[:, 0:1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -55,8 +95,8 @@ def block_sparse_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    indices: jnp.ndarray,  # (nq, max_nnz) int32 block-column ids
-    counts: jnp.ndarray,   # (nq,) int32
+    indices: jnp.ndarray,  # (nq, max_nnz) or (B*N, nq, max_nnz) int32 block ids
+    counts: jnp.ndarray,   # (nq,) or (B*N, nq) int32
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, sq, n, d = q.shape
@@ -75,25 +115,32 @@ def block_sparse_attention(
         kf = jnp.pad(kf, ((0, 0), (0, pk), (0, 0)))
         vf = jnp.pad(vf, ((0, 0), (0, pk), (0, 0)))
     nq = qf.shape[1] // bq
-    nnz = indices.shape[1]
-    assert indices.shape[0] >= nq, f"mask rows {indices.shape[0]} < {nq}"
+    nnz = indices.shape[-1]
+    per_head = indices.ndim == 3
+    assert indices.shape[-2] >= nq, f"mask rows {indices.shape[-2]} < {nq}"
+    if per_head:
+        assert indices.shape[0] == b * n and counts.ndim == 2
+        kv_map = lambda bb, i, j, kvl, idx, cnt: (bb, idx[bb, i, j], 0)
+        kernel = functools.partial(_bs_kernel_per_head, scale=scale, nnz=nnz)
+    else:
+        kv_map = lambda bb, i, j, kvl, idx, cnt: (bb, idx[i, j], 0)
+        kernel = functools.partial(_bs_kernel, scale=scale, nnz=nnz)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(b * n, nq, nnz),
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda bb, i, j, idx, cnt: (bb, i, 0)),
-            pl.BlockSpec((1, bk, d), lambda bb, i, j, idx, cnt: (bb, idx[i, j], 0)),
-            pl.BlockSpec((1, bk, d), lambda bb, i, j, idx, cnt: (bb, idx[i, j], 0)),
+            pl.BlockSpec((1, bq, d), lambda bb, i, j, kvl, idx, cnt: (bb, i, 0)),
+            pl.BlockSpec((1, bk, d), kv_map),
+            pl.BlockSpec((1, bk, d), kv_map),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda bb, i, j, idx, cnt: (bb, i, 0)),
+        out_specs=pl.BlockSpec((1, bq, d), lambda bb, i, j, kvl, idx, cnt: (bb, i, 0)),
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, d), jnp.float32),
         ],
     )
-    kernel = functools.partial(_bs_kernel, scale=scale, nnz=nnz)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -102,7 +149,8 @@ def block_sparse_attention(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(indices.astype(jnp.int32), counts.astype(jnp.int32), qf, kf, vf)
+    )(jnp.asarray(sk, jnp.int32).reshape(1), indices.astype(jnp.int32),
+      counts.astype(jnp.int32), qf, kf, vf)
     if pq:
         out = out[:, :sq]
     return out.reshape(b, n, sq, d).transpose(0, 2, 1, 3)

@@ -1,0 +1,137 @@
+"""Sparge attention — dynamic mean-similarity block sparsity, TPU-native.
+
+Reference behavior: lightx2v/common/ops/attn/attn_weight.py:242-291
+(SpargeAttnWeight) delegates to the external ``spas_sage_attn``
+SparseAttentionMeansim CUDA package with per-block tuned hyperparameters
+loaded from ``sparge_ckpt``. That package selects, per query block, the
+key blocks that capture most of the softmax mass (cumulative-probability
+threshold ``1 - l1``) using block-mean representatives, then runs sparse
+attention over the survivors.
+
+TPU-native redesign (no CUDA package, no checkpoint needed):
+* K is mean-pooled per 128-token block; block scores are
+  softmax(mean_q @ mean_k^T / sqrt(d)) — one tiny GEMM per head.
+* Selection is a STATIC top-k (``keep_ratio`` of key blocks) so shapes
+  stay jit-compatible, plus a dynamic per-row count: blocks beyond the
+  cumulative-mass threshold ``1 - l1`` are skipped at runtime via the
+  kernel's ``@pl.when(j < cnt)`` guard (compute + nothing written).
+* The diagonal (self) block is always forced into the selection.
+* The survivors run through the per-head block-sparse Pallas kernel
+  (ops/pallas/block_sparse_attention.py), which DMAs only selected blocks.
+
+Documented divergence: the reference tunes (l1, pv_l1) per layer offline
+and stores them in a checkpoint; here ``l1`` and ``keep_ratio`` are config
+scalars applied to all layers (per-layer overrides can be passed through
+``self_attn_kwargs``).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+BLOCK = 128
+
+
+def sparge_select_blocks(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    keep_ratio: float = 0.3,
+    l1: float = 0.07,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Choose key blocks per (batch*head, q_block).
+
+    q/k: (B, S, N, D). Returns (indices (B*N, nq, nnz) i32,
+    counts (B*N, nq) i32) for block_sparse_attention.
+    """
+    b, sq, n, d = q.shape
+    sk = k.shape[1]
+    pq = (-sq) % BLOCK
+    pk = (-sk) % BLOCK
+    nq = (sq + pq) // BLOCK
+    nk = (sk + pk) // BLOCK
+    nnz = max(1, min(nk, int(math.ceil(nk * keep_ratio))))
+
+    def pool(x, s, pad):
+        xf = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * n, s, d).astype(jnp.float32)
+        if pad:
+            xf = jnp.pad(xf, ((0, 0), (0, pad), (0, 0)))
+        # mean over valid tokens only (zero-padded tail would bias the mean)
+        xb = xf.reshape(b * n, -1, BLOCK, d)
+        if pad:
+            valid = (jnp.arange(xb.shape[1] * BLOCK) < s).astype(jnp.float32)
+            valid = valid.reshape(1, xb.shape[1], BLOCK, 1)
+            return (xb * valid).sum(2) / jnp.maximum(valid.sum(2), 1.0)
+        return xb.mean(2)
+
+    mq = pool(q, sq, pq)  # (BN, nq, d)
+    mk = pool(k, sk, pk)  # (BN, nk, d)
+    scores = jnp.einsum("bqd,bkd->bqk", mq, mk) / math.sqrt(d)
+    # force-include the diagonal block via a large finite bump (selection
+    # only; the mass computation below uses the raw scores)
+    diag = (jnp.arange(nq)[:, None] == jnp.arange(nk)[None, :])[None]
+    _, top_idx = jax.lax.top_k(scores + jnp.where(diag, 1e9, 0.0), nnz)
+    top_scores = jnp.take_along_axis(scores, top_idx, axis=-1)  # descending-ish
+    # dynamic per-row budget: keep the smallest prefix with >= 1-l1 of the
+    # softmax mass over the selected candidates
+    p = jax.nn.softmax(top_scores, axis=-1)
+    cmass = jnp.cumsum(p, axis=-1)
+    needed = jnp.sum((cmass < (1.0 - l1)).astype(jnp.int32), axis=-1) + 1
+    counts = jnp.minimum(needed, nnz)
+    return top_idx.astype(jnp.int32), counts.astype(jnp.int32)
+
+
+def sparge_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_len=None,
+    keep_ratio: float = 0.3,
+    l1: float = 0.07,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in attention op (B, S, N, D) -> (B, S, N, D). ``kv_len`` is
+    accepted for dispatch-table compatibility; sparge is used for the
+    video self-attention path where all keys are valid."""
+    from .pallas.block_sparse_attention import block_sparse_attention
+
+    indices, counts = sparge_select_blocks(q, k, keep_ratio=keep_ratio, l1=l1)
+    return block_sparse_attention(q, k, v, indices, counts, interpret=interpret)
+
+
+def sparge_attention_xla(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_len=None,
+    keep_ratio: float = 0.3,
+    l1: float = 0.07,
+) -> jnp.ndarray:
+    """Pure-XLA fallback (CPU tests / non-TPU): same selection, dense mask."""
+    b, sq, n, d = q.shape
+    sk = k.shape[1]
+    indices, counts = sparge_select_blocks(q, k, keep_ratio=keep_ratio, l1=l1)
+    bn = b * n
+    nq, nnz = indices.shape[1], indices.shape[2]
+    nk = (sk + BLOCK - 1) // BLOCK
+    # scatter selected block ids (within count) into a dense (BN, nq, nk) mask
+    sel = jnp.arange(nnz)[None, None, :] < counts[..., None]
+    blk_mask = jnp.zeros((bn, nq, nk), bool)
+    bb = jnp.arange(bn)[:, None, None]
+    qq = jnp.arange(nq)[None, :, None]
+    blk_mask = blk_mask.at[bb, qq, indices].max(sel)
+    mask = jnp.repeat(jnp.repeat(blk_mask, BLOCK, 1), BLOCK, 2)[:, :sq, :sk]
+    mask = mask.reshape(b, n, sq, sk)
+
+    qf = jnp.transpose(q, (0, 2, 1, 3)).astype(jnp.float32)
+    kf = jnp.transpose(k, (0, 2, 1, 3)).astype(jnp.float32)
+    vf = jnp.transpose(v, (0, 2, 1, 3)).astype(jnp.float32)
+    s = jnp.einsum("bnqd,bnkd->bnqk", qf, kf) / math.sqrt(d)
+    s = jnp.where(mask, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bnqk,bnkd->bnqd", p, vf)
+    return jnp.transpose(o, (0, 2, 1, 3)).astype(q.dtype)

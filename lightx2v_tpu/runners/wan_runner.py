@@ -216,10 +216,20 @@ class WanRunner(DefaultRunner):
             sp_size = dict(self.config["mesh_shape"]).get("sp", 1)
 
         attn_default = self.config.get("attention_impl") or self.config.get("self_attn_1_type", "flash_attn3")
+        if self.config.get("sparge"):
+            # reference gates sparge per-block on config["sparge"] and loads
+            # tuned (l1, pv_l1) from sparge_ckpt (transformer_weights.py:183-190);
+            # the TPU meansim analog (ops/sparge.py) needs no checkpoint
+            attn_default = "sparge"
         cross_attn = self.config.get("cross_attn_1_type", attn_default)
-        if cross_attn == "radial_attn":
-            cross_attn = "flash_attn3"  # radial masks apply to video self-attn only
+        if cross_attn in ("radial_attn", "sparge"):
+            cross_attn = "flash_attn3"  # sparse masks apply to video self-attn only
         self_attn_kwargs = None
+        if attn_default == "sparge":
+            self_attn_kwargs = {
+                "keep_ratio": float(self.config.get("sparge_keep_ratio", 0.3)),
+                "l1": float(self.config.get("sparge_l1", 0.07)),
+            }
         if attn_default == "radial_attn":
             from ..ops.radial import MaskMap
 

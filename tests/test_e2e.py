@@ -147,3 +147,15 @@ def test_radial_attention_pipeline(tmp_path):
     frames = runner.run_pipeline(save_video=False)
     assert frames.shape == (9, 64, 96, 3)
     assert np.isfinite(frames).all()
+
+
+def test_sparge_attention_pipeline(tmp_path):
+    """sparge: true routes video self-attention through meansim block
+    sparsity (reference transformer_weights.py:183-190)."""
+    runner, config = make_runner(tmp_path, extra={
+        "sparge": True, "sparge_keep_ratio": 0.6, "cross_attn_1_type": "xla",
+        "enable_cfg": False,
+    })
+    frames = runner.run_pipeline(save_video=False)
+    assert frames.shape == (9, 64, 96, 3)
+    assert np.isfinite(frames).all()

@@ -1,0 +1,94 @@
+"""Sparge attention tests (TPU-native meansim block selection; reference
+wraps the external spas_sage_attn package, attn_weight.py:242-291)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightx2v_tpu.ops.attention import attention, attn_xla
+from lightx2v_tpu.ops.sparge import BLOCK, sparge_attention, sparge_attention_xla, sparge_select_blocks
+
+
+def _qkv(b=1, s=4 * BLOCK, n=2, d=64, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.standard_normal((b, s, n, d)), jnp.float32) * 0.5
+    return mk(), mk(), mk()
+
+
+def test_select_includes_diagonal_and_counts_bounded():
+    q, k, _ = _qkv()
+    idx, cnt = sparge_select_blocks(q, k, keep_ratio=0.5, l1=0.07)
+    bn, nq, nnz = idx.shape
+    assert nnz == 2  # 4 blocks * 0.5
+    assert cnt.shape == (bn, nq)
+    assert np.all(np.asarray(cnt) >= 1) and np.all(np.asarray(cnt) <= nnz)
+    # diagonal block must be among the selected for each row
+    for bh in range(bn):
+        for i in range(nq):
+            assert i in np.asarray(idx)[bh, i], f"diag missing at ({bh},{i})"
+
+
+def test_full_ratio_matches_dense():
+    """keep_ratio=1, l1=0 -> every block selected -> exact dense attention."""
+    q, k, v = _qkv(s=3 * BLOCK)
+    ref = attn_xla(q, k, v)
+    out = sparge_attention_xla(q, k, v, keep_ratio=1.0, l1=0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_interpret_matches_xla_fallback():
+    q, k, v = _qkv(s=4 * BLOCK, seed=3)
+    # clustered keys -> non-trivial selection
+    out_k = sparge_attention(q, k, v, keep_ratio=0.5, l1=0.0, interpret=True)
+    out_x = sparge_attention_xla(q, k, v, keep_ratio=0.5, l1=0.0)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x), rtol=2e-3, atol=2e-3)
+
+
+def test_sparse_output_close_to_dense_on_clustered_data():
+    """With structured (clustered) keys, most softmax mass concentrates in
+    few blocks — sparge at 50% keeps should track dense closely."""
+    rng = np.random.default_rng(7)
+    b, s, n, d = 1, 4 * BLOCK, 2, 64
+    base = rng.standard_normal((1, 4, 1, d))  # one direction per block
+    k = np.repeat(base, BLOCK, axis=1) + 0.05 * rng.standard_normal((b, s, n, d))
+    q = k[:, ::-1].copy()  # queries aligned with (reversed) key clusters
+    v = rng.standard_normal((b, s, n, d))
+    q, k, v = jnp.asarray(q, jnp.float32) * 2, jnp.asarray(k, jnp.float32) * 2, jnp.asarray(v, jnp.float32)
+    ref = np.asarray(attn_xla(q, k, v))
+    out = np.asarray(sparge_attention_xla(q, k, v, keep_ratio=0.5, l1=0.05))
+    c = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
+    assert c > 0.98, f"corr {c}"
+
+
+def test_dispatch_table():
+    q, k, v = _qkv(s=2 * BLOCK)
+    out = attention("sparge", q, k, v, keep_ratio=1.0, l1=0.0)
+    ref = attn_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+    out2 = attention("Sparge", q, k, v, keep_ratio=1.0, l1=0.0)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_l1_controls_compute_budget():
+    """Smaller l1 (keep more mass) -> larger per-row counts."""
+    q, k, _ = _qkv(s=8 * BLOCK, seed=11)
+    _, cnt_tight = sparge_select_blocks(q, k, keep_ratio=1.0, l1=0.5)
+    _, cnt_loose = sparge_select_blocks(q, k, keep_ratio=1.0, l1=0.01)
+    assert np.asarray(cnt_loose).mean() > np.asarray(cnt_tight).mean()
+
+
+def test_non_multiple_of_block_seq():
+    q, k, v = _qkv(s=2 * BLOCK + 37, seed=5)
+    out = sparge_attention_xla(q, k, v, keep_ratio=1.0, l1=0.0)
+    ref = attn_xla(q, k, v)
+    assert out.shape == q.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_non_multiple_seq_masks_padded_keys():
+    """Padded key tokens past S must not receive softmax mass (kernel
+    kv-length guard)."""
+    q, k, v = _qkv(s=2 * BLOCK + 37, seed=9)
+    out = sparge_attention(q, k, v, keep_ratio=1.0, l1=0.0, interpret=True)
+    ref = attn_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
