@@ -7,10 +7,10 @@ attention (audio_adapter.py); denoising uses the fixed-timestep
 flow-match Euler scheduler (reference wan/audio/scheduler.py). The
 conditioning image path follows the i2v recipe.
 
-Gaps vs the reference (tracked): multi-segment generation with
-previous-latent conditioning, audio/video muxing, and the wav2vec
-encoder (features are synthesized from the waveform envelope when no
-encoder checkpoint is configured).
+Audio features come from encoders/audio.py (HF wav2vec-class model when
+``audio_encoder_path``/``model_path`` is configured, waveform-envelope
+fallback otherwise). Gaps vs the reference (tracked): multi-segment
+generation with previous-latent conditioning and audio/video muxing.
 """
 
 from __future__ import annotations
@@ -37,22 +37,11 @@ from .wan_runner import WanRunner
 
 
 def load_wav_envelope(path: str, num_frames: int, feat_dim: int = 1024, fps: float = 16.0) -> np.ndarray:
-    """Frame-aligned stand-in features from the waveform envelope (used
-    when no wav2vec checkpoint is configured)."""
-    with wave.open(path, "rb") as w:
-        sr = w.getframerate()
-        raw = np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16).astype(np.float32) / 32768.0
-        if w.getnchannels() > 1:
-            raw = raw.reshape(-1, w.getnchannels()).mean(-1)
-    per_frame = int(sr / fps)
-    feats = np.zeros((num_frames, feat_dim), np.float32)
-    for i in range(num_frames):
-        seg = raw[i * per_frame : (i + 1) * per_frame]
-        if len(seg):
-            env = np.abs(seg)
-            bins = np.array_split(env, feat_dim)
-            feats[i] = [b.mean() if len(b) else 0.0 for b in bins]
-    return feats[None]  # (1, T, feat_dim)
+    """Frame-aligned stand-in features (moved to encoders/audio.py)."""
+    from ..encoders.audio import envelope_features, read_wav
+
+    waveform, sr = read_wav(path)
+    return envelope_features(waveform, sr, num_frames, fps=fps, feat_dim=feat_dim)
 
 
 @RUNNER_REGISTER.register("wan2.1_audio")
@@ -80,7 +69,15 @@ class WanAudioRunner(WanRunner):
         frames = int(self.config.get("target_video_length", 81))
         audio_path = self.config.get("audio_path")
         if audio_path and os.path.exists(audio_path):
-            feats = load_wav_envelope(audio_path, frames)
+            from ..encoders.audio import AudioEncoder
+
+            enc_path = None
+            if not self.config.get("synthetic_weights"):
+                enc_path = self.config.get("audio_encoder_path") or self.config.get("model_path")
+            if not hasattr(self, "_audio_encoder"):
+                self._audio_encoder = AudioEncoder(enc_path)
+            feats = self._audio_encoder.infer(
+                audio_path, frames, fps=float(self.config.get("fps", 16.0)))
         else:
             rng = np.random.default_rng(5)
             feats = rng.standard_normal((1, frames, 1024)).astype(np.float32) * 0.1

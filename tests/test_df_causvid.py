@@ -119,3 +119,38 @@ def test_audio_pipeline(tmp_path):
     frames = runner.run_pipeline(save_video=False)
     assert frames.shape == (9, 64, 96, 3)
     assert np.isfinite(frames).all()
+
+
+def test_audio_encoder_envelope_and_interp(tmp_path):
+    """encoders/audio.py: wav reading, envelope fallback shape, and 50Hz->
+    frame-grid time resampling."""
+    import wave
+
+    from lightx2v_tpu.encoders.audio import AudioEncoder, _interp_time, read_wav, resample_linear
+
+    wav_path = str(tmp_path / "b.wav")
+    with wave.open(wav_path, "wb") as w:
+        w.setnchannels(2)  # stereo -> mono mixdown path
+        w.setsampwidth(2)
+        w.setframerate(22050)
+        t = np.linspace(0, 0.5, 11025)
+        s = (np.sin(2 * np.pi * 440 * t) * 15000).astype(np.int16)
+        w.writeframes(np.stack([s, s], -1).tobytes())
+
+    waveform, sr = read_wav(wav_path)
+    assert sr == 22050 and waveform.ndim == 1
+    res = resample_linear(waveform, sr, 16000)
+    assert abs(len(res) - 8000) <= 1
+
+    enc = AudioEncoder(None)  # no checkpoint -> envelope fallback
+    feats = enc.infer(wav_path, num_frames=9, fps=16.0)
+    assert feats.shape == (1, 9, 1024)
+    assert np.isfinite(feats).all() and feats.max() > 0
+
+    # time interpolation: constant rows stay constant, endpoints preserved
+    seq = np.stack([np.full(4, i, np.float32) for i in range(5)])  # (5, 4)
+    out = _interp_time(seq, 9)
+    assert out.shape == (9, 4)
+    np.testing.assert_allclose(out[0], 0.0)
+    np.testing.assert_allclose(out[-1], 4.0)
+    np.testing.assert_allclose(out[4], 2.0)
