@@ -57,9 +57,10 @@ def _flash_body(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     s = s * scale
-    # mask keys beyond the dynamic valid length
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k_idx * bk
-    s = jnp.where(col < kvlen_ref[0], s, -jnp.inf)
+    # mask keys beyond the dynamic valid length; the bias row is (1, bk)
+    # so the iota/compare run once per tile, not per query row (VPU win)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1) + k_idx * bk
+    s = s + jnp.where(col < kvlen_ref[0], 0.0, -jnp.inf).astype(jnp.float32)
 
     m_prev = m_ref[:, 0:1]  # (bq, 1)
     m_cur = jnp.max(s, axis=1, keepdims=True)
