@@ -25,9 +25,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# block-size sweep on v5e @ 32k tokens: (1024,1024) 80.9 TFLOP/s,
-# (512,1024) 75.0, (512,512) 48.6 — see commit history
-DEFAULT_BQ = 1024
+# block-size sweep on v5e @ 32k tokens (loop-amortized, row-bias mask):
+# (2048,1024) 132.3 TFLOP/s, (1024,2048) 128.6, (1024,1024) 127.5,
+# (512,1024) 112.7; (2048,2048) and (4096,1024) exceed VMEM
+DEFAULT_BQ = 2048
 DEFAULT_BK = 1024
 
 
