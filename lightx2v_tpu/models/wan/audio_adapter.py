@@ -55,6 +55,21 @@ def perceiver_ca(p: Params, audio_tokens: jnp.ndarray, latents: jnp.ndarray,
     return out * gate[:, None, None, :]
 
 
+def audio_time_embedding(p: Params, t: jnp.ndarray, freq_dim: int = 256) -> jnp.ndarray:
+    """timestep (B,) -> (B, 3, D) adaLN shift/scale/gate source (reference
+    TimeEmbedding, audio_adapter.py:193-211: diffusers Timesteps with
+    flip_sin_to_cos=True, downscale_freq_shift=0 -> linear/silu/linear ->
+    silu -> time_proj)."""
+    half = freq_dim // 2
+    freqs = jnp.exp(-np.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / half)
+    ang = t.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], axis=-1)  # flip_sin_to_cos
+    h = jax.lax.dot_general(emb, p["linear_1"]["w"], (((1,), (1,)), ((), ()))) + p["linear_1"]["b"]
+    h = jax.lax.dot_general(jax.nn.silu(h), p["linear_2"]["w"], (((1,), (1,)), ((), ()))) + p["linear_2"]["b"]
+    out = jax.lax.dot_general(jax.nn.silu(h), p["time_proj"]["w"], (((1,), (1,)), ((), ()))) + p["time_proj"]["b"]
+    return out.reshape(t.shape[0], 3, -1)
+
+
 def audio_projection(p: Params, features: jnp.ndarray, latent_frames: int,
                      num_tokens: int = 32) -> jnp.ndarray:
     """(B, T_video, feat_dim) frame-aligned audio features ->
@@ -77,10 +92,71 @@ def audio_projection(p: Params, features: jnp.ndarray, latent_frames: int,
     h = h.reshape(b, tv, num_tokens, token_dim)
     first = h[:, :1]
     rest = h[:, 1:].reshape(b, latent_frames - 1, 4 * num_tokens, token_dim) if latent_frames > 1 else None
-    first = jnp.pad(first, ((0, 0), (0, 0), (0, 3 * num_tokens), (0, 0)))
+    # frame 0 is repeated 4x (reference rearange_audio_features,
+    # audio_adapter.py:256-262), not padded
+    first = jnp.tile(first, (1, 1, 4, 1))
     groups = jnp.concatenate([first, rest], axis=1) if rest is not None else first
     out = layer_norm(groups, p["norm"]["w"], p["norm"]["b"], eps=1e-5)
+    if "audio_pe" in p:  # learned positional embedding over the 4x token group
+        out = out + p["audio_pe"].astype(out.dtype)
     return out.astype(jnp.bfloat16)
+
+
+def load_audio_adapter(sd: Dict[str, np.ndarray], interval: int = 1, heads: Optional[int] = None) -> Params:
+    """Convert a reference audio-adapter state dict (torch tensors or numpy,
+    keys per audio_adapter.py:216-260: ``audio_proj.mlp.{0,2,4}``,
+    ``audio_proj.norm``, ``audio_pe``, ``ca.{i}.{norm_kv,to_q,to_kv,to_out,
+    shift_scale_gate}``, ``time_embedding.{time_embedder.linear_1/2,
+    time_proj}``) into this module's pytree. Weights keep torch (out, in)
+    layout (NT matmuls). The AudioProjection transformer-decoder refiner
+    keys are skipped (documented divergence: MLP-only projection)."""
+
+    def a(key):
+        v = sd[key]
+        return np.asarray(v.float().numpy() if hasattr(v, "numpy") else v, np.float32)
+
+    def lin(prefix):
+        return {"w": a(f"{prefix}.weight"), "b": a(f"{prefix}.bias")}
+
+    n_inject = 0
+    while f"ca.{n_inject}.to_q.weight" in sd:
+        n_inject += 1
+    assert n_inject > 0, "no ca.* blocks in audio adapter state dict"
+    ca = []
+    for i in range(n_inject):
+        blk = {
+            "norm_kv": {"w": a(f"ca.{i}.norm_kv.weight"), "b": a(f"ca.{i}.norm_kv.bias")},
+            # adaLN variant: norm_q has no affine params (elementwise_affine=False)
+            "norm_q": {},
+            "to_q": lin(f"ca.{i}.to_q"),
+            "to_kv": lin(f"ca.{i}.to_kv"),
+            "to_out": lin(f"ca.{i}.to_out"),
+            "shift_scale_gate": a(f"ca.{i}.shift_scale_gate").reshape(3, -1),
+        }
+        if f"ca.{i}.norm_q.weight" in sd:
+            blk["norm_q"] = {"w": a(f"ca.{i}.norm_q.weight"), "b": a(f"ca.{i}.norm_q.bias")}
+        ca.append(blk)
+
+    dim = ca[0]["to_q"]["w"].shape[0]
+    params: Params = {
+        "ca_blocks": jax.tree_util.tree_map(lambda *ls: np.stack(ls), *ca),
+        "proj": {
+            "mlp": [lin("audio_proj.mlp.0"), lin("audio_proj.mlp.2"), lin("audio_proj.mlp.4")],
+            "norm": {"w": a("audio_proj.norm.weight"), "b": a("audio_proj.norm.bias")},
+        },
+        "interval": interval,
+        "heads": heads if heads is not None else dim // 128,
+    }
+    if "audio_pe" in sd:
+        params["proj"]["audio_pe"] = a("audio_pe")
+    params["num_tokens"] = params["proj"]["mlp"][-1]["w"].shape[0] // params["proj"]["norm"]["w"].shape[0]
+    if "time_embedding.time_proj.weight" in sd:
+        params["time_embedding"] = {
+            "linear_1": lin("time_embedding.time_embedder.linear_1"),
+            "linear_2": lin("time_embedding.time_embedder.linear_2"),
+            "time_proj": lin("time_embedding.time_proj"),
+        }
+    return jax.tree_util.tree_map(lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, params)
 
 
 def init_random_audio_adapter(dim: int = 1536, kv_dim: int = 768, feat_dim: int = 1024,

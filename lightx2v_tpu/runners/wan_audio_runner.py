@@ -61,7 +61,21 @@ class WanAudioRunner(WanRunner):
                 interval=int(self.config.get("audio_adapter_interval", 1)),
                 heads=self.arch.num_heads, seed=7)
         else:
-            raise NotImplementedError("audio adapter checkpoint loading lands with real-ckpt support")
+            from ..models.wan.audio_adapter import load_audio_adapter
+
+            path = self.config.get("audio_adapter_path") or os.path.join(
+                self.config["model_path"], "audio_adapter.safetensors")
+            if path.endswith((".pt", ".pth", ".tar")):
+                import torch
+
+                sd = torch.load(path, map_location="cpu", weights_only=True)
+            else:
+                from ..utils.safetensors_io import load_safetensors
+
+                sd = load_safetensors(path)
+            self.audio_adapter = load_audio_adapter(
+                sd, interval=int(self.config.get("audio_adapter_interval", 1)),
+                heads=self.arch.num_heads)
         return params
 
     def run_input_encoder(self) -> Dict[str, Any]:
@@ -106,6 +120,9 @@ class WanAudioRunner(WanRunner):
         num_tokens = int(adapter["num_tokens"])
         heads = int(adapter["heads"])
         adapter_arrays = {"ca_blocks": adapter["ca_blocks"], "proj": adapter["proj"]}
+        has_temb = "time_embedding" in adapter
+        if has_temb:
+            adapter_arrays["time_embedding"] = adapter["time_embedding"]
         n_inject = adapter["ca_blocks"]["to_q"]["w"].shape[0]
         weight = float(cfg.get("audio_adapter_weight", 1.0))
         teo = encoder_out["text_encoder_output"]
@@ -120,8 +137,15 @@ class WanAudioRunner(WanRunner):
                 lat, t = scheduler.step_pre(s)
                 x, embed, embed0, ctx_e, ctx_img, grid, s_tokens = wan_pre_process(
                     params, lat[None], t[None].astype(jnp.float32), ctx, arch, seq_len=seq_len)
-                # t_emb for the adapter adaLN: the time embedding broadcast
-                t_emb = jnp.stack([embed, embed, embed], axis=1).astype(jnp.float32) * 0.0
+                # adapter adaLN source: real TimeEmbedding when the checkpoint
+                # has one (audio_adapter.py:193-211), neutral zeros otherwise
+                if has_temb:
+                    from ..models.wan.audio_adapter import audio_time_embedding
+
+                    t_emb = audio_time_embedding(adapter_p["time_embedding"],
+                                                 t[None].astype(jnp.float32))
+                else:
+                    t_emb = jnp.zeros((1, 3, arch.dim), jnp.float32)
 
                 def blk(carry, layer):
                     xc = carry

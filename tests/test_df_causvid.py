@@ -154,3 +154,126 @@ def test_audio_encoder_envelope_and_interp(tmp_path):
     np.testing.assert_allclose(out[0], 0.0)
     np.testing.assert_allclose(out[-1], 4.0)
     np.testing.assert_allclose(out[4], 2.0)
+
+
+def test_audio_adapter_checkpoint_loader(tmp_path):
+    """load_audio_adapter maps reference key names (audio_adapter.py:216-260)
+    into the pytree; the adapter forward runs with a real time embedding
+    and audio_pe."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightx2v_tpu.models.wan.audio_adapter import (
+        audio_projection, audio_time_embedding, load_audio_adapter, perceiver_ca,
+    )
+
+    rng = np.random.default_rng(0)
+    dim, kv_dim, feat, ntok, n_ca = 64, 16, 40, 4, 2
+    r = lambda *s: (rng.standard_normal(s) * 0.05).astype(np.float32)
+    sd = {}
+    mlp_dims = [(feat * 5, 32), (32, 32), (32, ntok * kv_dim)]
+    for idx, (i, o) in zip((0, 2, 4), mlp_dims):
+        sd[f"audio_proj.mlp.{idx}.weight"] = r(o, i)
+        sd[f"audio_proj.mlp.{idx}.bias"] = r(o)
+    sd["audio_proj.norm.weight"] = np.ones(kv_dim, np.float32)
+    sd["audio_proj.norm.bias"] = np.zeros(kv_dim, np.float32)
+    sd["audio_pe"] = r(4 * ntok, kv_dim)
+    for i in range(n_ca):
+        sd[f"ca.{i}.norm_kv.weight"] = np.ones(kv_dim, np.float32)
+        sd[f"ca.{i}.norm_kv.bias"] = np.zeros(kv_dim, np.float32)
+        sd[f"ca.{i}.to_q.weight"] = r(dim, dim)
+        sd[f"ca.{i}.to_q.bias"] = r(dim)
+        sd[f"ca.{i}.to_kv.weight"] = r(2 * dim, kv_dim)
+        sd[f"ca.{i}.to_kv.bias"] = r(2 * dim)
+        sd[f"ca.{i}.to_out.weight"] = r(dim, dim)
+        sd[f"ca.{i}.to_out.bias"] = r(dim)
+        sd[f"ca.{i}.shift_scale_gate"] = r(1, 3, dim)
+    freq = 32
+    sd["time_embedding.time_embedder.linear_1.weight"] = r(dim, freq)
+    sd["time_embedding.time_embedder.linear_1.bias"] = r(dim)
+    sd["time_embedding.time_embedder.linear_2.weight"] = r(dim, dim)
+    sd["time_embedding.time_embedder.linear_2.bias"] = r(dim)
+    sd["time_embedding.time_proj.weight"] = r(3 * dim, dim)
+    sd["time_embedding.time_proj.bias"] = r(3 * dim)
+
+    p = load_audio_adapter(sd, interval=1, heads=4)
+    assert p["num_tokens"] == ntok
+    assert p["ca_blocks"]["to_q"]["w"].shape == (n_ca, dim, dim)
+    assert "audio_pe" in p["proj"] and "time_embedding" in p
+
+    t_emb = audio_time_embedding(p["time_embedding"], jnp.asarray([500.0]), freq_dim=freq)
+    assert t_emb.shape == (1, 3, dim)
+
+    feats = jnp.asarray(rng.standard_normal((1, 9, feat)), jnp.float32)
+    tokens = audio_projection(p["proj"], feats, latent_frames=3, num_tokens=ntok)
+    assert tokens.shape == (1, 3, 4 * ntok, kv_dim)
+
+    ca0 = jax.tree_util.tree_map(lambda a: a[0], p["ca_blocks"])
+    lat = jnp.asarray(rng.standard_normal((1, 3, 8, dim)), jnp.bfloat16)
+    delta = perceiver_ca(ca0, tokens, lat, t_emb, heads=4)
+    assert delta.shape == (1, 3, 8, dim)
+    assert np.isfinite(np.asarray(delta, np.float32)).all()
+
+
+def test_audio_runner_with_checkpoint_adapter(tmp_path):
+    """Full pipeline with a non-synthetic adapter loaded from a .pth file
+    (synthetic DiT weights, real loader path via audio_adapter_path)."""
+    import wave
+
+    import torch
+
+    wav_path = str(tmp_path / "c.wav")
+    with wave.open(wav_path, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+        t = np.linspace(0, 1, 16000)
+        w.writeframes((np.sin(2 * np.pi * 330 * t) * 18000).astype(np.int16).tobytes())
+
+    # build a reference-keyed checkpoint sized for the synthetic arch
+    # (dim=384, heads=6, feat 1024, kv_dim 768 like the real adapter)
+    rng = np.random.default_rng(1)
+    dim, kv_dim, feat, ntok = 384, 768, 1024, 4
+    r = lambda *s: torch.from_numpy((rng.standard_normal(s) * 0.02).astype(np.float32))
+    sd = {}
+    for idx, (i, o) in zip((0, 2, 4), [(feat * 5, 1024), (1024, 1024), (1024, ntok * kv_dim)]):
+        sd[f"audio_proj.mlp.{idx}.weight"] = r(o, i)
+        sd[f"audio_proj.mlp.{idx}.bias"] = r(o)
+    sd["audio_proj.norm.weight"] = torch.ones(kv_dim)
+    sd["audio_proj.norm.bias"] = torch.zeros(kv_dim)
+    sd["audio_pe"] = r(4 * ntok, kv_dim)
+    for i in range(30):  # synthetic arch has <=30 layers; extra blocks unused
+        sd[f"ca.{i}.norm_kv.weight"] = torch.ones(kv_dim)
+        sd[f"ca.{i}.norm_kv.bias"] = torch.zeros(kv_dim)
+        sd[f"ca.{i}.to_q.weight"] = r(dim, dim)
+        sd[f"ca.{i}.to_q.bias"] = r(dim)
+        sd[f"ca.{i}.to_kv.weight"] = r(2 * dim, kv_dim)
+        sd[f"ca.{i}.to_kv.bias"] = r(2 * dim)
+        sd[f"ca.{i}.to_out.weight"] = r(dim, dim)
+        sd[f"ca.{i}.to_out.bias"] = r(dim)
+        sd[f"ca.{i}.shift_scale_gate"] = r(1, 3, dim)
+    sd["time_embedding.time_embedder.linear_1.weight"] = r(dim, 256)
+    sd["time_embedding.time_embedder.linear_1.bias"] = r(dim)
+    sd["time_embedding.time_embedder.linear_2.weight"] = r(dim, dim)
+    sd["time_embedding.time_embedder.linear_2.bias"] = r(dim)
+    sd["time_embedding.time_proj.weight"] = r(3 * dim, dim)
+    sd["time_embedding.time_proj.bias"] = r(3 * dim)
+    ckpt = str(tmp_path / "audio_adapter.pth")
+    torch.save(sd, ckpt)
+
+    args = build_parser().parse_args([
+        "--model_cls", "wan2.1_audio", "--task", "t2v",
+        "--config_json", CFG,
+        "--prompt", "a person talking",
+        "--audio_path", wav_path,
+        "--synthetic_weights",
+    ])
+    config = set_config(args)
+    config["enable_cfg"] = False
+    runner = init_runner(config)
+    # swap in the checkpoint-loaded adapter (synthetic DiT weights stay)
+    from lightx2v_tpu.models.wan.audio_adapter import load_audio_adapter
+
+    loaded = {k: (v.numpy() if hasattr(v, "numpy") else v) for k, v in sd.items()}
+    runner.audio_adapter = load_audio_adapter(loaded, interval=1, heads=6)
+    frames = runner.run_pipeline(save_video=False)
+    assert frames.shape == (9, 64, 96, 3)
+    assert np.isfinite(frames).all()
