@@ -91,6 +91,10 @@ class AudioEncoder:
 
     def infer(self, audio_path: str, num_frames: int, fps: float = 16.0) -> np.ndarray:
         waveform, sr = read_wav(audio_path)
+        return self.infer_array(waveform, sr, num_frames, fps=fps)
+
+    def infer_array(self, waveform: np.ndarray, sr: int, num_frames: int,
+                    fps: float = 16.0) -> np.ndarray:
         if self.model is None:
             return envelope_features(waveform, sr, num_frames, fps=fps)
         import torch

@@ -105,6 +105,16 @@ class WanAudioRunner(WanRunner):
         scheduler = self.init_scheduler()
         self.scheduler = scheduler
         state = scheduler.prepare(target_shape, int(cfg.get("seed", 42)))
+        # previous-segment conditioning (reference wan_audio_runner.py:529-541):
+        # y = [4ch pixel-frame mask | prev latents], concatenated on channels
+        prev = encoder_out.get("previmg_encoder_output")
+        y_cond = None if prev is None else jnp.concatenate(
+            [prev["prev_mask"], prev["prev_latents"]], axis=0)
+        z_dim, lat_f, lat_h, lat_w = target_shape
+        if y_cond is None and arch.in_dim == 2 * z_dim + 4:
+            # conditioning-capable model without a previous segment: zero
+            # mask + zero latents (the reference's idx==0 branch)
+            y_cond = jnp.zeros((z_dim + 4, lat_f, lat_h, lat_w), jnp.float32)
         rope_cos, rope_sin, seq_len = rope_for_shape(arch, target_shape)
         _, lat_f, lat_h, lat_w = target_shape
         pt, ph, pw = arch.patch_size
@@ -130,13 +140,14 @@ class WanAudioRunner(WanRunner):
         n_steps = scheduler.num_steps()
 
         @jax.jit
-        def denoise(params, adapter_p, st, ctx, feats):
+        def denoise(params, adapter_p, st, ctx, feats, y):
             audio_tokens = audio_projection(adapter_p["proj"], feats, gf, num_tokens=num_tokens)
 
             def body(s, _):
                 lat, t = scheduler.step_pre(s)
                 x, embed, embed0, ctx_e, ctx_img, grid, s_tokens = wan_pre_process(
-                    params, lat[None], t[None].astype(jnp.float32), ctx, arch, seq_len=seq_len)
+                    params, lat[None], t[None].astype(jnp.float32), ctx, arch,
+                    y=None if y is None else y[None], seq_len=seq_len)
                 # adapter adaLN source: real TimeEmbedding when the checkpoint
                 # has one (audio_adapter.py:193-211), neutral zeros otherwise
                 if has_temb:
@@ -171,5 +182,116 @@ class WanAudioRunner(WanRunner):
             s, _ = jax.lax.scan(body, st, None, length=n_steps)
             return s
 
-        state = denoise(self.model, adapter_arrays, state, teo["context"], audio_feats)
+        state = denoise(self.model, adapter_arrays, state, teo["context"], audio_feats, y_cond)
         return state["latents"]
+
+    # ------------- multi-segment generation -------------
+    def _build_prev_cond(self, prev_frames_px: np.ndarray, idx: int,
+                         max_frames: int) -> Optional[Dict[str, jnp.ndarray]]:
+        """Noise+mask-augment the last 5 frames of the previous segment,
+        VAE-encode them into a zero video, and build the 4-channel
+        pixel-frame mask (reference wan_audio_runner.py:39-74, 425-437,
+        492-541; the reference's ``prev_mask[:, prev_len:] = 0`` leaves the
+        mask all-zero — here the conditioned prefix is marked 1, which is
+        the evident intent)."""
+        z_dim = int(self.config.get("target_shape", (16,))[0]) if self.config.get("target_shape") else 16
+        if self.arch.in_dim != 2 * z_dim + 4 or self.config.get("tiny_vae"):
+            return None  # model has no conditioning channels (or no encoder)
+        from ..vae.wan_vae import vae_encode
+
+        prev_f = 5
+        h = int(self.config.get("target_height", 480))
+        w = int(self.config.get("target_width", 832))
+        full = np.zeros((max_frames, h, w, 3), np.float32)
+        cond_frames = 0
+        if prev_frames_px is not None:  # segment 0 conditions on zeros
+            last = prev_frames_px[-prev_f:].astype(np.float32)  # (5,H,W,3) [-1,1]
+            rnd = np.random.RandomState(42 + idx)
+            sigma = float(np.exp(rnd.normal(-3.0, 0.5)))
+            last = last + rnd.randn(*last.shape).astype(np.float32) * sigma
+            keep = (rnd.rand(*last.shape[1:3]) > 0.1).astype(np.float32)
+            full[:prev_f] = last * keep[None, :, :, None]
+            cond_frames = prev_f
+        scale = not self.config.get("synthetic_weights")
+        z = vae_encode(self.vae, jnp.asarray(full)[None], self.vae_cfg, scale=scale)
+        prev_latents = jnp.transpose(z[0], (3, 0, 1, 2))  # (z, lat_f, h', w')
+        lat_f, lh, lw = prev_latents.shape[1:]
+
+        frames_n = (lat_f - 1) * 4 + 1
+        m = np.zeros((frames_n, lh, lw), np.float32)
+        m[:cond_frames] = 1.0
+        # wan mask rearrange: frame 0 repeated 4x, then groups of 4
+        m = np.concatenate([np.repeat(m[:1], 4, axis=0), m[1:]], axis=0)
+        m = m.reshape(lat_f, 4, lh, lw).transpose(1, 0, 2, 3)  # (4, lat_f, h', w')
+        return {"prev_latents": prev_latents, "prev_mask": jnp.asarray(m)}
+
+    def run_pipeline(self, save_video: bool = True):
+        """Segmented long-form generation when ``video_duration`` exceeds one
+        segment (reference wan_audio_runner.py:440-583): 81-frame windows
+        with a 5-frame conditioned overlap; per-segment audio windows are
+        stitched and saved as a sibling .wav (the reference muxes with
+        ffmpeg, which is not in this image)."""
+        cfg = self.config
+        fps = float(cfg.get("target_fps", cfg.get("fps", 16)))
+        max_frames = int(cfg.get("target_video_length", 81))
+        audio_path = cfg.get("audio_path")
+        duration = cfg.get("video_duration")
+        if not duration or not audio_path or not os.path.exists(audio_path):
+            return super().run_pipeline(save_video)
+        from ..encoders.audio import AudioEncoder, read_wav
+
+        waveform, sr = read_wav(audio_path)
+        audio_frames = int(len(waveform) / sr * fps)
+        expected = min(max(1, int(float(duration) * fps)), audio_frames)
+        if expected <= max_frames:
+            return super().run_pipeline(save_video)
+
+        prev_f = 5
+        interval_num = max(int((expected - max_frames) / (max_frames - prev_f)) + 1, 1)
+        res_frames = expected - interval_num * (max_frames - prev_f)
+        if res_frames > prev_f:
+            interval_num += 1
+        logger.info(f"audio multi-segment: {expected} frames -> {interval_num} segments")
+
+        encoder_out = super(WanAudioRunner, self).run_input_encoder()  # text only path below
+        if not hasattr(self, "_audio_encoder"):
+            enc_path = None
+            if not cfg.get("synthetic_weights"):
+                enc_path = cfg.get("audio_encoder_path") or cfg.get("model_path")
+            self._audio_encoder = AudioEncoder(enc_path)
+
+        base_seed = int(cfg.get("seed", 42))
+        segments, audio_slices = [], []
+        prev_video = None
+        for idx in range(interval_num):
+            start = idx * (max_frames - prev_f)
+            a0, a1 = round(start * sr / fps), round((start + max_frames + 1) * sr / fps)
+            seg_wave = waveform[a0:a1]
+            feats = self._audio_encoder.infer_array(seg_wave, sr, max_frames, fps=fps)
+            encoder_out["audio_encoder_output"] = jnp.asarray(feats)
+            encoder_out["previmg_encoder_output"] = self._build_prev_cond(
+                prev_video if idx > 0 else None, idx, max_frames)
+            cfg["seed"] = base_seed + idx
+            latents = self.run_dit(encoder_out)
+            frames = self.run_vae_decoder(latents)  # (F, H, W, 3) in [-1,1]
+            prev_video = frames
+            keep = frames[prev_f:] if idx > 0 else frames
+            if idx == interval_num - 1 and res_frames > prev_f:
+                keep = keep[: max(res_frames - (prev_f if idx > 0 else 0), 1)]
+            segments.append(keep)
+            s0 = 0 if idx == 0 else round((prev_f + 1) * sr / fps)
+            audio_slices.append(seg_wave[s0 : s0 + round(len(keep) * sr / fps)])
+        cfg["seed"] = base_seed
+
+        video = np.concatenate(segments, axis=0)
+        if save_video:
+            save_path = cfg.get("save_video_path", "./output.mp4")
+            self.save_video(video, save_path)
+            merged = np.concatenate(audio_slices)
+            with wave.open(save_path + ".wav", "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(sr)
+                w.writeframes((np.clip(merged, -1, 1) * 32767).astype(np.int16).tobytes())
+            logger.info(f"saved segment-merged audio to {save_path}.wav (no ffmpeg for muxing)")
+        return video

@@ -277,3 +277,39 @@ def test_audio_runner_with_checkpoint_adapter(tmp_path):
     frames = runner.run_pipeline(save_video=False)
     assert frames.shape == (9, 64, 96, 3)
     assert np.isfinite(frames).all()
+
+
+def test_audio_multisegment_pipeline(tmp_path):
+    """Long-form audio generation: video_duration > one segment splits into
+    5-frame-overlap windows with prev-latent conditioning (in_dim = 2z+4)
+    and stitches video + audio (reference wan_audio_runner.py:440-583)."""
+    import wave
+
+    wav_path = str(tmp_path / "long.wav")
+    with wave.open(wav_path, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+        t = np.linspace(0, 2, 32000)
+        w.writeframes((np.sin(2 * np.pi * 220 * t) * 18000).astype(np.int16).tobytes())
+
+    args = build_parser().parse_args([
+        "--model_cls", "wan2.1_audio", "--task", "t2v",
+        "--config_json", CFG,
+        "--prompt", "a person talking for a while",
+        "--audio_path", wav_path,
+        "--synthetic_weights",
+    ])
+    config = set_config(args)
+    config["enable_cfg"] = False
+    config["in_dim"] = 36  # 16 latent + 16 prev-latent + 4 mask channels
+    config["video_duration"] = 1.0  # 16 frames at 16 fps > 9/segment
+    config["save_video_path"] = str(tmp_path / "long.mp4")
+    runner = init_runner(config)
+    frames = runner.run_pipeline()
+    # 3 segments: 9 + 4 + min tail; stitched length >= expected-ish
+    assert frames.shape[1:] == (64, 96, 3)
+    assert frames.shape[0] >= 13
+    assert np.isfinite(frames).all()
+    assert (tmp_path / "long.mp4").is_file()
+    assert (tmp_path / "long.mp4.wav").is_file()
+    with wave.open(str(tmp_path / "long.mp4.wav"), "rb") as w:
+        assert w.getnframes() > 8000  # ~>0.5s of merged audio
