@@ -14,8 +14,10 @@ vs_baseline reports two honesty levels via the metric name:
              5x peak-FLOPs gap of the benchmark chip. The raw ratio is
              included in the metric string.
 
-Env knobs: BENCH_FRAMES / BENCH_H / BENCH_W (latent dims), BENCH_ATTN,
-BENCH_STEPS (timed iterations), BENCH_PRESET=tiny for smoke runs.
+Env knobs: BENCH_FRAMES / BENCH_H / BENCH_W (latent dims), BENCH_ATTN
+(flash_attn3 / sage_attn2 / sparge / ...), BENCH_MM (Default / W-int8 /
+W-fp8 quantized GEMM paths), BENCH_STEPS (timed iterations),
+BENCH_PRESET=tiny for smoke runs.
 """
 
 from __future__ import annotations
@@ -52,10 +54,18 @@ def main():
         w = int(os.environ.get("BENCH_W", 104))
 
     attn = os.environ.get("BENCH_ATTN", "flash_attn3")
+    mm_type = os.environ.get("BENCH_MM", "Default")
     steps = int(os.environ.get("BENCH_STEPS", 3))
 
     target = (16, f, h, w)
     wd = init_random_weight_dict(arch, seed=0, scale=0.02)
+    if mm_type != "Default":
+        from lightx2v_tpu.tools.convert import quantize_model
+
+        scheme = "int8" if "int8" in mm_type.lower() else "fp8"
+        wd = quantize_model(wd, scheme)
+        if mm_type.lower() in ("int8", "fp8"):  # shorthand -> registry alias
+            mm_type = f"W-{scheme}-channel-sym-A-{scheme}-channel-sym-dynamic-Tpu"
     params = load_wan_params(wd, arch)
     rope_cos, rope_sin, seq_len = rope_for_shape(arch, target)
 
@@ -64,10 +74,11 @@ def main():
     t = jnp.asarray([500.0], jnp.float32)
     context = jnp.asarray(rng.standard_normal((1, arch.text_len, arch.text_dim)) * 0.1, jnp.bfloat16)
 
+    cross = "flash_attn3" if attn in ("sparge", "radial_attn") else attn
     fwd = jax.jit(
         lambda p, l, tt, c: wan_forward(
-            p, l, tt, c, rope_cos, rope_sin, arch,
-            self_attn_type=attn, cross_attn_type=attn,
+            p, l, tt, c, rope_cos, rope_sin, arch, mm_type=mm_type,
+            self_attn_type=attn, cross_attn_type=cross,
         )
     )
     # warmup/compile; sync by fetching a scalar (block_until_ready does not

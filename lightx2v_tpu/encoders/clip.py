@@ -39,6 +39,23 @@ class ClipVisionArch:
     norm_eps: float = 1e-5
 
 
+def _lin(w, x, b=None):
+    """(out, in) matmul; quantized weights (reference q_linear.py) arrive as
+    {"w": int8/fp8, "w_scale": fp32} dicts and take the w8a8 MXU path."""
+    if isinstance(w, dict):
+        from ..ops.linear import resolve_mm
+
+        scheme = "int8" if w["w"].dtype == jnp.int8 else "fp8"
+        fn = resolve_mm(f"W-{scheme}-channel-sym-A-{scheme}-channel-sym-dynamic-Tpu")
+        y = fn({"w": w["w"], "w_scale": w["w_scale"], "b": None}, x)
+    else:
+        y = jax.lax.dot_general(x, w, (((x.ndim - 1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b
+    return y
+
+
 def clip_vision_forward(params: Params, pixels: jnp.ndarray, arch: ClipVisionArch) -> jnp.ndarray:
     """pixels: (B, H, W, 3) CLIP-normalized -> (B, 1+num_patches, dim)."""
     b = pixels.shape[0]
@@ -58,21 +75,17 @@ def clip_vision_forward(params: Params, pixels: jnp.ndarray, arch: ClipVisionArc
 
     def block(carry, bp):
         h = layer_norm(carry, bp["norm1"]["w"], bp["norm1"]["b"], eps=arch.norm_eps)
-        qkv = jax.lax.dot_general(h, bp["qkv_w"], (((2,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32).astype(h.dtype) + bp["qkv_b"].astype(h.dtype)
+        qkv = _lin(bp["qkv_w"], h, bp["qkv_b"]).astype(h.dtype)
         q, k, v = [t.reshape(b, -1, n, hd) for t in jnp.split(qkv, 3, axis=-1)]
         logits = jnp.einsum("bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32) / np.sqrt(hd)
         probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         attn = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(b, -1, arch.dim)
-        attn = jax.lax.dot_general(attn, bp["proj_w"], (((2,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32).astype(h.dtype) + bp["proj_b"].astype(h.dtype)
+        attn = _lin(bp["proj_w"], attn, bp["proj_b"]).astype(h.dtype)
         x2 = carry + attn
         h = layer_norm(x2, bp["norm2"]["w"], bp["norm2"]["b"], eps=arch.norm_eps)
-        h = jax.lax.dot_general(h, bp["fc1_w"], (((2,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) + bp["fc1_b"]
+        h = _lin(bp["fc1_w"], h, bp["fc1_b"])
         h = jax.nn.gelu(h, approximate=False).astype(x2.dtype)
-        h = jax.lax.dot_general(h, bp["fc2_w"], (((2,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32).astype(x2.dtype) + bp["fc2_b"].astype(x2.dtype)
+        h = _lin(bp["fc2_w"], h, bp["fc2_b"]).astype(x2.dtype)
         return x2 + h, None
 
     x, _ = jax.lax.scan(block, x, params["blocks"])
@@ -112,6 +125,25 @@ def load_clip_vision_params(sd: Dict[str, np.ndarray], arch: ClipVisionArch, dty
     blocks = [blk(i) for i in range(arch.use_blocks)]
     params["blocks"] = jax.tree_util.tree_map(lambda *ls: np.stack(ls), *blocks)
     return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def quantize_clip_params(params: Params, scheme: str = "int8") -> Params:
+    """Quantize the vision tower's matmul weights per output channel
+    (reference q_linear.py path, as for the T5 encoder)."""
+    from ..tools.convert import quantize_tensor
+
+    out = dict(params)
+    blocks = dict(params["blocks"])
+    for name in ("qkv_w", "proj_w", "fc1_w", "fc2_w"):
+        w = np.asarray(blocks[name], np.float32)  # (L, out, in)
+        qs, scales = [], []
+        for i in range(w.shape[0]):
+            qi, si = quantize_tensor(w[i], scheme)
+            qs.append(qi)
+            scales.append(si)
+        blocks[name] = {"w": jnp.asarray(np.stack(qs)), "w_scale": jnp.asarray(np.stack(scales))}
+    out["blocks"] = blocks
+    return out
 
 
 def preprocess_image(img: np.ndarray, image_size: int = 224) -> np.ndarray:

@@ -106,7 +106,15 @@ class WanRunner(DefaultRunner):
         tok = os.path.join(self.config["model_path"], "google", "umt5-xxl")
         if not os.path.isdir(tok):
             tok = "google/umt5-xxl"
-        return T5EncoderModel(int(self.config.get("text_len", 512)), checkpoint_path=ckpt, tokenizer_path=tok)
+        enc = T5EncoderModel(int(self.config.get("text_len", 512)), checkpoint_path=ckpt, tokenizer_path=tok)
+        if self.config.get("t5_quantized"):
+            # reference wan_runner.py:93-100 loads a pre-quantized t5 ckpt;
+            # here weights are quantized at load (same w8a8 kernels)
+            from ..encoders.t5 import quantize_t5_params
+
+            scheme = "int8" if "int8" in str(self.config.get("t5_quant_scheme", "int8")) else "fp8"
+            enc.params = quantize_t5_params(enc.params, scheme)
+        return enc
 
     def load_image_encoder(self):
         if self.config.get("task") != "i2v":
@@ -116,7 +124,13 @@ class WanRunner(DefaultRunner):
         from ..encoders.clip import CLIPVisionModel
 
         ckpt = os.path.join(self.config["model_path"], "models_clip_open-clip-xlm-roberta-large-vit-huge-14.pth")
-        return CLIPVisionModel(checkpoint_path=ckpt)
+        model = CLIPVisionModel(checkpoint_path=ckpt)
+        if self.config.get("clip_quantized"):  # reference wan_runner.py:56-78
+            from ..encoders.clip import quantize_clip_params
+
+            scheme = "int8" if "int8" in str(self.config.get("clip_quant_scheme", "int8")) else "fp8"
+            model.params = quantize_clip_params(model.params, scheme)
+        return model
 
     def load_vae(self):
         if self.config.get("tiny_vae"):

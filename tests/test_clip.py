@@ -73,3 +73,24 @@ def test_wan_i2v_pipeline(tmp_path):
     frames = runner.run_pipeline(save_video=False)
     assert frames.shape == (9, 64, 96, 3)
     assert np.isfinite(frames).all()
+
+
+def test_quantized_clip_matches_dense():
+    """int8-quantized vision-tower linears (reference q_linear.py) vs dense."""
+    import jax.numpy as jnp
+
+    from lightx2v_tpu.encoders.clip import (
+        ClipVisionArch, clip_vision_forward, init_random_clip_state_dict,
+        load_clip_vision_params, quantize_clip_params,
+    )
+
+    arch = ClipVisionArch(image_size=28, patch_size=14, dim=64, num_heads=4,
+                          num_layers=2, use_blocks=2)
+    sd = init_random_clip_state_dict(arch, seed=0, scale=0.1)
+    params = load_clip_vision_params(sd, arch, dtype=np.float32)
+    qparams = quantize_clip_params(params, "int8")
+    px = jnp.asarray(np.random.default_rng(1).standard_normal((1, 28, 28, 3)), jnp.float32)
+    ref = np.asarray(clip_vision_forward(params, px, arch), np.float32)
+    out = np.asarray(clip_vision_forward(qparams, px, arch), np.float32)
+    snr = ((out - ref) ** 2).mean() / ((ref**2).mean() + 1e-9)
+    assert snr < 1e-2, f"snr {snr}"
