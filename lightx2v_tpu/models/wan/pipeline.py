@@ -76,8 +76,12 @@ def make_denoise_fn(
         tea_cfg = TeaCacheConfig.from_config(caching_config) if caching_config is not None else TeaCacheConfig()
     use_taylor = feature_caching == "TaylorSeer"
     use_ada = feature_caching == "Ada"
-    if (use_taylor or use_ada) and mesh is not None:
-        raise NotImplementedError("TaylorSeer/Ada caching with sequence parallelism lands later")
+    # Custom = TeaCache's rel-L1 decision + TaylorSeer's per-module
+    # extrapolation on skipped steps (reference
+    # WanTransformerInferCustomCaching, feature_caching/transformer_infer.py:522-620)
+    use_custom = feature_caching == "Custom"
+    if (use_taylor or use_ada or feature_caching == "Custom") and mesh is not None:
+        raise NotImplementedError("TaylorSeer/Ada/Custom caching with sequence parallelism lands later")
     n_steps_static = scheduler.num_steps()
     if use_taylor:
         taylor_is_calc, taylor_step_diff = taylor_schedule(n_steps_static)
@@ -118,7 +122,29 @@ def make_denoise_fn(
         )
 
         i = state["step_index"]
-        if tea_cfg is not None:
+        if use_custom:
+            tea_c = cache["tea"]
+            should, tea_c = tea_decide(tea_c, embed, embed0, i, tea_cfg)
+            self_fn = partial(attention, self_attn_type)
+            cross_fn = partial(attention, cross_attn_type)
+            # distance to the previous calc step; >= 1 to keep the
+            # derivative update finite on the first step
+            step_diff = jnp.maximum(i - cache["last_calc"], 1).astype(jnp.float32)
+
+            def calc(op):
+                xx, c = op
+                x_out, tc = taylor_calc_step(params, xx, embed0, ctx_e, ctx_img, rope_cos,
+                                             rope_sin, arch, c["taylor"], step_diff,
+                                             mm_type, self_fn, cross_fn)
+                return x_out, {**c, "taylor": tc, "last_calc": i}
+
+            def skip(op):
+                xx, c = op
+                return taylor_skip_step(params, xx, embed0, arch, c["taylor"], step_diff, mm_type), dict(c)
+
+            x, cache = jax.lax.cond(should, calc, skip, (x, cache))
+            cache = {**cache, "tea": tea_c}
+        elif tea_cfg is not None:
             should, cache = tea_decide(cache, embed, embed0, i, tea_cfg)
             x, cache = tea_transform(cache, should, x, lambda xx: transformer(params, xx, embed0, ctx_e, ctx_img))
         elif use_taylor:
@@ -185,6 +211,13 @@ def make_denoise_fn(
 
     def init_cache():
         d = arch.dim
+        if use_custom:
+            mod_shape = (batch, 6, d) if tea_cfg.use_ret_steps else (batch, d)
+            return {
+                "tea": init_tea_state((batch, seq_len, d), mod_shape),
+                "taylor": init_taylor_cache(arch, batch, seq_len),
+                "last_calc": jnp.asarray(0, jnp.int32),
+            }
         if tea_cfg is not None:
             mod_shape = (batch, 6, d) if tea_cfg.use_ret_steps else (batch, d)
             return init_tea_state((batch, seq_len, d), mod_shape)

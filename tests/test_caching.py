@@ -122,3 +122,34 @@ def test_taylor_caching_approximates_full(  ):
         outs[caching] = np.asarray(d(params, state, ctx, ctx)["latents"], np.float32)
     c = np.corrcoef(outs["NoCaching"].ravel(), outs["TaylorSeer"].ravel())[0, 1]
     assert c > 0.98, f"caching diverged, corr {c}"
+
+
+def test_custom_caching_denoise_loop_runs():
+    """Custom = Tea rel-L1 decision + Taylor per-module extrapolation
+    (reference WanTransformerInferCustomCaching)."""
+    cfg = ConfigDict({"infer_steps": 6, "sample_shift": 5.0, "teacache_thresh": 0.26,
+                      "use_ret_steps": False})
+    sched = WanUniPCScheduler(cfg)
+    state = sched.prepare(TARGET, seed=0)
+    params = load_wan_params(init_random_weight_dict(ARCH, seed=0, scale=0.05), ARCH)
+    rng = np.random.default_rng(0)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, 16)), jnp.float32)
+    denoise = make_denoise_fn(ARCH, sched, TARGET, enable_cfg=True, guide_scale=5.0,
+                              self_attn_type="xla", cross_attn_type="xla",
+                              feature_caching="Custom", caching_config=cfg)
+    out = denoise(params, state, ctx, ctx * 0.5)
+    assert np.isfinite(np.asarray(out["latents"])).all()
+    assert out["step_index"] == 6
+
+    # with a huge threshold everything after warmup is skipped -> still finite
+    cfg2 = ConfigDict({"infer_steps": 6, "sample_shift": 5.0, "teacache_thresh": 1e9,
+                       "use_ret_steps": False})
+    sched2 = WanUniPCScheduler(cfg2)
+    state2 = sched2.prepare(TARGET, seed=0)
+    denoise2 = make_denoise_fn(ARCH, sched2, TARGET, enable_cfg=True, guide_scale=5.0,
+                               self_attn_type="xla", cross_attn_type="xla",
+                               feature_caching="Custom", caching_config=cfg2)
+    out2 = denoise2(params, state2, ctx, ctx * 0.5)
+    assert np.isfinite(np.asarray(out2["latents"])).all()
+    # skipping must actually change the trajectory vs always-computing
+    assert not np.allclose(np.asarray(out["latents"]), np.asarray(out2["latents"]))
