@@ -6,8 +6,9 @@ The reference registers weight-op classes per quant scheme
 quant -> quantized GEMM -> bf16 out (+bias). Here each scheme is a pure
 function ``apply(params, x) -> y`` resolved at model build time via
 MM_REGISTER; quantized paths use TPU-native int8/fp8 MXU matmuls
-(jnp dot with int8/fp8 inputs lowers onto the MXU; a Pallas fused
-quant+matmul kernel is in ops/pallas/quant_matmul.py).
+(jnp dot with int8/fp8 inputs lowers onto the MXU) and a Pallas
+weight-only int4 kernel with in-VMEM dequant (ops/pallas/int4_matmul.py,
+the nvfp4-GEMM analog).
 
 Weight layout: params["w"] keeps the checkpoint's (out_features,
 in_features) torch-Linear layout; the GEMM contracts x's last dim with
@@ -107,6 +108,31 @@ for _alias in [
     "W-fp8-channel-sym-A-fp8-channel-sym-dynamic-Tpu",
 ]:
     MM_REGISTER.register(_alias, _mm_fp8)
+
+
+def _mm_int4(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Weight-only int4 (per-channel-per-group scales), bf16 activations.
+    TPU analog of the reference's nvfp4 GEMM path (lightx2v_kernel)."""
+    if jax.default_backend() == "tpu":
+        try:
+            from .pallas.int4_matmul import int4_matmul
+
+            y = int4_matmul(x, params["w"], params["w_scale"])
+            return _bias_add(y.astype(jnp.float32), params.get("b"), x.dtype)
+        except Exception:
+            pass
+    from .pallas.int4_matmul import int4_matmul_xla
+
+    y = int4_matmul_xla(x, params["w"], params["w_scale"])
+    return _bias_add(y.astype(jnp.float32), params.get("b"), x.dtype)
+
+
+for _alias in [
+    "W-int4-group-sym-A-bf16-Tpu",
+    "W-int4-group128-sym-A-bf16",
+    "W-nvfp4-A-bf16-Tpu",  # reference fp4 configs map onto the int4 path
+]:
+    MM_REGISTER.register(_alias, _mm_int4)
 
 
 def resolve_mm(mm_type: str):
