@@ -62,10 +62,13 @@ def main():
     if mm_type != "Default":
         from lightx2v_tpu.tools.convert import quantize_model
 
-        scheme = "int8" if "int8" in mm_type.lower() else "fp8"
+        low = mm_type.lower()
+        scheme = "int4" if "int4" in low else ("int8" if "int8" in low else "fp8")
         wd = quantize_model(wd, scheme)
-        if mm_type.lower() in ("int8", "fp8"):  # shorthand -> registry alias
+        if low in ("int8", "fp8"):  # shorthand -> registry alias
             mm_type = f"W-{scheme}-channel-sym-A-{scheme}-channel-sym-dynamic-Tpu"
+        elif low == "int4":
+            mm_type = "W-int4-group-sym-A-bf16-Tpu"
     params = load_wan_params(wd, arch)
     rope_cos, rope_sin, seq_len = rope_for_shape(arch, target)
 

@@ -49,7 +49,11 @@ def _linear(wd: Dict[str, np.ndarray], prefix: str, compute_dtype=ml_dtypes.bflo
     w = _np(wd[f"{prefix}.weight"])
     out: Params = {}
     scale_key = f"{prefix}.weight_scale"
-    if w.dtype in (np.int8, ml_dtypes.float8_e4m3fn) or scale_key in wd:
+    if w.dtype == np.uint8 and scale_key in wd:
+        # int4-packed weights keep their 2D per-(channel, group) scales
+        out["w"] = w
+        out["w_scale"] = _np(wd[scale_key]).astype(np.float32)
+    elif w.dtype in (np.int8, ml_dtypes.float8_e4m3fn) or scale_key in wd:
         out["w"] = w
         out["w_scale"] = _np(wd[scale_key]).astype(np.float32).reshape(-1)
     else:

@@ -91,6 +91,37 @@ def _bs_kernel_per_head(kvlen_ref, idx_ref, cnt_ref, q_ref, k_ref, v_ref, o_ref,
         o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, 0:1], 1e-30)).astype(o_ref.dtype)
 
 
+def _bs_per_head_call(qf, kf, vf, idx, cnt, sk, bq, bk, nq, nnz, scale, interpret):
+    """One pallas_call over a chunk of the batch*heads axis (padded inputs)."""
+    bn = qf.shape[0]
+    d = qf.shape[-1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(bn, nq, nnz),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda bb, i, j, kvl, ix, ct: (bb, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda bb, i, j, kvl, ix, ct: (bb, ix[bb, i, j], 0)),
+            pl.BlockSpec((1, bk, d), lambda bb, i, j, kvl, ix, ct: (bb, ix[bb, i, j], 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda bb, i, j, kvl, ix, ct: (bb, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_bs_kernel_per_head, scale=scale, nnz=nnz),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(qf.shape, qf.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(sk, jnp.int32).reshape(1), idx.astype(jnp.int32),
+      cnt.astype(jnp.int32), qf, kf, vf)
+
+
 def block_sparse_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -120,6 +151,22 @@ def block_sparse_attention(
     assert indices.shape[-2] >= nq, f"mask rows {indices.shape[-2]} < {nq}"
     if per_head:
         assert indices.shape[0] == b * n and counts.ndim == 2
+        # scalar-prefetch operands live in SMEM (~1 MB); chunk the
+        # batch*heads axis so each call's index table fits
+        idx_bytes = indices.shape[1] * nnz * 4
+        chunk = max(1, min(b * n, (512 * 1024) // max(idx_bytes, 1)))
+        if chunk < b * n:
+            outs = []
+            for s0 in range(0, b * n, chunk):
+                s1 = min(s0 + chunk, b * n)
+                o = _bs_per_head_call(
+                    qf[s0:s1], kf[s0:s1], vf[s0:s1], indices[s0:s1], counts[s0:s1],
+                    sk, bq, bk, nq, nnz, scale, interpret)
+                outs.append(o)
+            out = jnp.concatenate(outs, axis=0)
+            if pq:
+                out = out[:, :sq]
+            return out.reshape(b, n, sq, d).transpose(0, 2, 1, 3)
         kv_map = lambda bb, i, j, kvl, idx, cnt: (bb, idx[bb, i, j], 0)
         kernel = functools.partial(_bs_kernel_per_head, scale=scale, nnz=nnz)
     else:

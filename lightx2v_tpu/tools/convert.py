@@ -44,6 +44,12 @@ def quantize_tensor(w: np.ndarray, scheme: str) -> Tuple[np.ndarray, np.ndarray]
     elif scheme == "fp8":
         scale = np.maximum(absmax, 1e-8) / 448.0
         q = (wf / scale[:, None]).astype(ml_dtypes.float8_e4m3fn)
+    elif scheme == "int4":
+        # weight-only 4-bit, per-(channel, group) scales, nibble-packed
+        # (ops/pallas/int4_matmul.py; nvfp4-GEMM analog)
+        from ..ops.pallas.int4_matmul import quantize_int4
+
+        return quantize_int4(wf)
     else:
         raise ValueError(f"unknown quant scheme {scheme}")
     return q, scale.astype(np.float32)
