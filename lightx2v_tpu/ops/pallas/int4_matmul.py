@@ -32,11 +32,19 @@ BM = 256
 BN = 256
 
 
-def quantize_int4(w: np.ndarray, bk: int = BK) -> Tuple[np.ndarray, np.ndarray]:
+def _pick_bk(kin: int, bk: int = BK) -> int:
+    while bk > 128 and kin % bk:
+        bk //= 2
+    assert kin % bk == 0, f"in_features {kin} not divisible by any group <= {BK}"
+    return bk
+
+
+def quantize_int4(w: np.ndarray, bk: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
     """w (out, in) fp -> (packed (out, in//2) uint8, scales (out, in//bk) fp32).
-    Symmetric int4 in [-7, 7] ((-8 unused, keeps the scale symmetric)."""
+    Symmetric int4 in [-7, 7] ((-8 unused, keeps the scale symmetric).
+    Group size is the largest of {512, 256, 128} dividing in_features."""
     out, kin = w.shape
-    assert kin % bk == 0, f"in_features {kin} % {bk} != 0"
+    bk = _pick_bk(kin) if bk is None else bk
     wb = w.reshape(out, kin // bk, bk).astype(np.float32)
     scale = np.maximum(np.abs(wb).max(axis=-1), 1e-8) / 7.0  # (out, nk)
     q = np.clip(np.round(wb / scale[..., None]), -7, 7).astype(np.int8)  # (out, nk, bk)
@@ -46,10 +54,11 @@ def quantize_int4(w: np.ndarray, bk: int = BK) -> Tuple[np.ndarray, np.ndarray]:
     return packed, scale.astype(np.float32)
 
 
-def unpack_int4(packed: jnp.ndarray, scale: jnp.ndarray, bk: int = BK) -> jnp.ndarray:
+def unpack_int4(packed: jnp.ndarray, scale: jnp.ndarray, bk: Optional[int] = None) -> jnp.ndarray:
     """Reference dequant (XLA fallback / tests): -> (out, in) fp32."""
     out, half = packed.shape
     nk = scale.shape[1]
+    bk = 2 * half // nk if bk is None else bk
     pb = packed.reshape(out, nk, bk // 2)
     lo = (pb & 15).astype(jnp.int8) - 8
     hi = (pb >> 4).astype(jnp.int8) - 8
@@ -84,13 +93,15 @@ def int4_matmul(
     scale: jnp.ndarray,
     bm: int = BM,
     bn: int = BN,
-    bk: int = BK,
+    bk: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """x (..., K) bf16 @ int4-packed w (N, K/2) -> (..., N) in x.dtype."""
+    """x (..., K) bf16 @ int4-packed w (N, K/2) -> (..., N) in x.dtype.
+    The group size is inferred from the scale shape."""
     lead = x.shape[:-1]
     kin = x.shape[-1]
     n = packed.shape[0]
+    bk = kin // scale.shape[1] if bk is None else bk
     xf = x.reshape(-1, kin)
     m = xf.shape[0]
     pm = (-m) % bm
@@ -129,7 +140,7 @@ def int4_matmul(
 
 
 def int4_matmul_xla(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
-                    bk: int = BK) -> jnp.ndarray:
+                    bk: Optional[int] = None) -> jnp.ndarray:
     """Portable fallback: dequantize then dense dot (XLA fuses the unpack
     into the dot operand on CPU; on TPU prefer the Pallas path)."""
     wd = unpack_int4(packed, scale, bk).astype(jnp.bfloat16)
