@@ -78,9 +78,13 @@ def _int4_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, nk):
     lo = (wp & 15).astype(jnp.int8) - 8
     hi = (wp >> 4).astype(jnp.int8) - 8
     w8 = jnp.concatenate([lo, hi], axis=1)  # (bn, bk) int4 values
-    wd = w8.astype(jnp.bfloat16) * s_ref[...].astype(jnp.bfloat16)  # dequant in VMEM
-    acc_ref[:] += jax.lax.dot_general(
-        x, wd, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    p = jax.lax.dot_general(
+        x, w8.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (bm, bn)
+    # the scale is constant within a k-block per out channel, so it can be
+    # applied to the (bm, bn) partial product instead of the (bn, bk)
+    # dequantized weights; s_ref is a (1, bn) lane-major row
+    acc_ref[:] += p * s_ref[...]
 
     @pl.when(k == nk - 1)
     def _():
@@ -108,10 +112,11 @@ def int4_matmul(
     if pm:
         xf = jnp.pad(xf, ((0, pm), (0, 0)))
     pn = (-n) % bn
-    wp, sc = packed, scale
+    wp = packed
+    sc = scale.T  # (nk, n): scales as lane-major rows for the kernel
     if pn:
         wp = jnp.pad(wp, ((0, pn), (0, 0)))
-        sc = jnp.pad(sc, ((0, pn), (0, 0)))
+        sc = jnp.pad(sc, ((0, 0), (0, pn)))
     nk = kin // bk
     grid = (xf.shape[0] // bm, wp.shape[0] // bn, nk)
 
@@ -121,7 +126,7 @@ def int4_matmul(
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
             pl.BlockSpec((bn, bk // 2), lambda i, j, k: (j, k)),
-            pl.BlockSpec((bn, 1), lambda i, j, k: (j, k)),
+            pl.BlockSpec((1, bn), lambda i, j, k: (k, j)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((xf.shape[0], wp.shape[0]), x.dtype),
