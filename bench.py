@@ -70,6 +70,13 @@ def main():
         elif low == "int4":
             mm_type = "W-int4-group-sym-A-bf16-Tpu"
     params = load_wan_params(wd, arch)
+    if os.environ.get("BENCH_ROPE_FUSED"):
+        import dataclasses
+
+        from lightx2v_tpu.models.wan.weights import permute_qk_half
+
+        arch = dataclasses.replace(arch, rope_fused=True)
+        params = permute_qk_half(params, arch)
     rope_cos, rope_sin, seq_len = rope_for_shape(arch, target)
 
     rng = np.random.default_rng(0)

@@ -28,6 +28,9 @@ class WanArch:
     eps: float = 1e-6
     task: str = "t2v"  # "t2v" | "i2v"
     enable_dynamic_cfg: bool = False
+    # q/k in half-split rope-pair layout (weights permuted at load) and
+    # RoPE applied inside the flash kernel — see weights.permute_qk_half
+    rope_fused: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -53,4 +56,5 @@ def arch_from_config(config) -> WanArch:
     if config.get("task") == "i2v" and "in_dim" not in config:
         kw["in_dim"] = 36
     kw["enable_dynamic_cfg"] = bool(config.get("enable_dynamic_cfg", False))
+    kw["rope_fused"] = bool(config.get("rope_fused", False))
     return WanArch(**kw)

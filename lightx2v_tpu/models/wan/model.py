@@ -175,9 +175,14 @@ def wan_block_parts(
     q = rms_norm(_mm(sa["q"], norm1, mm_fn), sa["norm_q"], eps=1e-5).reshape(b, s, n, hd)
     k = rms_norm(_mm(sa["k"], norm1, mm_fn), sa["norm_k"], eps=1e-5).reshape(b, s, n, hd)
     v = _mm(sa["v"], norm1, mm_fn).reshape(b, s, n, hd)
-    q = apply_rope(q, rope_cos, rope_sin)
-    k = apply_rope(k, rope_cos, rope_sin)
-    attn_out = self_attn_fn(q, k, v).reshape(b, s, d)
+    if arch.rope_fused:
+        # q/k are in half-split pair layout (weights permuted at load,
+        # weights.py permute_qk_half); the attention op rotates in-kernel
+        attn_out = self_attn_fn(q, k, v, rope_cos=rope_cos, rope_sin=rope_sin).reshape(b, s, d)
+    else:
+        q = apply_rope(q, rope_cos, rope_sin)
+        k = apply_rope(k, rope_cos, rope_sin)
+        attn_out = self_attn_fn(q, k, v).reshape(b, s, d)
     y_sa = _mm(sa["o"], attn_out, mm_fn)
     x = (x.astype(jnp.float32) + y_sa.astype(jnp.float32) * gate_msa.astype(jnp.float32)).astype(x.dtype)
 

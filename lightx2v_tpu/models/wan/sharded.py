@@ -47,6 +47,7 @@ def make_sharded_transformer(
     x sharded (dp, sp) — pluggable into wan_forward(transformer_fn=...)."""
     sp = mesh_axis_size(mesh, "sp")
     tp = mesh_axis_size(mesh, "tp")
+    assert not arch.rope_fused, "rope_fused + sequence/tensor parallelism lands later"
     mm_fn = resolve_mm(mm_type)
     dense_self = partial(attention, self_attn_type)
     dense_cross = partial(attention, cross_attn_type)

@@ -63,6 +63,38 @@ def _linear(wd: Dict[str, np.ndarray], prefix: str, compute_dtype=ml_dtypes.bflo
     return out
 
 
+def permute_qk_half(params: Params, arch) -> Params:
+    """Permute self-attention q/k output features (and QK-norm scales) from
+    interleaved rope pairs (2i, 2i+1) to half-split pairs (i, i + hd/2)
+    within each head. Attention output is unchanged (q and k share the
+    permutation), but rotation becomes lane-contiguous so the flash kernel
+    can apply RoPE in-kernel (ops/pallas/flash_attention.py
+    flash_attention_fused_rope; pair with ops/rope.apply_rope_half on
+    non-Pallas paths)."""
+    hd = arch.head_dim
+    half = np.arange(hd).reshape(hd // 2, 2).T.reshape(-1)  # [0,2,..,1,3,..]
+    perm = np.concatenate([half + h * hd for h in range(arch.num_heads)])
+
+    blocks = dict(params["blocks"])
+    sa = dict(blocks["self_attn"])
+    for name in ("q", "k"):
+        lin = dict(sa[name])
+        assert not isinstance(lin["w"], dict) or "w_scale" not in lin or lin["w"].ndim == 3, \
+            "permute_qk_half runs on unquantized or per-channel-quantized weights"
+        lin["w"] = jnp.asarray(np.asarray(lin["w"])[:, perm, :])  # (L, out, in)
+        if lin.get("b") is not None:
+            lin["b"] = jnp.asarray(np.asarray(lin["b"])[:, perm])
+        if "w_scale" in lin:
+            lin["w_scale"] = jnp.asarray(np.asarray(lin["w_scale"])[:, perm])
+        sa[name] = lin
+    sa["norm_q"] = jnp.asarray(np.asarray(sa["norm_q"])[:, perm])
+    sa["norm_k"] = jnp.asarray(np.asarray(sa["norm_k"])[:, perm])
+    blocks["self_attn"] = sa
+    out = dict(params)
+    out["blocks"] = blocks
+    return out
+
+
 def _maybe(wd, key, dtype=np.float32) -> Optional[np.ndarray]:
     return _np(wd[key]).astype(dtype) if key in wd else None
 

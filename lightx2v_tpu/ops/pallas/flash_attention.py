@@ -82,6 +82,134 @@ def _flash_body(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
             lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:]).astype(jnp.float32)
 
 
+def _flash_rope_kernel(kvlen_ref, q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+                       o_ref, m_ref, l_ref, acc_ref, *, scale, bk, nk):
+    """Flash attention with RoPE applied in-kernel (half-split pair layout;
+    q/k projections permuted at load, models/wan/weights.py). Saves the
+    XLA apply_rope pass over q and k (~8% of attention time at 32k tokens,
+    measured on v5e). Rotation: x*[c|c] + roll_half(x)*[-s|s] in fp32."""
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def rot(x, c, s):
+        d2 = x.shape[1] // 2
+        xf = x.astype(jnp.float32)
+        rolled = jnp.concatenate([xf[:, d2:], xf[:, :d2]], axis=1)
+        return (xf * c + rolled * s).astype(jnp.bfloat16)
+
+    q = rot(q_ref[0], cq_ref[...], sq_ref[...])
+    k = rot(k_ref[0], ck_ref[...], sk_ref[...])
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    s = s * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1) + k_idx * bk
+    s = s + jnp.where(col < kvlen_ref[0], 0.0, -jnp.inf).astype(jnp.float32)
+
+    m_prev = m_ref[:, 0:1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] * alpha + pv
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(k_idx == nk - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, 0:1], 1e-30)).astype(o_ref.dtype)
+
+
+def flash_attention_fused_rope(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    kv_len: Optional[Union[int, jnp.ndarray]] = None,
+    bq: int = DEFAULT_BQ,
+    bk: int = DEFAULT_BK,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """q/k/v (B, S, N, D) in half-split pair layout; cos/sin (S_rope, D/2)
+    pair tables. Tokens past S_rope get identity rotation (matching
+    apply_rope's pass-through tail)."""
+    from ...ops.rope import rope_tables_full
+
+    b, sq, n, d = q.shape
+    sk = k.shape[1]
+    kv_len = kv_len if kv_len is not None else sk
+    bq = min(bq, max(128, 1 << (sq - 1).bit_length()))
+    bk = min(bk, max(128, 1 << (sk - 1).bit_length()))
+    scale = 1.0 / math.sqrt(d)
+
+    cos_full, sin_full = rope_tables_full(cos, sin)  # (S_rope, d)
+    s_rope = cos_full.shape[0]
+    if s_rope < sq:  # identity rotation for the tail
+        pad_c = jnp.ones((sq - s_rope, d), jnp.float32)
+        pad_s = jnp.zeros((sq - s_rope, d), jnp.float32)
+        cos_full = jnp.concatenate([cos_full, pad_c], axis=0)
+        sin_full = jnp.concatenate([sin_full, pad_s], axis=0)
+    else:
+        cos_full, sin_full = cos_full[:sq], sin_full[:sq]
+
+    qf = q.transpose(0, 2, 1, 3).reshape(b * n, sq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * n, sk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * n, sk, d)
+    pq = (-sq) % bq
+    pk = (-sk) % bk
+    if pq:
+        qf = jnp.pad(qf, ((0, 0), (0, pq), (0, 0)))
+    if pk:
+        kf = jnp.pad(kf, ((0, 0), (0, pk), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, pk), (0, 0)))
+    table_len = max(qf.shape[1], kf.shape[1])
+    if table_len > cos_full.shape[0]:
+        extra = table_len - cos_full.shape[0]
+        cos_full = jnp.concatenate([cos_full, jnp.ones((extra, d), jnp.float32)], axis=0)
+        sin_full = jnp.concatenate([sin_full, jnp.zeros((extra, d), jnp.float32)], axis=0)
+    nq = qf.shape[1] // bq
+    nk = kf.shape[1] // bk
+
+    kvlen_arr = jnp.asarray(kv_len, jnp.int32).reshape(1)
+    kernel = functools.partial(_flash_rope_kernel, scale=scale, bk=bk, nk=nk)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * n, nq, nk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bq, d), lambda bb, i, j: (bb, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda bb, i, j: (bb, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda bb, i, j: (bb, j, 0)),
+            pl.BlockSpec((bq, d), lambda bb, i, j: (i, 0)),
+            pl.BlockSpec((bq, d), lambda bb, i, j: (i, 0)),
+            pl.BlockSpec((bk, d), lambda bb, i, j: (j, 0)),
+            pl.BlockSpec((bk, d), lambda bb, i, j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda bb, i, j: (bb, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(qf.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kvlen_arr, qf, kf, vf, cos_full, sin_full, cos_full, sin_full)
+    if pq:
+        out = out[:, :sq]
+    return out.reshape(b, n, sq, d).transpose(0, 2, 1, 3)
+
+
 def _flash_bnsd(q, k, v, kv_len, bq: int, bk: int, interpret: bool = False):
     """q: (BN, Sq, D), k/v: (BN, Sk, D) -> (BN, Sq, D). kv_len: i32 scalar."""
     bn, sq, d = q.shape

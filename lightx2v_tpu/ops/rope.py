@@ -93,6 +93,35 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     return rotated.astype(x.dtype)
 
 
+def apply_rope_half(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """Rotation in HALF-SPLIT pair layout: feature i pairs with i + d/2
+    (instead of interleaved 2i/2i+1). Used when q/k projections were
+    permuted at load time (models/wan/weights.py permute_qk_half) so the
+    flash kernel can rotate with lane-contiguous half slices. Numerically
+    identical attention: the same permutation is applied to q and k, and
+    scores are invariant under a shared feature permutation."""
+    s_rope = cos.shape[0]
+    seq = x.shape[-3]
+    d2 = x.shape[-1] // 2
+    xf = x.astype(jnp.float32)
+    xr = xf[..., :s_rope, :, :]
+    x1, x2 = xr[..., :d2], xr[..., d2:]
+    c = cos[..., :, None, :]
+    s = sin[..., :, None, :]
+    rotated = jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c], axis=-1)
+    if s_rope < seq:
+        rotated = jnp.concatenate([rotated, xf[..., s_rope:, :, :]], axis=-3)
+    return rotated.astype(x.dtype)
+
+
+def rope_tables_full(cos: jnp.ndarray, sin: jnp.ndarray):
+    """(S, d/2) pair tables -> full-width (S, d) tables for the in-kernel
+    half-split rotation: rot(x) = x*[c|c] + roll_half(x)*[-s|s]."""
+    cos_full = jnp.concatenate([cos, cos], axis=-1)
+    sin_full = jnp.concatenate([-sin, sin], axis=-1)
+    return cos_full.astype(jnp.float32), sin_full.astype(jnp.float32)
+
+
 def zero_temporal_rope(cos: np.ndarray, sin: np.ndarray, valid_len: int, head_dim: int) -> Tuple[np.ndarray, np.ndarray]:
     """Zero the temporal rope component for tokens >= valid_len (audio/r2v
     extension tokens; reference: transformer_infer.py:254-267). Zeroing the

@@ -79,7 +79,12 @@ class WanRunner(DefaultRunner):
         self.mm_type = mm_type
         if self.config.get("synthetic_weights"):
             wd = init_random_weight_dict(self.arch, seed=0, scale=0.02)
-            return load_wan_params(wd, self.arch)
+            params = load_wan_params(wd, self.arch)
+            if self.arch.rope_fused:
+                from ..models.wan.weights import permute_qk_half
+
+                params = permute_qk_half(params, self.arch)
+            return params
         from ..utils.safetensors_io import load_file, load_sharded
 
         path = self.config.get("dit_quantized_ckpt") or self.config["model_path"]
@@ -90,7 +95,12 @@ class WanRunner(DefaultRunner):
             from ..tools.convert import apply_lora
 
             apply_lora(weights, load_file(lc["path"]), float(lc.get("strength", 1.0)))
-        return load_wan_params(weights, self.arch)
+        params = load_wan_params(weights, self.arch)
+        if self.arch.rope_fused:
+            from ..models.wan.weights import permute_qk_half
+
+            params = permute_qk_half(params, self.arch)
+        return params
 
     def load_text_encoder(self):
         text_len = int(self.config.get("text_len", 512))
