@@ -134,13 +134,18 @@ def flash_attention_fused_rope(
     cos: jnp.ndarray,
     sin: jnp.ndarray,
     kv_len: Optional[Union[int, jnp.ndarray]] = None,
-    bq: int = DEFAULT_BQ,
-    bk: int = DEFAULT_BK,
+    bq: int = 1024,
+    bk: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """q/k/v (B, S, N, D) in half-split pair layout; cos/sin (S_rope, D/2)
     pair tables. Tokens past S_rope get identity rotation (matching
-    apply_rope's pass-through tail)."""
+    apply_rope's pass-through tail).
+
+    Blocks default to 1024x1024 (not the dense kernel's 2048): the four
+    fp32 table blocks put the 2048 config over the 16M scoped-VMEM limit
+    (measured AOT OOM at 21.7M), and 1024 costs only ~3.6% vs the ~8%
+    the fused rotation saves."""
     from ...ops.rope import rope_tables_full
 
     b, sq, n, d = q.shape

@@ -74,9 +74,10 @@ def _int4_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, nk):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     x = x_ref[...]  # (bm, bk) bf16
-    wp = w_ref[...]  # (bn, bk//2) uint8
-    lo = (wp & 15).astype(jnp.int8) - 8
-    hi = (wp >> 4).astype(jnp.int8) - 8
+    # nibble math in int32 — Mosaic has no 8-bit arith.subi on TPU
+    wi = w_ref[...].astype(jnp.int32)  # (bn, bk//2)
+    lo = (wi & 15) - 8
+    hi = (wi >> 4) - 8
     w8 = jnp.concatenate([lo, hi], axis=1)  # (bn, bk) int4 values
     p = jax.lax.dot_general(
         x, w8.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
