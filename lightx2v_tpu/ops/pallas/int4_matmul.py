@@ -84,8 +84,11 @@ def _int4_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, nk):
         preferred_element_type=jnp.float32)  # (bm, bn)
     # the scale is constant within a k-block per out channel, so it can be
     # applied to the (bm, bn) partial product instead of the (bn, bk)
-    # dequantized weights; s_ref is a (1, bn) lane-major row
-    acc_ref[:] += p * s_ref[...]
+    # dequantized weights; the (nk, bn) scale block rides along whole
+    # (Mosaic rejects 1-row blocks of a >1-row array) and row k is
+    # selected dynamically
+    s_row = s_ref[pl.dslice(k, 1), :]  # (1, bn) dynamic ref load
+    acc_ref[:] += p * s_row
 
     @pl.when(k == nk - 1)
     def _():
@@ -127,7 +130,7 @@ def int4_matmul(
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
             pl.BlockSpec((bn, bk // 2), lambda i, j, k: (j, k)),
-            pl.BlockSpec((1, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((nk, bn), lambda i, j, k: (0, j)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((xf.shape[0], wp.shape[0]), x.dtype),
