@@ -119,9 +119,12 @@ int st_read_multi(StFile* f, uint64_t count, const uint64_t* offsets,
                   const uint64_t* nbytes, uint8_t** dsts,
                   const int32_t* widen_bf16, int num_threads) {
   const uint8_t* base = f->data + 8 + f->header_len;
+  const uint64_t data_size = st_data_size(f);
   std::vector<CopyJob> jobs(count);
   for (uint64_t i = 0; i < count; ++i) {
-    if (offsets[i] + nbytes[i] > st_data_size(f)) return -1;
+    // Overflow-safe containment check: offsets[i] + nbytes[i] could wrap
+    // on uint64, so compare against the remaining span instead.
+    if (nbytes[i] > data_size || offsets[i] > data_size - nbytes[i]) return -1;
     jobs[i] = {base + offsets[i], dsts[i], nbytes[i], widen_bf16 ? widen_bf16[i] : 0};
   }
   std::atomic<size_t> next(0);

@@ -19,6 +19,8 @@ def main():
     parser = build_parser()
     parser.add_argument("--host", type=str, default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--output_root", type=str, default="./outputs",
+                        help="directory client save paths are contained under")
     args = parser.parse_args()
     if args.platform:
         import jax
@@ -26,8 +28,8 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     config = set_config(args)
 
-    service = VideoGenerationService(lambda: init_runner(config))
-    server = ApiServer(service, host=args.host, port=args.port)
+    service = VideoGenerationService(lambda: init_runner(config), output_root=args.output_root)
+    server = ApiServer(service, host=args.host, port=args.port, output_root=args.output_root)
     logger.info(f"serving model_cls={config.get('model_cls')} on {args.host}:{server.port}")
     server.serve_forever()
 

@@ -214,16 +214,18 @@ class T5EncoderModel:
         self.text_len = text_len
         self.cfg = cfg
         self.params = params if params is not None else load_t5_from_path(checkpoint_path, cfg)
-        self.tokenizer = None
-        if tokenizer_path:
-            from .tokenizer import HuggingfaceTokenizer
-
-            self.tokenizer = HuggingfaceTokenizer(tokenizer_path, seq_len=text_len, clean="whitespace")
+        self.tokenizer_path = tokenizer_path
+        self.tokenizer = None  # injectable (synthetic tokenizer in tests)
         self._encode = jax.jit(partial(t5_encode, cfg=cfg))
 
     def infer(self, texts) -> jnp.ndarray:
-        assert self.tokenizer is not None, "tokenizer_path required for text input"
-        ids, mask = self.tokenizer(texts, return_mask=True, add_special_tokens=True)
+        if self.tokenizer is not None:
+            ids, mask = self.tokenizer(texts, return_mask=True)
+        else:
+            assert self.tokenizer_path, "tokenizer_path required for text input"
+            from .tokenizer import encode_prompts
+
+            ids, mask = encode_prompts(self.tokenizer_path, texts, self.text_len)
         return self._encode(self.params, jnp.asarray(ids), jnp.asarray(mask))
 
 

@@ -1,73 +1,60 @@
-"""Tokenizer wrapper (reference: lightx2v/models/input_encoders/hf/t5/
-tokenizer.py): HF AutoTokenizer + text cleaning, returning numpy ids/mask
-padded to seq_len."""
+"""Prompt tokenization: a thin functional layer over HF AutoTokenizer.
+
+The reference carries a tokenizer wrapper class with several cleaning
+modes (lightx2v/models/input_encoders/hf/t5/tokenizer.py); the only mode
+any model here uses is whitespace normalization of the prompt before the
+T5 encoder, so this module is just that: one cleaning function and one
+encode function returning padded numpy ids + mask.
+"""
 
 from __future__ import annotations
 
 import html
 import re
-import string
-from typing import List, Optional, Tuple, Union
+from functools import lru_cache
+from typing import List, Sequence, Tuple, Union
 
 import numpy as np
 
+_WS = re.compile(r"\s+")
 
-def basic_clean(text: str) -> str:
+
+def clean_prompt(text: str) -> str:
+    """Normalize a user prompt: fix mojibake when ftfy is present, unescape
+    HTML entities (twice — prompts scraped from the web are often
+    double-escaped), and collapse runs of whitespace."""
     try:
         import ftfy
 
         text = ftfy.fix_text(text)
     except ImportError:
         pass
-    return html.unescape(html.unescape(text)).strip()
+    text = html.unescape(html.unescape(text))
+    return _WS.sub(" ", text).strip()
 
 
-def whitespace_clean(text: str) -> str:
-    return re.sub(r"\s+", " ", text).strip()
+@lru_cache(maxsize=4)
+def _hf_tokenizer(name_or_path: str):
+    from transformers import AutoTokenizer
+
+    return AutoTokenizer.from_pretrained(name_or_path)
 
 
-def canonicalize(text: str, keep_punctuation_exact_string: Optional[str] = None) -> str:
-    text = text.replace("_", " ")
-    if keep_punctuation_exact_string:
-        text = keep_punctuation_exact_string.join(
-            part.translate(str.maketrans("", "", string.punctuation))
-            for part in text.split(keep_punctuation_exact_string)
-        )
-    else:
-        text = text.translate(str.maketrans("", "", string.punctuation))
-    return re.sub(r"\s+", " ", text.lower()).strip()
-
-
-class HuggingfaceTokenizer:
-    def __init__(self, name: str, seq_len: Optional[int] = None, clean: Optional[str] = None, **kwargs):
-        assert clean in (None, "whitespace", "lower", "canonicalize")
-        from transformers import AutoTokenizer
-
-        self.seq_len = seq_len
-        self.clean = clean
-        self.tokenizer = AutoTokenizer.from_pretrained(name, **kwargs)
-        self.vocab_size = self.tokenizer.vocab_size
-
-    def _clean(self, text: str) -> str:
-        if self.clean == "whitespace":
-            return whitespace_clean(basic_clean(text))
-        if self.clean == "lower":
-            return whitespace_clean(basic_clean(text)).lower()
-        if self.clean == "canonicalize":
-            return canonicalize(basic_clean(text))
-        return text
-
-    def __call__(self, sequence: Union[str, List[str]], return_mask: bool = False, **kwargs):
-        if isinstance(sequence, str):
-            sequence = [sequence]
-        if self.clean:
-            sequence = [self._clean(u) for u in sequence]
-        tk_kwargs = {"return_tensors": "np"}
-        if self.seq_len is not None:
-            tk_kwargs.update(padding="max_length", truncation=True, max_length=self.seq_len)
-        tk_kwargs.update(**kwargs)
-        out = self.tokenizer(sequence, **tk_kwargs)
-        ids = np.asarray(out["input_ids"])
-        if return_mask:
-            return ids, np.asarray(out["attention_mask"])
-        return ids
+def encode_prompts(
+    tokenizer_path: str,
+    prompts: Union[str, Sequence[str]],
+    seq_len: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Tokenize prompt(s) to fixed-length ``(ids, mask)`` numpy arrays of
+    shape (B, seq_len); mask is 1 on real tokens."""
+    if isinstance(prompts, str):
+        prompts = [prompts]
+    tok = _hf_tokenizer(tokenizer_path)
+    out = tok(
+        [clean_prompt(p) for p in prompts],
+        return_tensors="np",
+        padding="max_length",
+        truncation=True,
+        max_length=seq_len,
+    )
+    return np.asarray(out["input_ids"]), np.asarray(out["attention_mask"])

@@ -90,15 +90,15 @@ def text_embeddings(params: Params, context: jnp.ndarray, mm_fn) -> jnp.ndarray:
     return _mm(params["text_embedding"]["2"], h, mm_fn)
 
 
-def img_embeddings(params: Params, clip_fea: jnp.ndarray, mm_fn) -> jnp.ndarray:
+def img_embeddings(params: Params, clip_fea: jnp.ndarray, mm_fn, eps: float = 1e-6) -> jnp.ndarray:
     """i2v CLIP features (B, 257, clip_dim) -> (B, 257, D)
     (reference pre_infer.py:101-112: LN -> Linear -> GELU(exact) -> Linear -> LN)."""
     p = params["img_emb"]
-    h = layer_norm(clip_fea.astype(jnp.float32), p["norm0"]["w"], p["norm0"]["b"], eps=1e-5)
+    h = layer_norm(clip_fea.astype(jnp.float32), p["norm0"]["w"], p["norm0"]["b"], eps=eps)
     h = _mm(p["1"], h.astype(jnp.bfloat16), mm_fn)
     h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(jnp.bfloat16)
     h = _mm(p["3"], h, mm_fn)
-    h = layer_norm(h, p["norm4"]["w"], p["norm4"]["b"], eps=1e-5)
+    h = layer_norm(h, p["norm4"]["w"], p["norm4"]["b"], eps=eps)
     return h.astype(jnp.bfloat16)
 
 
@@ -172,8 +172,8 @@ def wan_block_parts(
         norm1 = modulated_layer_norm(x, shift_msa, scale_msa, eps=arch.eps)
     # QK RMSNorm acts on the full (S, D) projection before the head split
     # (reference transformer_infer.py:341-343)
-    q = rms_norm(_mm(sa["q"], norm1, mm_fn), sa["norm_q"], eps=1e-5).reshape(b, s, n, hd)
-    k = rms_norm(_mm(sa["k"], norm1, mm_fn), sa["norm_k"], eps=1e-5).reshape(b, s, n, hd)
+    q = rms_norm(_mm(sa["q"], norm1, mm_fn), sa["norm_q"], eps=arch.eps).reshape(b, s, n, hd)
+    k = rms_norm(_mm(sa["k"], norm1, mm_fn), sa["norm_k"], eps=arch.eps).reshape(b, s, n, hd)
     v = _mm(sa["v"], norm1, mm_fn).reshape(b, s, n, hd)
     if arch.rope_fused:
         # q/k are in half-split pair layout (weights permuted at load,
@@ -189,12 +189,12 @@ def wan_block_parts(
     # ---- cross attention ----
     ca = block["cross_attn"]
     norm3 = layer_norm(x, block["norm3"]["w"], block["norm3"]["b"], eps=arch.eps)
-    cq = rms_norm(_mm(ca["q"], norm3, mm_fn), ca["norm_q"], eps=1e-5).reshape(b, s, n, hd)
-    ck = rms_norm(_mm(ca["k"], context, mm_fn), ca["norm_k"], eps=1e-5).reshape(b, -1, n, hd)
+    cq = rms_norm(_mm(ca["q"], norm3, mm_fn), ca["norm_q"], eps=arch.eps).reshape(b, s, n, hd)
+    ck = rms_norm(_mm(ca["k"], context, mm_fn), ca["norm_k"], eps=arch.eps).reshape(b, -1, n, hd)
     cv = _mm(ca["v"], context, mm_fn).reshape(b, -1, n, hd)
     cross_out = cross_attn_fn(cq, ck, cv).reshape(b, s, d)
     if context_img is not None and "k_img" in ca:
-        ik = rms_norm(_mm(ca["k_img"], context_img, mm_fn), ca["norm_k_img"], eps=1e-5).reshape(b, -1, n, hd)
+        ik = rms_norm(_mm(ca["k_img"], context_img, mm_fn), ca["norm_k_img"], eps=arch.eps).reshape(b, -1, n, hd)
         iv = _mm(ca["v_img"], context_img, mm_fn).reshape(b, -1, n, hd)
         cross_out = cross_out + cross_attn_fn(cq, ik, iv).reshape(b, s, d)
     cross_proj = _mm(ca["o"], cross_out, mm_fn)
@@ -291,7 +291,7 @@ def wan_pre_process(
     ctx = text_embeddings(params, context, mm_fn)
     ctx_img = None
     if clip_fea is not None and "img_emb" in params:
-        ctx_img = img_embeddings(params, clip_fea, mm_fn)
+        ctx_img = img_embeddings(params, clip_fea, mm_fn, eps=arch.eps)
     return x, embed, embed0, ctx, ctx_img, grid, s_tokens
 
 
@@ -332,6 +332,11 @@ def wan_forward(
         params, latents, t, context, arch, y=y, clip_fea=clip_fea,
         cfg_scale=cfg_scale, seq_len=seq_len,
     )
+    if seq_len is not None and seq_len > s_tokens:
+        # Mask the zero-embedding pad tokens out of self-attention K/V
+        # (reference masks via seq_lens/cu_seqlens in its varlen kernels).
+        self_attn_kwargs = dict(self_attn_kwargs or {})
+        self_attn_kwargs.setdefault("kv_len", s_tokens)
 
     if transformer_fn is not None:
         # injected transformer (e.g. the shard_map'd sequence-parallel one)

@@ -47,6 +47,17 @@ class SchedulerBase:
         raise NotImplementedError
 
     def init_latents(self, target_shape, seed: int) -> jnp.ndarray:
+        """Seeded initial noise. ``latent_init: "torch"`` reproduces the
+        reference's CPU torch.Generator stream bit-exactly (reference
+        wan/scheduler.py:25-27,55-63 uses torch.randn(generator)), so runs
+        can be compared frame-to-frame against the reference; the default
+        stays jax.random (faster, device-side)."""
+        if str(self.config.get("latent_init", "jax")) == "torch":
+            import torch
+
+            g = torch.Generator(device="cpu").manual_seed(int(seed))
+            lat = torch.randn(tuple(int(s) for s in target_shape), generator=g, dtype=torch.float32)
+            return jnp.asarray(lat.numpy())
         key = jax.random.PRNGKey(seed)
         return jax.random.normal(key, tuple(target_shape), dtype=jnp.float32)
 

@@ -53,7 +53,10 @@ class WanUniPCScheduler(SchedulerBase):
         sig = np.linspace(sigma_max, sigma_min, self.infer_steps + 1).copy()[:-1]
         sh = self.sample_shift if shift is None else shift
         sig = sh * sig / (1 + (sh - 1) * sig)
-        self.timesteps = (sig * self.num_train_timesteps).astype(np.float32)
+        # model-input timesteps are TRUNCATED to integers (reference
+        # set_timesteps casts to int64, :86) — the sigma table keeps full
+        # precision; only the conditioning embedding sees the int value
+        self.timesteps = np.trunc(sig * self.num_train_timesteps).astype(np.float32)
         self.sigmas = np.concatenate([sig, [0.0]]).astype(np.float32)
 
         n = self.infer_steps

@@ -10,6 +10,7 @@ semantics preserved (reference server/utils.py ServiceStatus)."""
 
 from __future__ import annotations
 
+import os
 import queue
 import random
 import threading
@@ -39,8 +40,9 @@ class TaskRecord:
 class VideoGenerationService:
     """Owns the runner and the task loop (single task at a time)."""
 
-    def __init__(self, runner_factory):
+    def __init__(self, runner_factory, output_root: str = "./outputs"):
         self._runner_factory = runner_factory
+        self._output_root = os.path.abspath(output_root)
         self._runner = None
         self._queue: "queue.Queue[str]" = queue.Queue()
         self._tasks: Dict[str, TaskRecord] = {}
@@ -55,13 +57,30 @@ class VideoGenerationService:
     def submit(self, req: TaskRequest) -> TaskRecord:
         task_id = req.task_id or generate_task_id()
         req.task_id = task_id
-        if not req.save_video_path:
-            req.save_video_path = f"./outputs/{task_id}.mp4"
+        req.save_video_path = self._resolve_save_path(req.save_video_path, task_id)
         rec = TaskRecord(req)
         with self._lock:
             self._tasks[task_id] = rec
         self._queue.put(task_id)
         return rec
+
+    def _resolve_save_path(self, requested: Optional[str], task_id: str) -> str:
+        """Contain client-supplied save paths under output_root — the write-
+        side mirror of the download handler's traversal guard (a remote
+        caller must not be able to write to arbitrary filesystem paths)."""
+        if requested:
+            cand = os.path.abspath(requested)
+            try:
+                if os.path.commonpath([self._output_root, cand]) == self._output_root:
+                    return cand  # already contained
+            except ValueError:  # different drives (win) — fall through
+                pass
+            name = os.path.basename(requested)
+        else:
+            name = ""
+        if not name or name in (".", ".."):
+            name = f"{task_id}.mp4"
+        return os.path.join(self._output_root, name)
 
     def get(self, task_id: str) -> Optional[TaskRecord]:
         with self._lock:

@@ -76,13 +76,24 @@ def load_file_native(path: str, num_threads: int = 8, widen_bf16: bool = False) 
         header.pop("__metadata__", None)
         lib.st_prefetch(h, 0, lib.st_data_size(h))
 
+        data_size = lib.st_data_size(h)
         names, offs, sizes, dsts, widens, arrays = [], [], [], [], [], []
         for name, ent in header.items():
             dt = np.dtype(st_py._DTYPES[ent["dtype"]])
             begin, end = ent["data_offsets"]
+            # Cross-check the header before handing raw pointers to C++: a
+            # corrupt/malicious header whose data_offsets span disagrees with
+            # shape*itemsize would otherwise overflow the numpy buffer.
+            nbytes = int(np.prod(ent["shape"], dtype=np.int64)) * dt.itemsize
+            if begin < 0 or end < begin or end - begin != nbytes or end > data_size:
+                raise IOError(
+                    f"corrupt safetensors header for {name!r} in {path}: "
+                    f"data_offsets [{begin},{end}) vs shape {ent['shape']} dtype {ent['dtype']}"
+                )
             widen = bool(widen_bf16 and dt == np.dtype(ml_dtypes.bfloat16))
             out_dt = np.float32 if widen else dt
             arr = np.empty(ent["shape"], out_dt)
+            assert arr.nbytes == (nbytes * 2 if widen else nbytes)
             names.append(name)
             offs.append(begin)
             sizes.append(end - begin)

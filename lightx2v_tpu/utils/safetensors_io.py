@@ -101,8 +101,19 @@ class SafetensorsFile:
 
 
 def load_file(path: str) -> Dict[str, np.ndarray]:
+    if _use_native():
+        from . import native_loader
+
+        if native_loader.native_available():
+            return native_loader.load_file_native(path)
     with SafetensorsFile(path) as f:
         return {k: np.array(v) for k, v in f.items()}
+
+
+def _use_native() -> bool:
+    """Native (C++ thread-pool) ingest is on by default; set
+    LIGHTX2V_NATIVE_LOADER=0 to force the pure-Python reader."""
+    return os.environ.get("LIGHTX2V_NATIVE_LOADER", "1") not in ("0", "false")
 
 
 def save_file(tensors: Dict[str, np.ndarray], path: str, metadata: Optional[Dict[str, str]] = None) -> None:

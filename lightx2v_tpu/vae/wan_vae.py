@@ -509,7 +509,9 @@ def init_random_vae_state_dict(cfg: WanVAEConfig, seed: int = 0, scale: float = 
             conv3(f"{key}.shortcut", i, o, k=(1, 1, 1))
 
     def attn(key, d):
-        norm(f"{key}.norm", d)
+        # attention norm is RMS_norm(images=False): gamma (d, 1, 1)
+        # (reference vae.py:48-60), vs (d, 1, 1, 1) on the video norms
+        sd[f"{key}.norm.gamma"] = np.ones((d, 1, 1), np.float32)
         conv2(f"{key}.to_qkv", d, d * 3, k=(1, 1))
         conv2(f"{key}.proj", d, d, k=(1, 1))
 

@@ -1,0 +1,214 @@
+"""Run the REFERENCE PyTorch implementation (/root/reference) on CPU so the
+TPU rebuild can be asserted equivalent against the reference's own code —
+not against oracles we wrote ourselves.
+
+No reference code is copied: this module imports and executes the
+reference in-place, with three small shims so a CUDA-built-for codebase
+runs on a CPU-only torch:
+
+* a ``loguru`` stand-in (not installed here),
+* ``Tensor.cuda()`` / ``Tensor.pin_memory()`` as identity (the reference
+  calls them unconditionally at load, model.py:80 / pre_infer.py:19),
+* ``torch.cuda.get_device_capability`` -> (0, 0) (queried at import by
+  attentions/common/sage_attn2.py:3).
+
+Both stacks load the SAME synthetic safetensors checkpoint; attention
+runs the reference's ``torch_sdpa`` op (CPU-capable) vs our XLA path.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+
+import numpy as np
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(os.path.join(REFERENCE_ROOT, "lightx2v"))
+
+
+class Cfg(dict):
+    """Minimal attribute-dict standing in for the reference's EasyDict."""
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+
+_installed = False
+
+
+def install():
+    """Make the reference package importable on CPU. Idempotent."""
+    global _installed
+    if _installed:
+        return
+    # the reference gates weight dtype on this (envs.py GET_DTYPE is
+    # lru_cached, so it must be set before the first call)
+    os.environ.setdefault("DTYPE", "BF16")
+
+    if "loguru" not in sys.modules:
+        mod = types.ModuleType("loguru")
+
+        class _Logger:
+            def __getattr__(self, name):
+                return lambda *a, **kw: None
+
+        mod.logger = _Logger()
+        sys.modules["loguru"] = mod
+
+    import torch
+
+    if not torch.cuda.is_available():
+        torch.cuda.get_device_capability = lambda *a, **kw: (0, 0)
+        torch.Tensor.cuda = lambda self, *a, **kw: self
+        torch.Tensor.pin_memory = lambda self, *a, **kw: self
+        _torch_empty = torch.empty
+
+        def _empty_no_pin(*a, **kw):
+            kw.pop("pin_memory", None)
+            return _torch_empty(*a, **kw)
+
+        torch.empty = _empty_no_pin
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+
+    # op registries fill at import (reference common/ops/__init__.py)
+    import lightx2v.common.ops  # noqa: F401
+
+    _installed = True
+
+
+# ---------------------------------------------------------------- tiny arch
+
+def tiny_config(task: str = "t2v", infer_steps: int = 8, enable_cfg: bool = True,
+                seed: int = 7, frames: int = 3, height: int = 8, width: int = 8) -> Cfg:
+    """A CPU-sized Wan config accepted by BOTH stacks (keys are the
+    reference's; our arch_from_config reads the same names)."""
+    return Cfg(
+        model_cls="wan2.1",
+        task=task,
+        dim=64,
+        ffn_dim=128,
+        num_heads=2,
+        num_layers=2,
+        in_dim=36 if task == "i2v" else 16,
+        out_dim=16,
+        text_len=16,
+        text_dim=32,
+        clip_dim=24,
+        freq_dim=256,
+        patch_size=(1, 2, 2),
+        eps=1e-6,
+        infer_steps=infer_steps,
+        enable_cfg=enable_cfg,
+        sample_guide_scale=5.0,
+        sample_shift=5.0,
+        # pixel-space frame count; latent F = (len-1)//vae_stride[0]+1 = frames
+        target_video_length=(frames - 1) * 4 + 1,
+        target_shape=(16, frames, height, width),
+        seed=seed,
+        # reference plumbing
+        mm_config=Cfg(),
+        do_mm_calib=False,
+        cpu_offload=False,
+        feature_caching="NoCaching",
+        parallel_attn_type=None,
+        self_attn_1_type="torch_sdpa",
+        cross_attn_1_type="torch_sdpa",
+        cross_attn_2_type="torch_sdpa",
+        vae_stride=(4, 8, 8),
+        lat_h=height,
+        lat_w=width,
+    )
+
+
+def make_checkpoint(cfg: Cfg, tmpdir: str, seed: int = 3) -> str:
+    """Write one synthetic safetensors checkpoint both stacks load."""
+    from lightx2v_tpu.models.wan.config import arch_from_config
+    from lightx2v_tpu.models.wan.weights import init_random_weight_dict
+    from lightx2v_tpu.utils import safetensors_io as st
+
+    arch = arch_from_config(cfg)
+    wd = init_random_weight_dict(arch, seed=seed, scale=0.05)
+    # reference text_dim is baked into the weight shapes already
+    path = os.path.join(tmpdir, "model.safetensors")
+    st.save_file({k: np.asarray(v) for k, v in wd.items()}, path)
+    return tmpdir
+
+
+# ------------------------------------------------------------ reference run
+
+def build_reference_model(cfg: Cfg, ckpt_dir: str):
+    """Instantiate the reference WanModel + WanScheduler on CPU."""
+    install()
+    import torch
+
+    from lightx2v.models.networks.wan.model import WanModel
+    from lightx2v.models.schedulers.wan.scheduler import WanScheduler
+
+    model = WanModel(ckpt_dir, cfg, torch.device("cpu"))
+    sched = WanScheduler(cfg)
+    sched.device = torch.device("cpu")  # ctor hardcodes cuda (scheduler.py:12)
+    model.set_scheduler(sched)
+    return model, sched
+
+
+def reference_text_inputs(cfg: Cfg, seed: int = 11):
+    """Synthetic (pre-embedding) T5 contexts, identical on both sides."""
+    rng = np.random.default_rng(seed)
+    lt = cfg["text_len"]
+    ctx = rng.standard_normal((lt, cfg["text_dim"]), dtype=np.float32)
+    ctx_null = rng.standard_normal((lt, cfg["text_dim"]), dtype=np.float32)
+    return ctx, ctx_null
+
+
+def run_reference_pipeline(cfg: Cfg, ckpt_dir: str, n_steps=None):
+    """Reference denoise loop exactly as DefaultRunner.run() drives it
+    (reference models/runners/default_runner.py:97-114). Returns the
+    final latents and the initial latents (fp32 numpy)."""
+    install()
+    import torch
+
+    model, sched = build_reference_model(cfg, ckpt_dir)
+    ctx, ctx_null = reference_text_inputs(cfg)
+    inputs = {
+        "text_encoder_output": {
+            "context": [torch.from_numpy(ctx).to(torch.bfloat16)],
+            "context_null": [torch.from_numpy(ctx_null).to(torch.bfloat16)],
+        }
+    }
+    if cfg["task"] == "i2v":
+        clip, vae_y = reference_i2v_inputs(cfg)
+        inputs["image_encoder_output"] = {
+            "clip_encoder_out": torch.from_numpy(clip).to(torch.bfloat16),
+            "vae_encode_out": torch.from_numpy(vae_y).to(torch.bfloat16),
+        }
+    sched.prepare()
+    lat0 = sched.latents.float().numpy().copy()
+    steps = n_steps if n_steps is not None else cfg["infer_steps"]
+    with torch.no_grad():
+        for i in range(steps):
+            sched.step_pre(i)
+            model.infer(inputs)
+            sched.step_post()
+    return lat0, sched.latents.float().numpy()
+
+
+def reference_i2v_inputs(cfg: Cfg, seed: int = 13):
+    """Synthetic CLIP tokens + VAE/mask conditioning shared by both sides."""
+    rng = np.random.default_rng(seed)
+    clip = rng.standard_normal((257, cfg["clip_dim"]), dtype=np.float32)
+    _, f, h, w = cfg["target_shape"]
+    y = rng.standard_normal((cfg["in_dim"] - 16, f, h, w), dtype=np.float32)
+    return clip, y

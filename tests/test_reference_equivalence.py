@@ -1,0 +1,314 @@
+"""Equivalence against the REFERENCE implementation itself.
+
+Every other parity test in this suite checks against oracles we wrote;
+these run the reference's own PyTorch code (/root/reference) on CPU with
+a tiny arch and the SAME synthetic safetensors checkpoint, and assert the
+TPU stack reproduces it:
+
+* DiT forward (t2v + i2v + CFG) — reference WanModel.infer
+  (lightx2v/models/networks/wan/model.py:197-226)
+* UniPC trajectory — reference WanScheduler.step_post
+  (lightx2v/models/schedulers/wan/scheduler.py:322-360)
+* full denoise loop end-to-end, bit-identical initial latents via the
+  torch-compatible ``latent_init: "torch"`` mode.
+
+Both stacks compute in bf16 (the reference hard-codes bf16 GEMMs), so
+agreement is asserted as SNR in dB rather than elementwise rel-err.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import reference_harness as rh
+
+pytestmark = pytest.mark.skipif(not rh.reference_available(), reason="/root/reference not present")
+
+
+def snr_db(ref: np.ndarray, got: np.ndarray) -> float:
+    ref = np.asarray(ref, np.float64)
+    got = np.asarray(got, np.float64)
+    err = np.square(ref - got).sum()
+    if err == 0:
+        return np.inf
+    return 10.0 * np.log10(np.square(ref).sum() / err)
+
+
+@pytest.fixture(scope="module")
+def tiny_t2v(tmp_path_factory):
+    cfg = rh.tiny_config(task="t2v", infer_steps=8, enable_cfg=True)
+    ckpt = rh.make_checkpoint(cfg, str(tmp_path_factory.mktemp("ckpt_t2v")))
+    return cfg, ckpt
+
+
+@pytest.fixture(scope="module")
+def tiny_i2v(tmp_path_factory):
+    cfg = rh.tiny_config(task="i2v", infer_steps=4, enable_cfg=True)
+    ckpt = rh.make_checkpoint(cfg, str(tmp_path_factory.mktemp("ckpt_i2v")))
+    return cfg, ckpt
+
+
+def _our_setup(cfg, ckpt):
+    from lightx2v_tpu.models.wan.config import arch_from_config
+    from lightx2v_tpu.models.wan.weights import load_wan_params
+    from lightx2v_tpu.schedulers.unipc import WanUniPCScheduler
+    from lightx2v_tpu.utils.safetensors_io import load_sharded
+
+    arch = arch_from_config(cfg)
+    params = load_wan_params(load_sharded(ckpt), arch)
+    scfg = rh.Cfg(dict(cfg))
+    scfg["latent_init"] = "torch"
+    sched = WanUniPCScheduler(scfg)
+    return arch, params, sched
+
+
+def _our_inputs(cfg):
+    import jax.numpy as jnp
+
+    ctx, ctx_null = rh.reference_text_inputs(cfg)
+    return jnp.asarray(ctx)[None], jnp.asarray(ctx_null)[None]
+
+
+def test_latent_init_torch_compat(tiny_t2v):
+    """latent_init="torch" reproduces the reference generator bit-exactly."""
+    cfg, ckpt = tiny_t2v
+    _, _, sched = _our_setup(cfg, ckpt)
+    ours = np.asarray(sched.init_latents(cfg["target_shape"], cfg["seed"]))
+
+    rh.install()
+    import torch
+
+    g = torch.Generator(device="cpu").manual_seed(cfg["seed"])
+    ref = torch.randn(*cfg["target_shape"], dtype=torch.float32, generator=g).numpy()
+    assert np.array_equal(ours, ref)
+
+
+def test_dit_forward_matches_reference(tiny_t2v):
+    """One CFG forward: our batched cond/uncond pass vs the reference's
+    sequential double pass, identical weights + latents + timestep."""
+    cfg, ckpt = tiny_t2v
+    rh.install()
+    import torch
+
+    model, sched_ref = rh.build_reference_model(cfg, ckpt)
+    ctx, ctx_null = rh.reference_text_inputs(cfg)
+    inputs = {
+        "text_encoder_output": {
+            "context": [torch.from_numpy(ctx).to(torch.bfloat16)],
+            "context_null": [torch.from_numpy(ctx_null).to(torch.bfloat16)],
+        }
+    }
+    sched_ref.prepare()
+    lat0 = sched_ref.latents.float().numpy().copy()
+    with torch.no_grad():
+        sched_ref.step_pre(0)
+        model.infer(inputs)
+    ref_pred = sched_ref.noise_pred.float().numpy()
+
+    # ours
+    import jax.numpy as jnp
+
+    from lightx2v_tpu.models.wan.model import wan_forward_cfg
+    from lightx2v_tpu.models.wan.pipeline import rope_for_shape
+
+    arch, params, sched = _our_setup(cfg, ckpt)
+    sched.prepare(cfg["target_shape"], seed=cfg["seed"])
+    rope_cos, rope_sin, seq_len = rope_for_shape(arch, cfg["target_shape"])
+    t = jnp.asarray([sched.timesteps[0]], jnp.float32)
+    c, cn = _our_inputs(cfg)
+    out = wan_forward_cfg(
+        params, jnp.asarray(lat0)[None].astype(jnp.bfloat16), t, c, cn,
+        cfg["sample_guide_scale"], rope_cos, rope_sin, arch,
+        self_attn_type="xla", cross_attn_type="xla", seq_len=seq_len,
+    )
+    got = np.asarray(out[0], np.float32)
+    s = snr_db(ref_pred, got)
+    assert s > 30.0, f"DiT forward SNR vs reference = {s:.1f} dB"
+
+
+def test_i2v_forward_matches_reference(tiny_i2v):
+    """i2v: CLIP-token image cross-attention + y-channel conditioning."""
+    cfg, ckpt = tiny_i2v
+    rh.install()
+    import torch
+
+    model, sched_ref = rh.build_reference_model(cfg, ckpt)
+    ctx, ctx_null = rh.reference_text_inputs(cfg)
+    clip, y = rh.reference_i2v_inputs(cfg)
+    inputs = {
+        "text_encoder_output": {
+            "context": [torch.from_numpy(ctx).to(torch.bfloat16)],
+            "context_null": [torch.from_numpy(ctx_null).to(torch.bfloat16)],
+        },
+        "image_encoder_output": {
+            "clip_encoder_out": torch.from_numpy(clip).to(torch.bfloat16),
+            "vae_encode_out": torch.from_numpy(y).to(torch.bfloat16),
+        },
+    }
+    sched_ref.prepare()
+    lat0 = sched_ref.latents.float().numpy().copy()
+    with torch.no_grad():
+        sched_ref.step_pre(0)
+        model.infer(inputs)
+    ref_pred = sched_ref.noise_pred.float().numpy()
+
+    import jax.numpy as jnp
+
+    from lightx2v_tpu.models.wan.model import wan_forward_cfg
+    from lightx2v_tpu.models.wan.pipeline import rope_for_shape
+
+    arch, params, sched = _our_setup(cfg, ckpt)
+    sched.prepare(cfg["target_shape"], seed=cfg["seed"])
+    rope_cos, rope_sin, seq_len = rope_for_shape(arch, cfg["target_shape"])
+    t = jnp.asarray([sched.timesteps[0]], jnp.float32)
+    c, cn = _our_inputs(cfg)
+    out = wan_forward_cfg(
+        params, jnp.asarray(lat0)[None].astype(jnp.bfloat16), t, c, cn,
+        cfg["sample_guide_scale"], rope_cos, rope_sin, arch,
+        y=jnp.asarray(y)[None], clip_fea=jnp.asarray(clip)[None],
+        self_attn_type="xla", cross_attn_type="xla", seq_len=seq_len,
+    )
+    got = np.asarray(out[0], np.float32)
+    s = snr_db(ref_pred, got)
+    assert s > 30.0, f"i2v forward SNR vs reference = {s:.1f} dB"
+
+
+def test_unipc_trajectory_matches_reference(tiny_t2v):
+    """Pure scheduler math: identical synthetic flow predictions through
+    both UniPC implementations must land on (near-)identical latents —
+    fp32 math, so the bar is tight."""
+    cfg, ckpt = tiny_t2v
+    rh.install()
+    import torch
+
+    from lightx2v.models.schedulers.wan.scheduler import WanScheduler
+
+    n = cfg["infer_steps"]
+    shape = cfg["target_shape"]
+    rng = np.random.default_rng(0)
+    preds = [rng.standard_normal(shape).astype(np.float32) for _ in range(n)]
+
+    sched_ref = WanScheduler(cfg)
+    sched_ref.device = torch.device("cpu")
+    sched_ref.prepare()
+    lat0 = sched_ref.latents.float().numpy().copy()
+    for i in range(n):
+        # step_pre also rounds latents to bf16 (scheduler.py:17 — a
+        # precision loss our fp32 carry deliberately avoids); bypass it so
+        # this compares the pure fp32 UniPC math
+        sched_ref.step_index = i
+        sched_ref.noise_pred = torch.from_numpy(preds[i])
+        sched_ref.step_post()
+    ref_final = sched_ref.latents.float().numpy()
+
+    import jax.numpy as jnp
+
+    _, _, sched = _our_setup(cfg, ckpt)
+    state = sched.prepare(shape, seed=cfg["seed"])
+    assert np.array_equal(np.asarray(state["latents"]), lat0)
+    np.testing.assert_allclose(np.asarray(sched.sigmas), sched_ref.sigmas.numpy(), atol=1e-6)
+    for i in range(n):
+        state = sched.step_post(state, jnp.asarray(preds[i]))
+    got = np.asarray(state["latents"], np.float32)
+    np.testing.assert_allclose(got, ref_final, rtol=2e-4, atol=2e-4)
+
+
+def test_e2e_denoise_matches_reference(tiny_t2v):
+    """Full loop: same checkpoint, same torch-stream initial noise, all 8
+    UniPC steps with CFG. The accumulated bf16 divergence must stay small."""
+    cfg, ckpt = tiny_t2v
+    lat0_ref, ref_final = rh.run_reference_pipeline(cfg, ckpt)
+
+    import jax.numpy as jnp
+
+    from lightx2v_tpu.models.wan.pipeline import make_denoise_fn
+
+    arch, params, sched = _our_setup(cfg, ckpt)
+    state = sched.prepare(cfg["target_shape"], seed=cfg["seed"])
+    assert np.array_equal(np.asarray(state["latents"]), lat0_ref)
+    denoise = make_denoise_fn(
+        arch, sched, cfg["target_shape"], enable_cfg=True,
+        guide_scale=cfg["sample_guide_scale"],
+        self_attn_type="xla", cross_attn_type="xla",
+    )
+    c, cn = _our_inputs(cfg)
+    state_f = denoise(params, state, c, cn)
+    got = np.asarray(state_f["latents"], np.float32)
+    s = snr_db(ref_final, got)
+    assert s > 25.0, f"e2e denoise SNR vs reference = {s:.1f} dB"
+
+
+# ---------------------------------------------------------------- VAE parity
+
+TINY_VAE = dict(dim=8, z_dim=4, dim_mult=(1, 2, 2, 2), num_res_blocks=1,
+                attn_scales=(), temperal_downsample=(False, True, True))
+
+
+@pytest.fixture(scope="module")
+def vae_pair():
+    """(our params, reference nn.Module) loaded from one state dict."""
+    rh.install()
+    import torch
+
+    from lightx2v.models.video_encoders.hf.wan.vae import WanVAE_
+
+    from lightx2v_tpu.vae.wan_vae import (
+        WanVAEConfig, init_random_vae_state_dict, load_wan_vae_params)
+
+    cfg = WanVAEConfig(**{k: v for k, v in TINY_VAE.items() if k != "attn_scales"})
+    sd = init_random_vae_state_dict(cfg, seed=5)
+    ours = load_wan_vae_params(sd, cfg)
+
+    ref = WanVAE_(dim=cfg.dim, z_dim=cfg.z_dim, dim_mult=list(cfg.dim_mult),
+                  num_res_blocks=cfg.num_res_blocks, attn_scales=[],
+                  temperal_downsample=list(cfg.temperal_downsample))
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, strict=False)
+    assert not unexpected, unexpected
+    # encoder-side-only keys may be absent from a decode test but we build both
+    assert not missing, missing
+    ref.eval()
+    return cfg, ours, ref
+
+
+def test_vae_decode_matches_reference(vae_pair):
+    """Streaming causal decode (scan+cache) vs the reference's per-frame
+    feat_cache loop (vae.py:713-739), fp32 both sides."""
+    cfg, ours, ref = vae_pair
+    rh.install()
+    import torch
+
+    from lightx2v_tpu.vae.wan_vae import vae_decode
+
+    rng = np.random.default_rng(21)
+    z = rng.standard_normal((1, 3, 4, 6, cfg.z_dim)).astype(np.float32)  # B,T,h,w,C
+    with torch.no_grad():
+        ref_out = ref.decode(torch.from_numpy(z.transpose(0, 4, 1, 2, 3)), scale=[0.0, 1.0])
+    ref_np = ref_out.numpy().transpose(0, 2, 3, 4, 1)  # -> B,T,H,W,C
+
+    import jax.numpy as jnp
+
+    got = np.asarray(vae_decode(ours, jnp.asarray(z), cfg, scale=False))
+    assert got.shape == ref_np.shape
+    np.testing.assert_allclose(got, ref_np, rtol=2e-3, atol=2e-3)
+
+
+def test_vae_encode_matches_reference(vae_pair):
+    cfg, ours, ref = vae_pair
+    rh.install()
+    import torch
+
+    from lightx2v_tpu.vae.wan_vae import vae_encode
+
+    rng = np.random.default_rng(22)
+    x = rng.standard_normal((1, 9, 32, 48, 3)).astype(np.float32)  # B,T,H,W,C
+    with torch.no_grad():
+        ref_mu = ref.encode(torch.from_numpy(x.transpose(0, 4, 1, 2, 3)), scale=[0.0, 1.0])
+    ref_np = ref_mu.numpy().transpose(0, 2, 3, 4, 1)
+
+    import jax.numpy as jnp
+
+    got = np.asarray(vae_encode(ours, jnp.asarray(x), cfg, scale=False))
+    assert got.shape == ref_np.shape
+    np.testing.assert_allclose(got, ref_np, rtol=2e-3, atol=2e-3)

@@ -46,7 +46,7 @@ def server(tmp_path_factory):
     ])
     config = set_config(args)
     config["save_video_path"] = str(out / "task.mp4")
-    service = VideoGenerationService(lambda: init_runner(config))
+    service = VideoGenerationService(lambda: init_runner(config), output_root=str(out))
     srv = ApiServer(service, host="127.0.0.1", port=0, output_root=str(out))
     srv.serve_background()
     yield srv, out
@@ -121,3 +121,16 @@ def test_stop_when_idle(server):
     code, body = _req(srv.port, "DELETE", "/v1/tasks/running")
     assert code == 200
     assert body["stop_status"] in ("do_nothing", "requested")
+
+
+def test_save_path_traversal_contained(tmp_path):
+    """Client-supplied save_video_path must resolve under output_root
+    (write-side mirror of the download traversal guard)."""
+    svc = VideoGenerationService.__new__(VideoGenerationService)
+    svc._output_root = os.path.abspath(str(tmp_path))
+    inside = svc._resolve_save_path(str(tmp_path / "ok.mp4"), "TID")
+    assert inside == str(tmp_path / "ok.mp4")
+    for evil in ("/etc/cron.d/x.mp4", "../../escape.mp4", "a/../../b.mp4"):
+        p = svc._resolve_save_path(evil, "TID")
+        assert os.path.commonpath([svc._output_root, p]) == svc._output_root, p
+    assert svc._resolve_save_path(None, "TID").endswith("TID.mp4")
