@@ -64,6 +64,7 @@ def make_denoise_fn(
     caching_config=None,
     num_steps: Optional[int] = None,
     self_attn_kwargs: Optional[dict] = None,
+    parallel_attn_type: str = "ulysses",
 ):
     """Build a jitted fn(params, state, context, context_null, y, clip_fea)
     -> final scheduler state, running all ``scheduler.num_steps()`` steps
@@ -88,7 +89,8 @@ def make_denoise_fn(
 
     sharded_tf = None
     if mesh is not None:
-        sharded_tf = make_sharded_transformer(mesh, arch, mm_type, self_attn_type, cross_attn_type)
+        sharded_tf = make_sharded_transformer(mesh, arch, mm_type, self_attn_type,
+                                              cross_attn_type, parallel_attn_type or "ulysses")
 
     def transformer(params, x, embed0, ctx, ctx_img):
         if sharded_tf is not None:

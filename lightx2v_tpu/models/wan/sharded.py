@@ -29,9 +29,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ...ops.attention import attention
 from ...ops.linear import resolve_mm
+from ...ops.rope import apply_rope_half
 from ...parallel.mesh import mesh_axis_size
+from ...parallel.ring import ring_attention
 from ...parallel.tensor_parallel import tp_block_specs, wan_block_tp
 from ...parallel.ulysses import ulysses_attention
+from ...utils.logging_utils import logger
 from .config import WanArch
 from .model import wan_block, wan_forward
 
@@ -42,21 +45,43 @@ def make_sharded_transformer(
     mm_type: str = "Default",
     self_attn_type: str = "flash_attn3",
     cross_attn_type: str = "flash_attn3",
+    parallel_attn_type: str = "ulysses",
 ):
     """Returns transformer_fn(blocks, x, embed0, context, context_img) with
-    x sharded (dp, sp) — pluggable into wan_forward(transformer_fn=...)."""
+    x sharded (dp, sp) — pluggable into wan_forward(transformer_fn=...).
+
+    ``parallel_attn_type`` selects the sequence-parallel algorithm over the
+    ``sp`` axis: "ulysses" (all_to_all seq<->head swap, reference
+    ulysses/attn.py:7-91) or "ring" (K/V rotation via ppermute with
+    online-softmax merge, reference ring/attn.py:96-162)."""
     sp = mesh_axis_size(mesh, "sp")
     tp = mesh_axis_size(mesh, "tp")
-    assert not arch.rope_fused, "rope_fused + sequence/tensor parallelism lands later"
+    if arch.rope_fused:
+        # the fused-rope flash kernel is wired single-chip only; under a
+        # mesh the rotation falls back to the XLA half-split rope pass on
+        # the token-sharded q/k (same permuted weight layout, same math)
+        logger.warning("rope_fused + mesh: applying RoPE as an XLA pass "
+                       "(in-kernel fusion is single-chip only)")
     mm_fn = resolve_mm(mm_type)
     dense_self = partial(attention, self_attn_type)
     dense_cross = partial(attention, cross_attn_type)
+    if parallel_attn_type not in (None, "ulysses", "ring"):
+        raise ValueError(f"unsupported parallel_attn_type: {parallel_attn_type}")
 
     def transformer(blocks, x, embed0, context, context_img, cos, sin):
         if sp > 1:
-            self_fn = lambda q, k, v: ulysses_attention(dense_self, q, k, v, axis="sp")
+            if parallel_attn_type == "ring":
+                sp_attn = lambda q, k, v: ring_attention(q, k, v, axis="sp")
+            else:
+                sp_attn = lambda q, k, v: ulysses_attention(dense_self, q, k, v, axis="sp")
         else:
-            self_fn = dense_self
+            sp_attn = dense_self
+
+        def self_fn(q, k, v, rope_cos=None, rope_sin=None):
+            if rope_cos is not None:  # arch.rope_fused: q/k arrive un-rotated
+                q = apply_rope_half(q, rope_cos, rope_sin)
+                k = apply_rope_half(k, rope_cos, rope_sin)
+            return sp_attn(q, k, v)
 
         if tp > 1:
             # heads + FFN sharded over tp (Megatron pattern); the attention
@@ -111,6 +136,7 @@ def wan_forward_sharded(
     self_attn_type: str = "flash_attn3",
     cross_attn_type: str = "flash_attn3",
     seq_len: Optional[int] = None,
+    parallel_attn_type: str = "ulysses",
 ) -> jnp.ndarray:
     """Drop-in sharded version of wan_forward. The token count (after
     optional padding to ``seq_len``) must divide the sp axis; num_heads
@@ -118,7 +144,8 @@ def wan_forward_sharded(
     sp = mesh_axis_size(mesh, "sp")
     assert arch.num_heads % sp == 0, f"heads {arch.num_heads} % sp {sp} != 0"
 
-    sharded_tf = make_sharded_transformer(mesh, arch, mm_type, self_attn_type, cross_attn_type)
+    sharded_tf = make_sharded_transformer(mesh, arch, mm_type, self_attn_type,
+                                          cross_attn_type, parallel_attn_type)
 
     def transformer_fn(blocks, x, embed0, context, context_img):
         if context_img is None:

@@ -25,6 +25,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from ..utils.kernel_dispatch import kernel_fallback
 from ..utils.registry import ATTN_REGISTER
 
 
@@ -130,8 +131,8 @@ def _dispatch_flash(q, k, v, kv_len: Optional[int] = None, rope_cos=None, rope_s
                 from .pallas.flash_attention import flash_attention_fused_rope
 
                 return flash_attention_fused_rope(q, k, v, rope_cos, rope_sin, kv_len=kv_len)
-            except Exception:
-                pass
+            except Exception as e:
+                kernel_fallback("flash_attention_fused_rope", e)
         from .rope import apply_rope_half
 
         q = apply_rope_half(q, rope_cos, rope_sin)
@@ -139,8 +140,8 @@ def _dispatch_flash(q, k, v, kv_len: Optional[int] = None, rope_cos=None, rope_s
     if jax.default_backend() == "tpu":
         try:
             return _pallas_flash(q, k, v, kv_len=kv_len)
-        except Exception:
-            pass
+        except Exception as e:
+            kernel_fallback("flash_attention", e)
     return attn_xla_chunked(q, k, v, kv_len=kv_len)
 
 
@@ -151,8 +152,8 @@ def _dispatch_sage(q, k, v, kv_len: Optional[int] = None, **kw):
             from .pallas.sage_attention import sage_attention
 
             return sage_attention(q, k, v, kv_len=kv_len)
-        except Exception:
-            pass
+        except Exception as e:
+            kernel_fallback("sage_attention", e)
     return _dispatch_flash(q, k, v, kv_len=kv_len)
 
 
@@ -171,8 +172,8 @@ def _dispatch_sparge(q, k, v, kv_len: Optional[int] = None, keep_ratio=0.3, l1=0
     if jax.default_backend() == "tpu":
         try:
             return sparge_attention(q, k, v, keep_ratio=keep_ratio, l1=l1)
-        except Exception:
-            pass
+        except Exception as e:
+            kernel_fallback("sparge_attention", e)
     return sparge_attention_xla(q, k, v, keep_ratio=keep_ratio, l1=l1)
 
 

@@ -24,6 +24,7 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
+from ..utils.kernel_dispatch import kernel_fallback
 from ..utils.registry import MM_REGISTER
 
 
@@ -119,8 +120,8 @@ def _mm_int4(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
 
             y = int4_matmul(x, params["w"], params["w_scale"])
             return _bias_add(y.astype(jnp.float32), params.get("b"), x.dtype)
-        except Exception:
-            pass
+        except Exception as e:
+            kernel_fallback("int4_matmul", e)
     from .pallas.int4_matmul import int4_matmul_xla
 
     y = int4_matmul_xla(x, params["w"], params["w_scale"])

@@ -14,6 +14,8 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from ..utils.kernel_dispatch import kernel_fallback
 import numpy as np
 
 BLOCK = 128
@@ -134,8 +136,8 @@ def radial_attention(
 
             idx, counts = mask_to_indices(mask)
             return block_sparse_attention(q, k, v, jnp.asarray(idx), jnp.asarray(counts))
-        except Exception:
-            pass
+        except Exception as e:
+            kernel_fallback("block_sparse_attention", e)
     # dense fallback: expand the block mask to token level
     nb = mask.shape[0]
     tok_mask = np.repeat(np.repeat(mask, BLOCK, 0), BLOCK, 1)[:s, :s]

@@ -23,6 +23,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..utils.kernel_dispatch import kernel_fallback
+
 
 def _partial_attn_jnp(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dense partial attention returning (out, lse). q/k/v: (B, S, N, D)."""
@@ -43,8 +45,8 @@ def partial_attention(q, k, v):
             from ..ops.pallas.flash_attention import flash_attention_with_lse
 
             return flash_attention_with_lse(q, k, v)
-        except Exception:
-            pass
+        except Exception as e:
+            kernel_fallback("flash_attention_with_lse", e)
     return _partial_attn_jnp(q, k, v)
 
 

@@ -278,6 +278,7 @@ class WanRunner(DefaultRunner):
             feature_caching=self.config.get("feature_caching", "NoCaching"),
             caching_config=self.config,
             self_attn_kwargs=self_attn_kwargs,
+            parallel_attn_type=self.config.get("parallel_attn_type") or "ulysses",
         )
         teo = encoder_out["text_encoder_output"]
         ieo = encoder_out.get("image_encoder_output")
