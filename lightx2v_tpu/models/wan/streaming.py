@@ -72,16 +72,22 @@ def make_streamed_forward(arch: WanArch, mm_type: str = "Default",
     def forward(params, latents, t, context, rope_cos, rope_sin,
                 y=None, clip_fea=None):
         small = {k: v for k, v in params.items() if k != "blocks"}
-        host_blocks = params["blocks"]
+        blocks = params["blocks"]  # list of host pytrees OR a BlockPrefetcher
+        if hasattr(blocks, "get"):  # disk tier: prefetcher pops blocks
+            n_blocks = blocks.store.num_blocks()
+            blocks.schedule(range(n_blocks))
+            fetch = blocks.get
+        else:
+            n_blocks = len(blocks)
+            fetch = blocks.__getitem__
         pt, ph, pw = arch.patch_size
-        cin = latents.shape[1] + (y.shape[1] if y is not None else 0)
         grid = (latents.shape[2] // pt, latents.shape[3] // ph, latents.shape[4] // pw)
         s_tokens = grid[0] * grid[1] * grid[2]
         x, embed, embed0, ctx_e, ctx_img = pre(small, latents, t, context, y=y, clip_fea=clip_fea)
         # double-buffered streaming: put(i+1) overlaps block i compute
-        dev_block = jax.device_put(host_blocks[0])
-        for i in range(len(host_blocks)):
-            nxt = jax.device_put(host_blocks[i + 1]) if i + 1 < len(host_blocks) else None
+        dev_block = jax.device_put(fetch(0))
+        for i in range(n_blocks):
+            nxt = jax.device_put(fetch(i + 1)) if i + 1 < n_blocks else None
             x = block_step(dev_block, x, embed0, ctx_e, ctx_img, rope_cos, rope_sin)
             dev_block = nxt
         return post(small, x, embed, grid, s_tokens)

@@ -99,12 +99,9 @@ def _maybe(wd, key, dtype=np.float32) -> Optional[np.ndarray]:
     return _np(wd[key]).astype(dtype) if key in wd else None
 
 
-def load_wan_params(weight_dict: Dict[str, np.ndarray], arch: WanArch, compute_dtype=ml_dtypes.bfloat16) -> Params:
-    """Build the full parameter pytree from a flat name->array dict.
-
-    ``compute_dtype`` is the matmul weight dtype (bf16 in production;
-    fp32 for exact-parity tests)."""
-    wd = weight_dict
+def build_non_block_params(wd: Dict[str, np.ndarray], arch: WanArch, compute_dtype=ml_dtypes.bfloat16) -> Params:
+    """Pre/post (non-``blocks.*``) parameter pytree with numpy leaves —
+    shared by the full loader and the lazy disk-streaming store."""
 
     def _lin(prefix, dt=compute_dtype):
         return _linear(wd, prefix, dt)
@@ -139,49 +136,66 @@ def load_wan_params(weight_dict: Dict[str, np.ndarray], arch: WanArch, compute_d
         }
     if "cfg_cond_proj.weight" in wd:
         params["cfg_cond_proj"] = _lin("cfg_cond_proj", np.float32)
+    return params
 
-    # ---- stack the per-block weights along a leading layer axis ----
-    def block(i: int) -> Params:
-        p = f"blocks.{i}"
-        b: Params = {
-            "modulation": _np(wd[f"{p}.modulation"]).astype(np.float32).reshape(6, arch.dim),
-            "norm3": {"w": _maybe(wd, f"{p}.norm3.weight"), "b": _maybe(wd, f"{p}.norm3.bias")},
-            "self_attn": {
-                "q": _lin(f"{p}.self_attn.q"),
-                "k": _lin(f"{p}.self_attn.k"),
-                "v": _lin(f"{p}.self_attn.v"),
-                "o": _lin(f"{p}.self_attn.o"),
-                "norm_q": _np(wd[f"{p}.self_attn.norm_q.weight"]).astype(np.float32),
-                "norm_k": _np(wd[f"{p}.self_attn.norm_k.weight"]).astype(np.float32),
-            },
-            "cross_attn": {
-                "q": _lin(f"{p}.cross_attn.q"),
-                "k": _lin(f"{p}.cross_attn.k"),
-                "v": _lin(f"{p}.cross_attn.v"),
-                "o": _lin(f"{p}.cross_attn.o"),
-                "norm_q": _np(wd[f"{p}.cross_attn.norm_q.weight"]).astype(np.float32),
-                "norm_k": _np(wd[f"{p}.cross_attn.norm_k.weight"]).astype(np.float32),
-            },
-            "ffn": {"0": _lin(f"{p}.ffn.0"), "2": _lin(f"{p}.ffn.2")},
+
+def build_block_params(wd: Dict[str, np.ndarray], i: int, arch: WanArch,
+                       compute_dtype=ml_dtypes.bfloat16) -> Params:
+    """One transformer block's parameter pytree (numpy leaves) from the
+    flat checkpoint dict — usable on a whole-model dict or on a single
+    ``block_{i}.safetensors`` shard (converter 'blocks' layout)."""
+
+    def _lin(prefix, dt=compute_dtype):
+        return _linear(wd, prefix, dt)
+
+    p = f"blocks.{i}"
+    b: Params = {
+        "modulation": _np(wd[f"{p}.modulation"]).astype(np.float32).reshape(6, arch.dim),
+        "norm3": {"w": _maybe(wd, f"{p}.norm3.weight"), "b": _maybe(wd, f"{p}.norm3.bias")},
+        "self_attn": {
+            "q": _lin(f"{p}.self_attn.q"),
+            "k": _lin(f"{p}.self_attn.k"),
+            "v": _lin(f"{p}.self_attn.v"),
+            "o": _lin(f"{p}.self_attn.o"),
+            "norm_q": _np(wd[f"{p}.self_attn.norm_q.weight"]).astype(np.float32),
+            "norm_k": _np(wd[f"{p}.self_attn.norm_k.weight"]).astype(np.float32),
+        },
+        "cross_attn": {
+            "q": _lin(f"{p}.cross_attn.q"),
+            "k": _lin(f"{p}.cross_attn.k"),
+            "v": _lin(f"{p}.cross_attn.v"),
+            "o": _lin(f"{p}.cross_attn.o"),
+            "norm_q": _np(wd[f"{p}.cross_attn.norm_q.weight"]).astype(np.float32),
+            "norm_k": _np(wd[f"{p}.cross_attn.norm_k.weight"]).astype(np.float32),
+        },
+        "ffn": {"0": _lin(f"{p}.ffn.0"), "2": _lin(f"{p}.ffn.2")},
+    }
+    if f"{p}.cross_attn.k_img.weight" in wd:
+        b["cross_attn"]["k_img"] = _lin(f"{p}.cross_attn.k_img")
+        b["cross_attn"]["v_img"] = _lin(f"{p}.cross_attn.v_img")
+        b["cross_attn"]["norm_k_img"] = _np(wd[f"{p}.cross_attn.norm_k_img.weight"]).astype(np.float32)
+    # smooth-quant affine params for advanced_ptq checkpoints
+    if f"{p}.affine_norm1.weight" in wd:
+        b["smooth_norm1"] = {
+            "w": _np(wd[f"{p}.affine_norm1.weight"]).astype(np.float32),
+            "b": _np(wd[f"{p}.affine_norm1.bias"]).astype(np.float32),
         }
-        if f"{p}.cross_attn.k_img.weight" in wd:
-            b["cross_attn"]["k_img"] = _lin(f"{p}.cross_attn.k_img")
-            b["cross_attn"]["v_img"] = _lin(f"{p}.cross_attn.v_img")
-            b["cross_attn"]["norm_k_img"] = _np(wd[f"{p}.cross_attn.norm_k_img.weight"]).astype(np.float32)
-        # smooth-quant affine params for advanced_ptq checkpoints
-        if f"{p}.affine_norm1.weight" in wd:
-            b["smooth_norm1"] = {
-                "w": _np(wd[f"{p}.affine_norm1.weight"]).astype(np.float32),
-                "b": _np(wd[f"{p}.affine_norm1.bias"]).astype(np.float32),
-            }
-        if f"{p}.affine_norm3.weight" in wd:
-            b["smooth_norm2"] = {
-                "w": _np(wd[f"{p}.affine_norm3.weight"]).astype(np.float32),
-                "b": _np(wd[f"{p}.affine_norm3.bias"]).astype(np.float32),
-            }
-        return b
+    if f"{p}.affine_norm3.weight" in wd:
+        b["smooth_norm2"] = {
+            "w": _np(wd[f"{p}.affine_norm3.weight"]).astype(np.float32),
+            "b": _np(wd[f"{p}.affine_norm3.bias"]).astype(np.float32),
+        }
+    return b
 
-    blocks = [block(i) for i in range(arch.num_layers)]
+
+def load_wan_params(weight_dict: Dict[str, np.ndarray], arch: WanArch, compute_dtype=ml_dtypes.bfloat16) -> Params:
+    """Build the full parameter pytree from a flat name->array dict.
+
+    ``compute_dtype`` is the matmul weight dtype (bf16 in production;
+    fp32 for exact-parity tests). Per-block leaves are stacked along a
+    leading layer axis for the ``lax.scan`` transformer."""
+    params = build_non_block_params(weight_dict, arch, compute_dtype)
+    blocks = [build_block_params(weight_dict, i, arch, compute_dtype) for i in range(arch.num_layers)]
     import jax
 
     params["blocks"] = jax.tree_util.tree_map(

@@ -77,6 +77,15 @@ class WanRunner(DefaultRunner):
         self.arch = arch_from_config(self.config)
         mm_type = self.config.get("mm_config", {}).get("mm_type", "Default") if self.config.get("mm_config") else "Default"
         self.mm_type = mm_type
+        lazy_path = self.config.get("dit_quantized_ckpt") or self.config.get("model_path")
+        if self.config.get("lazy_load") and lazy_path:
+            from ..models.wan.lazy_offload import LazyBlockStore, is_blocks_layout
+
+            if is_blocks_layout(lazy_path):
+                # disk tier: only pre/post weights go resident; blocks
+                # stream from their per-block files at denoise time
+                self._lazy_store = LazyBlockStore(lazy_path, self.arch)
+                return dict(self._lazy_store.small)
         if self.config.get("synthetic_weights"):
             wd = init_random_weight_dict(self.arch, seed=0, scale=0.02)
             params = load_wan_params(wd, self.arch)
@@ -226,7 +235,10 @@ class WanRunner(DefaultRunner):
     def run_dit(self, encoder_out: Dict[str, Any]):
         if self.config.get("changing_resolution"):
             return self._run_dit_changing_resolution(encoder_out)
-        if self.config.get("weight_streaming"):
+        if self.config.get("weight_streaming") or self.config.get("cpu_offload") \
+                or self.config.get("lazy_load"):
+            # reference parity: cpu_offload selects the block-offload path,
+            # lazy_load adds the disk tier (set_config.py defaults)
             return self._run_dit_streamed(encoder_out)
         target_shape = self.set_target_shape()
         scheduler = self.init_scheduler()
@@ -355,8 +367,19 @@ class WanRunner(DefaultRunner):
         return state_b["latents"]
 
     def _run_dit_streamed(self, encoder_out: Dict[str, Any]):
-        """Host-RAM weight streaming for over-HBM models (the reference's
-        block-offload mode; see models/wan/streaming.py)."""
+        """Weight streaming for over-HBM models (the reference's offload
+        tiers). Two modes:
+
+        * ``cpu_offload`` (host-RAM tier): blocks stay in host RAM, device
+          holds two blocks + activations (models/wan/streaming.py);
+        * ``lazy_load`` (disk tier): per-block safetensors files + N disk
+          prefetch threads filling a bounded host buffer — host RAM stays
+          below model size (models/wan/lazy_offload.py; reference
+          LazyWeightAsyncStreamManager, manager.py:59-386).
+
+        CFG runs batched (cond/uncond in one pass) so the weights stream
+        ONCE per step — half the disk/PCIe traffic of the reference's
+        sequential double pass."""
         from ..models.wan.pipeline import rope_for_shape
         from ..models.wan.streaming import make_streamed_forward, split_blocks_to_host
 
@@ -369,21 +392,54 @@ class WanRunner(DefaultRunner):
         attn = cfg.get("attention_impl") or cfg.get("self_attn_1_type", "flash_attn3")
         fwd = make_streamed_forward(self.arch, mm_type=self.mm_type,
                                     self_attn_type=attn, cross_attn_type=attn)
-        host_params = split_blocks_to_host(self.model)
+
+        prefetcher = None
+        if cfg.get("lazy_load"):
+            from ..models.wan.lazy_offload import BlockPrefetcher, LazyBlockStore
+
+            store = getattr(self, "_lazy_store", None)
+            if store is None:
+                ckpt = cfg.get("dit_quantized_ckpt") or cfg["model_path"]
+                store = LazyBlockStore(ckpt, self.arch)
+            max_bytes = cfg.get("max_memory")  # GB, reference manager.py key
+            prefetcher = BlockPrefetcher(
+                store,
+                num_workers=int(cfg.get("num_disk_workers", 2)),
+                max_host_bytes=int(float(max_bytes) * (1 << 30)) if max_bytes else None,
+            )
+            host_params = dict(store.small)
+            host_params["blocks"] = prefetcher
+        else:
+            host_params = split_blocks_to_host(self.model)
+
         teo = encoder_out["text_encoder_output"]
+        ieo = encoder_out.get("image_encoder_output")
+        y = clip_fea = None
+        if ieo is not None:
+            y = ieo["vae_encode_out"]
+            clip_fea = ieo["clip_encoder_out"]
         enable_cfg = bool(cfg.get("enable_cfg", True))
         guide = float(cfg.get("sample_guide_scale", 5.0))
 
-        for _ in range(scheduler.num_steps()):
-            lat, t = scheduler.step_pre(state)
-            lat_b, tb = lat[None], t[None].astype(jnp.float32)
-            if enable_cfg:
-                cond = fwd(host_params, lat_b, tb, teo["context"], rope_cos, rope_sin)[0]
-                uncond = fwd(host_params, lat_b, tb, teo["context_null"], rope_cos, rope_sin)[0]
-                pred = uncond + guide * (cond - uncond)
-            else:
-                pred = fwd(host_params, lat_b, tb, teo["context"], rope_cos, rope_sin)[0]
-            state = scheduler.step_post(state, pred)
+        try:
+            for _ in range(scheduler.num_steps()):
+                lat, t = scheduler.step_pre(state)
+                lat_b, tb = lat[None], t[None].astype(jnp.float32)
+                if enable_cfg:
+                    lat2 = jnp.concatenate([lat_b, lat_b], axis=0)
+                    t2 = jnp.concatenate([tb, tb], axis=0)
+                    ctx2 = jnp.concatenate([teo["context"], teo["context_null"]], axis=0)
+                    y2 = None if y is None else jnp.concatenate([y, y], axis=0)
+                    c2 = None if clip_fea is None else jnp.concatenate([clip_fea, clip_fea], axis=0)
+                    out = fwd(host_params, lat2, t2, ctx2, rope_cos, rope_sin, y=y2, clip_fea=c2)
+                    pred = out[1] + guide * (out[0] - out[1])
+                else:
+                    pred = fwd(host_params, lat_b, tb, teo["context"], rope_cos, rope_sin,
+                               y=y, clip_fea=clip_fea)[0]
+                state = scheduler.step_post(state, pred)
+        finally:
+            if prefetcher is not None:
+                prefetcher.close()
         return state["latents"]
 
     def run_vae_decoder(self, latents) -> np.ndarray:

@@ -30,3 +30,110 @@ def test_streamed_matches_scanned():
     out = fwd(host_params, latents, t, ctx, cos, sin)
     np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref, np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+def _write_blocks_ckpt(tmpdir, arch, seed=0, quant=None):
+    """Synthetic checkpoint in the converter's 'blocks' layout."""
+    import os
+
+    from lightx2v_tpu.tools.convert import quantize_model, save_quantized
+
+    wd = init_random_weight_dict(arch, seed=seed, scale=0.05)
+    weights = {k: np.asarray(v) for k, v in wd.items()}
+    if quant:
+        weights = quantize_model(weights, quant)
+    out = os.path.join(tmpdir, "blocks")
+    save_quantized(weights, out, layout="blocks", scheme=quant)
+    return wd, out
+
+
+def test_lazy_disk_tier_matches_scanned(tmp_path):
+    """Disk-tier streaming (per-block files + prefetch workers + bounded
+    buffer) == the in-HBM scan, with host buffer capped below model size
+    (reference LazyWeightAsyncStreamManager, manager.py:59-386)."""
+    from lightx2v_tpu.models.wan.lazy_offload import BlockPrefetcher, LazyBlockStore, is_blocks_layout
+
+    wd, ckpt = _write_blocks_ckpt(str(tmp_path), ARCH)
+    assert is_blocks_layout(ckpt)
+    params = load_wan_params(wd, ARCH)
+
+    rng = np.random.default_rng(1)
+    latents = jnp.asarray(rng.standard_normal((1, 4, 2, 4, 8)), jnp.float32)
+    t = jnp.asarray([500.0], jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, 16)), jnp.float32)
+    cos, sin = build_wan_rope_grid(ARCH.head_dim, 2, 2, 4)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+    ref = wan_forward(params, latents, t, ctx, cos, sin, ARCH,
+                      self_attn_type="xla", cross_attn_type="xla")
+
+    store = LazyBlockStore(ckpt, ARCH)
+    # max_host_blocks < num_layers: the whole block stack never coexists in RAM
+    with BlockPrefetcher(store, num_workers=2, max_host_blocks=2) as pf:
+        host_params = dict(store.small)
+        host_params["blocks"] = pf
+        fwd = make_streamed_forward(ARCH, self_attn_type="xla", cross_attn_type="xla")
+        out = fwd(host_params, latents, t, ctx, cos, sin)
+        # a second pass must work too (per-step rescheduling)
+        out2 = fwd(host_params, latents, t, ctx, cos, sin)
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(out2, np.float32), np.asarray(out, np.float32))
+
+
+def test_lazy_disk_tier_quantized(tmp_path):
+    """int8 per-block files stream through the same path (quantized weights
+    + scales survive build_block_params)."""
+    from lightx2v_tpu.models.wan.lazy_offload import BlockPrefetcher, LazyBlockStore
+
+    wd, ckpt = _write_blocks_ckpt(str(tmp_path), ARCH, quant="int8")
+    store = LazyBlockStore(ckpt, ARCH)
+    blk = store.read_block(0)
+    assert blk["self_attn"]["q"]["w"].dtype == np.int8
+    assert "w_scale" in blk["self_attn"]["q"]
+
+    rng = np.random.default_rng(2)
+    latents = jnp.asarray(rng.standard_normal((1, 4, 2, 4, 8)), jnp.float32)
+    t = jnp.asarray([500.0], jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, 16)), jnp.float32)
+    cos, sin = build_wan_rope_grid(ARCH.head_dim, 2, 2, 4)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+
+    mm = "W-int8-channel-sym-A-int8-channel-sym-dynamic-Tpu"
+    with BlockPrefetcher(store, num_workers=1, max_host_blocks=2) as pf:
+        host_params = dict(store.small)
+        host_params["blocks"] = pf
+        fwd = make_streamed_forward(ARCH, mm_type=mm, self_attn_type="xla", cross_attn_type="xla")
+        out = fwd(host_params, latents, t, ctx, cos, sin)
+    # int8 vs fp: loose bound, just proves the quantized stream runs sanely
+    params = load_wan_params(wd, ARCH)
+    ref = wan_forward(params, latents, t, ctx, cos, sin, ARCH,
+                      self_attn_type="xla", cross_attn_type="xla")
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32)).mean()
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    assert err < 0.1 * (np.abs(np.asarray(ref, np.float32)).mean() + 1e-6) * 10
+
+
+def test_streamed_i2v_conditioning(tmp_path):
+    """The streamed path carries i2v conditioning (y channels + CLIP
+    tokens) — round-1 gap: streamed forward dropped them."""
+    import dataclasses
+
+    arch = dataclasses.replace(ARCH, task="i2v", in_dim=8, clip_dim=12)
+    wd = init_random_weight_dict(arch, seed=3, scale=0.05)
+    params = load_wan_params(wd, arch)
+    rng = np.random.default_rng(4)
+    latents = jnp.asarray(rng.standard_normal((1, 4, 2, 4, 8)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((1, 4, 2, 4, 8)), jnp.float32)
+    clip_fea = jnp.asarray(rng.standard_normal((1, 257, 12)), jnp.float32)
+    t = jnp.asarray([500.0], jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, 16)), jnp.float32)
+    cos, sin = build_wan_rope_grid(arch.head_dim, 2, 2, 4)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+
+    ref = wan_forward(params, latents, t, ctx, cos, sin, arch, y=y, clip_fea=clip_fea,
+                      self_attn_type="xla", cross_attn_type="xla")
+    host_params = split_blocks_to_host(params)
+    fwd = make_streamed_forward(arch, self_attn_type="xla", cross_attn_type="xla")
+    out = fwd(host_params, latents, t, ctx, cos, sin, y=y, clip_fea=clip_fea)
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
