@@ -55,7 +55,11 @@ def _linear(wd: Dict[str, np.ndarray], prefix: str, compute_dtype=ml_dtypes.bflo
         out["w_scale"] = _np(wd[scale_key]).astype(np.float32)
     elif w.dtype in (np.int8, ml_dtypes.float8_e4m3fn) or scale_key in wd:
         out["w"] = w
-        out["w_scale"] = _np(wd[scale_key]).astype(np.float32).reshape(-1)
+        ws = _np(wd[scale_key]).astype(np.float32)
+        # per-channel scales flatten to (out,); block-128 fp8 keeps its
+        # (out/128, in/128) grid (ops/linear._mm_fp8_block128 dispatches
+        # on ndim)
+        out["w_scale"] = ws.reshape(-1) if ws.size == w.shape[0] else ws
     else:
         out["w"] = w if w.dtype == np.dtype(compute_dtype) else w.astype(compute_dtype)
     bkey = f"{prefix}.bias"

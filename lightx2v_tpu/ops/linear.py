@@ -87,6 +87,57 @@ def _mm_fp8(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
     return _bias_add(y, params.get("b"), x.dtype)
 
 
+def quantize_per_token_group_fp8(x: jnp.ndarray, group: int = 128):
+    """Dynamic per-token-per-group(k) fp8 act quant (reference Deepgemm act
+    path, mm_weight.py act_quant_fp8_perchannelgroup128_sym_*). Returns
+    q (..., in) fp8 and scales (..., in/group) fp32."""
+    g = x.shape[-1] // group
+    xf = x.astype(jnp.float32).reshape(*x.shape[:-1], g, group)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 448.0
+    q = (xf / scale).astype(jnp.float8_e4m3fn).reshape(x.shape)
+    return q, scale[..., 0]
+
+
+def _mm_fp8_block128(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """True Deepgemm block-scale semantics (reference mm_weight.py:418-494):
+    weight fp8 with (out/128, in/128) block scales, activations fp8 with
+    per-token-per-group(128) scales; partial products are rescaled per
+    k-group before accumulation (a plain output-side rescale would be
+    wrong — the scale varies along the contraction).
+
+    A checkpoint quantized per-channel (1D scale) routed to a Deepgemm
+    mm_type degrades to the per-channel kernel (same numerics class)."""
+    ws = params["w_scale"]
+    if ws.ndim == 1:  # per-channel ckpt under a block-128 alias
+        return _mm_fp8(params, x)
+    w = params["w"]  # (out, in) fp8
+    out_f, in_f = w.shape
+    group = in_f // ws.shape[1]
+    q, x_scale = quantize_per_token_group_fp8(x, group)  # (..., in), (..., G)
+    g = in_f // group
+    # expand block scales to per-(out, group): (ob, G) -> (out, G)
+    ws_full = jnp.repeat(ws.astype(jnp.float32), 128, axis=0)[:out_f]  # (out, G)
+
+    # scan over k-groups with the group axis leading (no dynamic gathers)
+    qg = jnp.moveaxis(q.reshape(*q.shape[:-1], g, group), -2, 0)  # (g, ..., group)
+    wg = jnp.moveaxis(w.reshape(out_f, g, group), 1, 0)  # (g, out, group)
+    sg = jnp.moveaxis(x_scale, -1, 0)  # (g, ...)
+    wsg = ws_full.T  # (g, out)
+
+    def body(acc, inp):
+        qi, wi, si, wsi = inp
+        part = jax.lax.dot_general(
+            qi, wi, (((qi.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (..., out)
+        return acc + part * (si[..., None] * wsi), None
+
+    acc0 = jnp.zeros((*q.shape[:-1], out_f), jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, (qg, wg, sg, wsg))
+    return _bias_add(acc, params.get("b"), x.dtype)
+
+
 # Register the quant schemes under every backend alias the reference accepts
 # (the backend suffix — Vllm/Sgl/Q8F/Deepgemm — picks a CUDA library there;
 # on TPU they all hit the same MXU path).
@@ -104,11 +155,16 @@ for _alias in [
     "W-fp8-channel-sym-A-fp8-channel-sym-dynamic-Vllm-ActSgl",
     "W-fp8-channel-sym-A-fp8-channel-sym-dynamic-Sgl-ActVllm",
     "W-fp8-channel-sym-A-fp8-channel-sym-dynamic-Sgl",
-    "W-fp8-block128-sym-A-fp8-channel-group128-sym-dynamic-Deepgemm",
-    "W-fp8-block128-sym-A-fp8-channel-group128-sym-dynamic-Deepgemm-ActSgl",
     "W-fp8-channel-sym-A-fp8-channel-sym-dynamic-Tpu",
 ]:
     MM_REGISTER.register(_alias, _mm_fp8)
+
+for _alias in [
+    "W-fp8-block128-sym-A-fp8-channel-group128-sym-dynamic-Deepgemm",
+    "W-fp8-block128-sym-A-fp8-channel-group128-sym-dynamic-Deepgemm-ActSgl",
+    "W-fp8-block128-sym-A-fp8-channel-group128-sym-dynamic-Tpu",
+]:
+    MM_REGISTER.register(_alias, _mm_fp8_block128)
 
 
 def _mm_int4(params: Dict, x: jnp.ndarray) -> jnp.ndarray:

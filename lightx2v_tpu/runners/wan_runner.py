@@ -233,6 +233,12 @@ class WanRunner(DefaultRunner):
         return {"clip_encoder_out": clip_out, "vae_encode_out": y[None]}
 
     def run_dit(self, encoder_out: Dict[str, Any]):
+        if self.config.get("do_mm_calib"):
+            # reference: mm_type="Calib" records act stats during a normal
+            # run (transformer_weights.py:20); here one eager calibration
+            # pass collects named per-block stats, saved for
+            # tools/convert.py --calib_stats (advanced_ptq production)
+            self._collect_calib_stats(encoder_out)
         if self.config.get("changing_resolution"):
             return self._run_dit_changing_resolution(encoder_out)
         if self.config.get("weight_streaming") or self.config.get("cpu_offload") \
@@ -365,6 +371,30 @@ class WanRunner(DefaultRunner):
                                     num_steps=n - (k + 1))
         state_b = denoise_b(self.model, state_b, ctx, ctx_null)
         return state_b["latents"]
+
+    def _collect_calib_stats(self, encoder_out: Dict[str, Any]) -> None:
+        """One eager calibration forward at the first timestep; stats land
+        in ``calib_output_path`` (default: calib_stats.npz) for the
+        converter's smooth-quant path."""
+        from ..models.wan.pipeline import rope_for_shape
+        from ..tools.calibrate import collect_block_stats, save_stats
+
+        cfg = self.config
+        target_shape = self.set_target_shape()
+        scheduler = self.init_scheduler()
+        state = scheduler.prepare(target_shape, int(cfg.get("seed", 42)))
+        rope_cos, rope_sin, _ = rope_for_shape(self.arch, target_shape)
+        lat, t = scheduler.step_pre(state)
+        teo = encoder_out["text_encoder_output"]
+        ieo = encoder_out.get("image_encoder_output") or {}
+        stats = collect_block_stats(
+            self.model, self.arch, lat[None], t[None].astype(jnp.float32),
+            teo["context"], rope_cos, rope_sin,
+            y=ieo.get("vae_encode_out"), clip_fea=ieo.get("clip_encoder_out"),
+            self_attn_type=cfg.get("self_attn_1_type", "xla"))
+        out_path = cfg.get("calib_output_path", "calib_stats.npz")
+        save_stats(stats, out_path)
+        logger.info(f"calibration stats written to {out_path}")
 
     def _run_dit_streamed(self, encoder_out: Dict[str, Any]):
         """Weight streaming for over-HBM models (the reference's offload

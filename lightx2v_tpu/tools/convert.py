@@ -19,7 +19,7 @@ import argparse
 import json
 import os
 import re
-from typing import Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import ml_dtypes
 import numpy as np
@@ -50,6 +50,18 @@ def quantize_tensor(w: np.ndarray, scheme: str) -> Tuple[np.ndarray, np.ndarray]
         from ..ops.pallas.int4_matmul import quantize_int4
 
         return quantize_int4(wf)
+    elif scheme == "fp8_block128":
+        # 128x128 block scales (reference Deepgemm per_block_cast_to_fp8,
+        # mm_weight.py:218-230); consumed by ops/linear._mm_fp8_block128
+        o, i = wf.shape
+        po, pi = (-o) % 128, (-i) % 128
+        wp = np.pad(wf, ((0, po), (0, pi)))
+        blocks = wp.reshape((o + po) // 128, 128, (i + pi) // 128, 128)
+        amax = np.maximum(np.abs(blocks).max(axis=(1, 3), keepdims=True), 1e-4)
+        qp = (blocks * (448.0 / amax)).astype(ml_dtypes.float8_e4m3fn)
+        q = qp.reshape(o + po, i + pi)[:o, :i]
+        scale = (amax[:, 0, :, 0] / 448.0).astype(np.float32)  # (ob, ib)
+        return np.ascontiguousarray(q), scale
     else:
         raise ValueError(f"unknown quant scheme {scheme}")
     return q, scale.astype(np.float32)
@@ -87,6 +99,45 @@ def apply_lora(weights: Dict[str, np.ndarray], lora: Dict[str, np.ndarray], stre
     logger.info(f"applied {applied} LoRA deltas")
 
 
+def apply_smooth_quant(weights: Dict[str, np.ndarray], stats: Dict[str, np.ndarray],
+                       alpha: float = 0.5) -> None:
+    """Fold SmoothQuant factors in place (advanced_ptq production).
+
+    Per block, the two smoothable sites (reference consumes the result via
+    affine_norm1/affine_norm3, transformer_weights.py:193-209,352-362):
+      * self-attn input -> q/k/v columns scaled by s, affine_norm1 = 1/s;
+      * FFN input -> ffn.0 columns scaled by s, affine_norm3 = 1/s.
+    The runtime applies 1/s on the modulated-LN activation path
+    (models/wan/model.py smooth_norm1/smooth_norm2), so quantizing the
+    scaled weights is numerically transparent pre-quantization.
+    """
+    from .calibrate import smooth_factors
+
+    block_ids = sorted({int(k.split(".")[1]) for k in weights if k.startswith("blocks.")})
+    n_smoothed = 0
+    for i in block_ids:
+        for site, mods, affine in (
+            ("self_attn.q", ["self_attn.q", "self_attn.k", "self_attn.v"], "affine_norm1"),
+            ("ffn.0", ["ffn.0"], "affine_norm3"),
+        ):
+            act = stats.get(f"blocks.{i}.{site}")
+            if act is None:
+                continue
+            wmax = None
+            for m in mods:
+                w = np.abs(np.asarray(weights[f"blocks.{i}.{m}.weight"], np.float32)).max(axis=0)
+                wmax = w if wmax is None else np.maximum(wmax, w)
+            s = smooth_factors(wmax, act, alpha)
+            for m in mods:
+                key = f"blocks.{i}.{m}.weight"
+                weights[key] = (np.asarray(weights[key], np.float32) * s[None, :]).astype(np.float32)
+            inv = (1.0 / s).astype(np.float32)
+            weights[f"blocks.{i}.{affine}.weight"] = inv
+            weights[f"blocks.{i}.{affine}.bias"] = inv.copy()
+            n_smoothed += 1
+    logger.info(f"smooth-quant folded at {n_smoothed} sites (alpha={alpha})")
+
+
 def quantize_model(weights: Dict[str, np.ndarray], scheme: str) -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     n_q = 0
@@ -103,7 +154,8 @@ def quantize_model(weights: Dict[str, np.ndarray], scheme: str) -> Dict[str, np.
 
 
 def save_quantized(weights: Dict[str, np.ndarray], out_dir: str, layout: str = "single",
-                   scheme: Optional[str] = None, chunk_gb: float = 4.0) -> None:
+                   scheme: Optional[str] = None, chunk_gb: float = 4.0,
+                   advanced_ptq: bool = False) -> None:
     os.makedirs(out_dir, exist_ok=True)
     if layout == "single":
         save_file(weights, os.path.join(out_dir, "model.safetensors"))
@@ -146,16 +198,35 @@ def save_quantized(weights: Dict[str, np.ndarray], out_dir: str, layout: str = "
     else:
         raise ValueError(f"unknown layout {layout}")
 
-    cfg = {"mm_type": (f"W-{scheme}-channel-sym-A-{scheme}-channel-sym-dynamic-Tpu" if scheme else "Default")}
+    cfg: Dict[str, Any] = {"mm_type": mm_type_for_scheme(scheme)}
+    if advanced_ptq:
+        cfg["quant_method"] = "advanced_ptq"
     with open(os.path.join(out_dir, "config.json"), "w") as f:
         json.dump(cfg, f, indent=2)
+
+
+def mm_type_for_scheme(scheme: Optional[str]) -> str:
+    """Runtime mm_type string for each quant scheme — weight-only schemes
+    (int4) keep bf16 activations, so their mm_type must not claim dynamic
+    activation quant."""
+    if not scheme:
+        return "Default"
+    if scheme == "int4":
+        return "W-int4-group-sym-A-bf16-Tpu"
+    if scheme == "fp8_block128":
+        return "W-fp8-block128-sym-A-fp8-channel-group128-sym-dynamic-Tpu"
+    return f"W-{scheme}-channel-sym-A-{scheme}-channel-sym-dynamic-Tpu"
 
 
 def main():
     p = argparse.ArgumentParser(description="quantize / convert checkpoints")
     p.add_argument("--source", required=True, help="source checkpoint dir (safetensors)")
     p.add_argument("--output", required=True)
-    p.add_argument("--quant", choices=["int8", "fp8", "none"], default="int8")
+    p.add_argument("--quant", choices=["int8", "fp8", "fp8_block128", "int4", "none"], default="int8")
+    p.add_argument("--calib_stats", default=None,
+                   help="activation-stats .npz from tools/calibrate.py; enables "
+                        "smooth-quant (advanced_ptq) output with affine_norm tensors")
+    p.add_argument("--smooth_alpha", type=float, default=0.5)
     p.add_argument("--layout", choices=["single", "chunked", "blocks"], default="single")
     p.add_argument("--lora", action="append", default=[], help="path[:strength]")
     args = p.parse_args()
@@ -166,9 +237,14 @@ def main():
         from ..utils.safetensors_io import load_file
 
         apply_lora(weights, load_file(path), float(s or 1.0))
+    if args.calib_stats:
+        from .calibrate import load_stats
+
+        apply_smooth_quant(weights, load_stats(args.calib_stats), args.smooth_alpha)
     if args.quant != "none":
         weights = quantize_model(weights, args.quant)
-    save_quantized(weights, args.output, args.layout, None if args.quant == "none" else args.quant)
+    save_quantized(weights, args.output, args.layout, None if args.quant == "none" else args.quant,
+                   advanced_ptq=bool(args.calib_stats))
     logger.info(f"saved to {args.output}")
 
 

@@ -1,0 +1,152 @@
+"""Quant matrix completion: block-128 fp8 semantics, int4 CLI, calibration
+-> smooth-quant (advanced_ptq) production + consumption round trip."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightx2v_tpu.ops.linear import resolve_mm
+from lightx2v_tpu.tools.convert import (apply_smooth_quant, mm_type_for_scheme,
+                                        quantize_model, quantize_tensor)
+
+
+def snr_db(ref, got):
+    ref = np.asarray(ref, np.float64)
+    got = np.asarray(got, np.float64)
+    return 10 * np.log10(np.square(ref).sum() / max(np.square(ref - got).sum(), 1e-30))
+
+
+class TestBlock128Fp8:
+    def test_quantize_tensor_shapes(self):
+        rng = np.random.default_rng(0)
+        w = rng.standard_normal((384, 256)).astype(np.float32)
+        q, s = quantize_tensor(w, "fp8_block128")
+        assert q.shape == (384, 256) and s.shape == (3, 2)
+        # dequant error small per block
+        deq = np.asarray(q, np.float32) * np.repeat(np.repeat(s, 128, 0), 128, 1)[:384, :256]
+        assert snr_db(w, deq) > 25
+
+    def test_block_scales_are_per_block(self):
+        """A weight with one huge block must not poison other blocks'
+        precision — the failure mode of per-channel aliasing (round-1 gap)."""
+        rng = np.random.default_rng(1)
+        w = rng.standard_normal((256, 256)).astype(np.float32)
+        w[:128, :128] *= 1000.0  # hot block
+        q, s = quantize_tensor(w, "fp8_block128")
+        assert s[0, 0] > 100 * s[1, 1]
+        deq = np.asarray(q, np.float32) * np.repeat(np.repeat(s, 128, 0), 128, 1)
+        # the cold blocks keep their precision
+        assert snr_db(w[128:, 128:], deq[128:, 128:]) > 25
+
+    def test_mm_matches_fp32_reference(self):
+        rng = np.random.default_rng(2)
+        w = rng.standard_normal((384, 256)).astype(np.float32) * 0.1
+        b = rng.standard_normal(384).astype(np.float32) * 0.01
+        x = jnp.asarray(rng.standard_normal((2, 64, 256)) * 0.5, jnp.bfloat16)
+        q, s = quantize_tensor(w, "fp8_block128")
+        mm = resolve_mm("W-fp8-block128-sym-A-fp8-channel-group128-sym-dynamic-Deepgemm")
+        out = mm({"w": jnp.asarray(q), "w_scale": jnp.asarray(s), "b": jnp.asarray(b)}, x)
+        ref = np.asarray(x, np.float32) @ w.T + b
+        assert out.shape == ref.shape
+        assert snr_db(ref, np.asarray(out, np.float32)) > 20
+
+    def test_per_channel_ckpt_under_block_alias_degrades_gracefully(self):
+        rng = np.random.default_rng(3)
+        w = rng.standard_normal((128, 256)).astype(np.float32) * 0.1
+        q, s = quantize_tensor(w, "fp8")  # per-channel: 1D scale
+        x = jnp.asarray(rng.standard_normal((4, 256)) * 0.5, jnp.bfloat16)
+        mm = resolve_mm("W-fp8-block128-sym-A-fp8-channel-group128-sym-dynamic-Deepgemm")
+        out = mm({"w": jnp.asarray(q), "w_scale": jnp.asarray(s), "b": None}, x)
+        ref = np.asarray(x, np.float32) @ w.T
+        assert snr_db(ref, np.asarray(out, np.float32)) > 20
+
+
+class TestMmTypeEmission:
+    def test_weight_only_int4_mm_type(self):
+        assert mm_type_for_scheme("int4") == "W-int4-group-sym-A-bf16-Tpu"
+        assert resolve_mm(mm_type_for_scheme("int4")) is not None
+
+    def test_all_schemes_resolve(self):
+        for scheme in ("int8", "fp8", "fp8_block128", "int4", None):
+            resolve_mm(mm_type_for_scheme(scheme))
+
+
+class TestSmoothQuantProduction:
+    def _tiny(self):
+        from lightx2v_tpu.models.wan.config import WanArch
+        from lightx2v_tpu.models.wan.weights import init_random_weight_dict
+
+        arch = WanArch(dim=64, ffn_dim=128, num_heads=2, num_layers=2, text_dim=32)
+        return arch, init_random_weight_dict(arch, seed=4, scale=0.05)
+
+    def _stats(self, arch, wd):
+        import jax.numpy as jnp
+
+        from lightx2v_tpu.models.wan.pipeline import rope_for_shape
+        from lightx2v_tpu.models.wan.weights import load_wan_params
+        from lightx2v_tpu.tools.calibrate import collect_block_stats
+
+        params = load_wan_params(wd, arch)
+        rng = np.random.default_rng(5)
+        target = (16, 2, 4, 8)
+        lat = jnp.asarray(rng.standard_normal((1, *target)), jnp.float32)
+        t = jnp.asarray([800.0], jnp.float32)
+        ctx = jnp.asarray(rng.standard_normal((1, arch.text_len, arch.text_dim)) * 0.3, jnp.float32)
+        cos, sin, _ = rope_for_shape(arch, target)
+        return params, collect_block_stats(params, arch, lat, t, ctx, cos, sin), (lat, t, ctx, cos, sin)
+
+    def test_calibration_names_every_linear(self):
+        arch, wd = self._tiny()
+        _, stats, _ = self._stats(arch, wd)
+        for i in range(arch.num_layers):
+            for m in ("self_attn.q", "self_attn.o", "cross_attn.q", "ffn.0", "ffn.2"):
+                assert f"blocks.{i}.{m}" in stats
+        assert stats["blocks.0.self_attn.q"].shape == (arch.dim,)
+        assert stats["blocks.0.ffn.2"].shape == (arch.ffn_dim,)
+
+    def test_smoothed_int8_forward_matches_unsmoothed(self):
+        """advanced_ptq end-to-end: calibrate -> smooth+quantize -> the
+        model consumes affine_norm tensors — output must track the plain
+        bf16 forward (smoothing is numerically transparent modulo quant)."""
+        from lightx2v_tpu.models.wan.model import wan_forward
+        from lightx2v_tpu.models.wan.weights import load_wan_params
+
+        arch, wd = self._tiny()
+        params, stats, (lat, t, ctx, cos, sin) = self._stats(arch, wd)
+        ref = wan_forward(params, lat, t, ctx, cos, sin, arch,
+                          self_attn_type="xla", cross_attn_type="xla")
+
+        weights = {k: np.asarray(v) for k, v in wd.items()}
+        apply_smooth_quant(weights, stats, alpha=0.5)
+        assert "blocks.0.affine_norm1.weight" in weights
+        assert "blocks.1.affine_norm3.bias" in weights
+        qweights = quantize_model(weights, "int8")
+        qparams = load_wan_params(qweights, arch)
+        assert "smooth_norm1" in {k for k in qparams["blocks"]}
+        out = wan_forward(qparams, lat, t, ctx, cos, sin, arch,
+                          mm_type="W-int8-channel-sym-A-int8-channel-sym-dynamic-Tpu",
+                          self_attn_type="xla", cross_attn_type="xla")
+        s = snr_db(np.asarray(ref, np.float32), np.asarray(out, np.float32))
+        assert s > 15, f"smoothed int8 SNR {s:.1f} dB"
+
+    def test_runner_do_mm_calib_writes_stats(self, tmp_path):
+        from lightx2v_tpu.infer import build_parser, init_runner
+        from lightx2v_tpu.utils.config import set_config
+
+        cfg_path = os.path.join(os.path.dirname(__file__), "..", "configs",
+                                "wan_t2v_synthetic_smoke.json")
+        args = build_parser().parse_args([
+            "--model_cls", "wan2.1", "--task", "t2v",
+            "--config_json", cfg_path, "--prompt", "calib",
+            "--save_video_path", str(tmp_path / "o.mp4"), "--synthetic_weights",
+        ])
+        config = set_config(args)
+        config.update({"do_mm_calib": True, "enable_cfg": False,
+                       "calib_output_path": str(tmp_path / "stats.npz")})
+        runner = init_runner(config)
+        runner.run_pipeline(save_video=False)
+        assert os.path.isfile(tmp_path / "stats.npz")
+        with np.load(tmp_path / "stats.npz") as z:
+            assert any(k.endswith("self_attn.q") for k in z.files)
