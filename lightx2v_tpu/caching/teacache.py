@@ -86,6 +86,78 @@ def tea_decide(state: Dict, embed: jnp.ndarray, embed0: jnp.ndarray,
     return should_calc, new_state
 
 
+def tea_decide_per_side(state: Dict, embed: jnp.ndarray, embed0: jnp.ndarray,
+                        step_index: jnp.ndarray, cfg: TeaCacheConfig):
+    """Per-batch-row decisions (the reference's per-side cond/uncond
+    skipping, feature_caching/transformer_infer.py:14-19 — separate
+    caching_records / accumulators per CFG side).
+    -> (should_vec (B,) bool, new_state)."""
+    modulated = (embed0 if cfg.use_ret_steps else embed).astype(jnp.float32)
+    flat = modulated.reshape(modulated.shape[0], -1)
+    prev = state["prev_mod"].reshape(flat.shape)
+    rel = jnp.mean(jnp.abs(flat - prev), axis=1) / jnp.maximum(jnp.mean(jnp.abs(prev), axis=1), 1e-8)
+    rescaled = jnp.polyval(jnp.asarray(cfg.coefficients, jnp.float32), rel)
+    accum = state["accum"] + rescaled
+
+    warmup = (step_index < cfg.ret_steps) | (step_index >= cfg.cutoff_steps)
+    should_vec = warmup | (accum >= cfg.thresh)  # (B,)
+    accum = jnp.where(should_vec, jnp.zeros_like(accum), accum)
+
+    new_state = dict(state)
+    new_state["prev_mod"] = modulated
+    new_state["accum"] = accum
+    return should_vec, new_state
+
+
+def tea_transform_per_side(state: Dict, should_vec: jnp.ndarray, x: jnp.ndarray,
+                           transformer_fn, transformer_fn_single=None):
+    """Per-side run-or-skip for the batched CFG pair x = [cond, uncond].
+
+    Four traced branches (lax.switch): both compute (one B=2 forward, full
+    MXU batch), exactly one computes (B=1 forward for that side, cached
+    residual for the other), neither (both residuals). Matches the
+    reference's per-side skipping while keeping the batched-CFG layout.
+    ``transformer_fn_single(x_one, side)`` runs a B=1 forward with that
+    side's conditioning (side is a static python int per traced branch);
+    defaults to ``lambda x, side: transformer_fn(x)``."""
+    single = transformer_fn_single or (lambda x_one, side: transformer_fn(x_one))
+
+    def _apply_residual(x_in, st):
+        return x_in + st["prev_residual"].astype(x_in.dtype)
+
+    def neither(op):
+        x_in, st = op
+        return _apply_residual(x_in, st), dict(st)
+
+    def _one_side(op, side):
+        x_in, st = op
+        xi = x_in[side:side + 1]
+        xo = single(xi, side)
+        skipped = 1 - side
+        xs = x_in[skipped:skipped + 1] + st["prev_residual"][skipped:skipped + 1].astype(x_in.dtype)
+        out = jnp.concatenate([xo, xs] if side == 0 else [xs, xo], axis=0)
+        st = dict(st)
+        st["prev_residual"] = st["prev_residual"].at[side].set(
+            (xo[0] - xi[0]).astype(st["prev_residual"].dtype))
+        return out, st
+
+    def only_uncond(op):
+        return _one_side(op, 1)
+
+    def only_cond(op):
+        return _one_side(op, 0)
+
+    def both(op):
+        x_in, st = op
+        x_out = transformer_fn(x_in)
+        st = dict(st)
+        st["prev_residual"] = (x_out - x_in).astype(st["prev_residual"].dtype)
+        return x_out, st
+
+    idx = should_vec[0].astype(jnp.int32) * 2 + should_vec[1].astype(jnp.int32)
+    return jax.lax.switch(idx, [neither, only_uncond, only_cond, both], (x, state))
+
+
 def tea_transform(state: Dict, should_calc: jnp.ndarray, x: jnp.ndarray, transformer_fn):
     """Run or skip the block stack (reference infer :84-154):
     compute -> residual cached; skip -> x + cached residual."""

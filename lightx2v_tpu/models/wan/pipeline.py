@@ -22,7 +22,9 @@ import numpy as np
 
 from ...caching.adacache import ada_skip_length, init_ada_state
 from ...caching.taylorseer import init_taylor_cache, taylor_calc_step, taylor_schedule, taylor_skip_step
-from ...caching.teacache import TeaCacheConfig, init_tea_state, tea_decide, tea_transform
+from ...caching.teacache import (TeaCacheConfig, init_tea_state, tea_decide,
+                                 tea_decide_per_side, tea_transform,
+                                 tea_transform_per_side)
 from ...ops.attention import attention
 from ...ops.linear import resolve_mm
 from ...ops.rope import build_wan_rope_grid
@@ -81,8 +83,12 @@ def make_denoise_fn(
     # extrapolation on skipped steps (reference
     # WanTransformerInferCustomCaching, feature_caching/transformer_infer.py:522-620)
     use_custom = feature_caching == "Custom"
-    if (use_taylor or use_ada or feature_caching == "Custom") and mesh is not None:
-        raise NotImplementedError("TaylorSeer/Ada/Custom caching with sequence parallelism lands later")
+    # TaylorSeer/Ada/Custom keep per-module caches threaded through their
+    # own block loops, so they can't ride the shard_map transformer; under
+    # a mesh they run GSPMD-sharded instead (activations constrained to
+    # (dp, sp), XLA inserts the attention collectives). Ulysses/ring stay
+    # the explicit paths for NoCaching/Tea.
+    gspmd_cached = (use_taylor or use_ada or use_custom) and mesh is not None
     n_steps_static = scheduler.num_steps()
     if use_taylor:
         taylor_is_calc, taylor_step_diff = taylor_schedule(n_steps_static)
@@ -122,6 +128,8 @@ def make_denoise_fn(
         x, embed, embed0, ctx_e, ctx_img, grid, s_tokens = wan_pre_process(
             params, lat, tb, ctx2, arch, y=y2, clip_fea=c2, cfg_scale=cfg_vec, seq_len=seq_len,
         )
+        if gspmd_cached:
+            x = jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P("dp", "sp", None)))
 
         i = state["step_index"]
         if use_custom:
@@ -147,8 +155,22 @@ def make_denoise_fn(
             x, cache = jax.lax.cond(should, calc, skip, (x, cache))
             cache = {**cache, "tea": tea_c}
         elif tea_cfg is not None:
-            should, cache = tea_decide(cache, embed, embed0, i, tea_cfg)
-            x, cache = tea_transform(cache, should, x, lambda xx: transformer(params, xx, embed0, ctx_e, ctx_img))
+            tf = lambda xx: transformer(params, xx, embed0, ctx_e, ctx_img)
+            if enable_cfg and mesh is None:
+                # per-side cond/uncond skipping (reference
+                # feature_caching/transformer_infer.py:14-19); under a dp
+                # mesh the batch axis is sharded, so the shared decision
+                # (strictly more conservative) is kept there
+                def tf_single(xx, side):
+                    return transformer(
+                        params, xx, embed0[side:side + 1], ctx_e[side:side + 1],
+                        None if ctx_img is None else ctx_img[side:side + 1])
+
+                should_vec, cache = tea_decide_per_side(cache, embed, embed0, i, tea_cfg)
+                x, cache = tea_transform_per_side(cache, should_vec, x, tf, tf_single)
+            else:
+                should, cache = tea_decide(cache, embed, embed0, i, tea_cfg)
+                x, cache = tea_transform(cache, should, x, tf)
         elif use_taylor:
             is_calc = jnp.asarray(taylor_is_calc)[i]
             step_diff = jnp.asarray(taylor_step_diff)[i]

@@ -9,8 +9,10 @@ conditioning image path follows the i2v recipe.
 
 Audio features come from encoders/audio.py (HF wav2vec-class model when
 ``audio_encoder_path``/``model_path`` is configured, waveform-envelope
-fallback otherwise). Gaps vs the reference (tracked): multi-segment
-generation with previous-latent conditioning and audio/video muxing.
+fallback otherwise). Multi-segment generation with previous-latent
+conditioning is implemented below (see run_dit's segment loop); the audio track is
+written as a sibling .wav next to the mp4 (no in-container a/v mux — the
+one remaining gap vs the reference's ffmpeg mux).
 """
 
 from __future__ import annotations

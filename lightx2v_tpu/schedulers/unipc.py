@@ -44,6 +44,12 @@ class WanUniPCScheduler(SchedulerBase):
     def __init__(self, config):
         super().__init__(config)
         self.sample_shift = float(config.sample_shift)
+        # the reference hardcodes solver_order=2 (wan/scheduler.py:18) but
+        # its predictor/corrector implement general order (:130-320);
+        # orders 1-3 are supported here (3 uses the masked-solve path)
+        self.solver_order = int(config.get("solver_order", 2))
+        if not 1 <= self.solver_order <= 3:
+            raise ValueError(f"solver_order {self.solver_order} unsupported (1-3)")
 
     def prepare(self, target_shape, seed: int, shift: Optional[float] = None,
                 start_step: int = 0) -> State:
@@ -86,6 +92,7 @@ class WanUniPCScheduler(SchedulerBase):
             # model_outputs[-1] == m0
             "m_prev": zeros,  # model_outputs[-1]
             "m_prev2": zeros,  # model_outputs[-2]
+            "m_prev3": zeros,  # model_outputs[-3] (order 3 only)
             "last_sample": zeros,
         }
 
@@ -96,6 +103,8 @@ class WanUniPCScheduler(SchedulerBase):
         return jnp.log(alpha) - jnp.log(sigma)
 
     def step_post(self, state: State, noise_pred: jnp.ndarray) -> State:
+        if self.solver_order >= 3:
+            return self._step_post_general(state, noise_pred)
         i = state["step_index"]
         sigmas = jnp.asarray(self.sigmas, jnp.float32)
         pred_order = jnp.asarray(self.pred_order)[i]
@@ -165,6 +174,115 @@ class WanUniPCScheduler(SchedulerBase):
             "step_index": i + 1,
             "m_prev": m_convert,
             "m_prev2": state["m_prev"],
+            "m_prev3": state["m_prev2"],
+            "last_sample": sample,
+        }
+
+    # -- general-order (<=3) masked-solve path ------------------------------
+    def _step_post_general(self, state: State, noise_pred: jnp.ndarray) -> State:
+        """UniPC bh2 with per-step order in {1,2,3}, the reference's general
+        R@rhos=b solve (wan/scheduler.py:184-211, 281-301) expressed as a
+        fixed-size (3x3) masked linear system so it stays jittable with a
+        traced order scalar."""
+        i = state["step_index"]
+        sigmas = jnp.asarray(self.sigmas, jnp.float32)
+        pred_order = jnp.asarray(self.pred_order)[i]
+        corr_order = jnp.asarray(self.corr_order)[i]
+
+        sample = state["latents"].astype(jnp.float32)
+        flow = noise_pred.astype(jnp.float32)
+        m_convert = sample - sigmas[i] * flow
+
+        def _bvec(h):
+            """b_k = h_phi_k * k! / B_h for k=1..3 (reference :194-201)."""
+            hh = -h
+            h_phi_1 = jnp.expm1(hh)
+            B_h = h_phi_1
+            h_phi_k = h_phi_1 / hh - 1.0
+            b1 = h_phi_k / B_h
+            h_phi_k = h_phi_k / hh - 0.5
+            b2 = h_phi_k * 2.0 / B_h
+            h_phi_k = h_phi_k / hh - 1.0 / 6.0
+            b3 = h_phi_k * 6.0 / B_h
+            return h_phi_1, B_h, jnp.stack([b1, b2, b3])
+
+        def _masked_solve(rks, b, size):
+            """Solve the leading (size x size) Vandermonde system
+            R[j,k]=rks[k]^j, padded to 3x3 with identity rows so the
+            trailing rhos are exactly 0."""
+            jj = jnp.arange(3)
+            active = (jj[:, None] < size) & (jj[None, :] < size)
+            powers = rks[None, :] ** jj[:, None]
+            eye = jnp.eye(3, dtype=jnp.float32)
+            A = jnp.where(active, powers, eye)
+            rhs = jnp.where(jj < size, b, 0.0)
+            return jnp.linalg.solve(A, rhs)
+
+        def _pick(vec, idx):
+            return jnp.where(idx == 0, vec[0], jnp.where(idx == 1, vec[1], vec[2]))
+
+        # ---- corrector (sigma[i-1] -> sigma[i]); order o = corr_order ----
+        def corrected():
+            o = corr_order
+            sigma_t, sigma_s0 = sigmas[i], sigmas[jnp.maximum(i - 1, 0)]
+            lam_t, lam_s0 = self._lam(sigma_t), self._lam(sigma_s0)
+            h = lam_t - lam_s0
+            h_phi_1, B_h, b = _bvec(h)
+            # histories: m0 = m_prev (model_outputs[-1]); mk = {m_prev2, m_prev3}
+            m0 = state["m_prev"]
+            lam_k = self._lam(sigmas[jnp.maximum(i - 1 - jnp.arange(1, 3), 0)])
+            rk = (lam_k - lam_s0) / h  # (2,)
+            rk_safe = jnp.where(rk == 0, 1.0, rk)
+            d1_1 = (state["m_prev2"] - m0) / rk_safe[0]
+            d1_2 = (state["m_prev3"] - m0) / rk_safe[1]
+            # rks vector layout for order o: [r1..r_{o-1}, 1, pad...]; build
+            # per-order explicitly (o is traced but in {1,2,3})
+            rks_o2 = jnp.stack([rk[0], 1.0, 1.0])
+            rks_o3 = jnp.stack([rk[0], rk[1], 1.0])
+            rks = jnp.where(o >= 3, rks_o3, rks_o2)
+            rhos = _masked_solve(rks, b, o)
+            rhos = jnp.where(o == 1, jnp.asarray([0.5, 0.0, 0.0]), rhos)  # reference :308
+            d1t_coef = _pick(rhos, jnp.maximum(o - 1, 0))
+            c1 = jnp.where(o >= 2, rhos[0], 0.0)
+            c2 = jnp.where(o >= 3, rhos[1], 0.0)
+            d1_t = m_convert - m0
+            x = state["last_sample"]
+            alpha_t = 1.0 - sigma_t
+            x_t = sigma_t / sigma_s0 * x - alpha_t * h_phi_1 * m0
+            return x_t - alpha_t * B_h * (c1 * d1_1 + c2 * d1_2 + d1t_coef * d1_t)
+
+        sample = jnp.where(corr_order > 0, corrected(), sample)
+
+        # ---- predictor (sigma[i] -> sigma[i+1]); order o = pred_order ----
+        o = pred_order
+        sigma_t, sigma_s0 = sigmas[i + 1], sigmas[i]
+        alpha_t = 1.0 - sigma_t
+        lam_s0 = self._lam(sigma_s0)
+        lam_t = jnp.where(sigma_t > 0, self._lam(jnp.maximum(sigma_t, 1e-20)), jnp.inf)
+        h = lam_t - lam_s0
+        h_phi_1, B_h, b = _bvec(h)
+        m0 = m_convert
+        lam_k = self._lam(sigmas[jnp.maximum(i - jnp.arange(1, 3), 0)])
+        rk = (lam_k - lam_s0) / jnp.where(h == 0, 1.0, h)
+        rk_safe = jnp.where(rk == 0, 1.0, rk)
+        d1_1 = (state["m_prev"] - m0) / rk_safe[0]
+        d1_2 = (state["m_prev2"] - m0) / rk_safe[1]
+        # predictor solves the leading (o-1)-sized system (reference :205-210)
+        rks_p = jnp.stack([rk[0], rk[1], 1.0])
+        rhos_p = _masked_solve(rks_p, b, jnp.maximum(o - 1, 0))
+        rhos_p = jnp.where(o == 2, jnp.asarray([0.5, 0.0, 0.0]), rhos_p)  # reference :207
+        p1 = jnp.where(o >= 2, rhos_p[0], 0.0)
+        p2 = jnp.where(o >= 3, rhos_p[1], 0.0)
+        ratio = jnp.where(sigma_s0 > 0, sigma_t / sigma_s0, 0.0)
+        x_t = ratio * sample - alpha_t * h_phi_1 * m0
+        x_t = x_t - alpha_t * B_h * (p1 * d1_1 + p2 * d1_2)
+
+        return {
+            "latents": x_t,
+            "step_index": i + 1,
+            "m_prev": m_convert,
+            "m_prev2": state["m_prev"],
+            "m_prev3": state["m_prev2"],
             "last_sample": sample,
         }
 

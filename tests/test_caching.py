@@ -153,3 +153,69 @@ def test_custom_caching_denoise_loop_runs():
     assert np.isfinite(np.asarray(out2["latents"])).all()
     # skipping must actually change the trajectory vs always-computing
     assert not np.allclose(np.asarray(out["latents"]), np.asarray(out2["latents"]))
+
+
+def test_teacache_per_side_decisions_diverge():
+    """Per-side decision vector: forcing one side's accumulator over the
+    threshold must compute only that side (reference per-side skipping,
+    feature_caching/transformer_infer.py:14-19)."""
+    from lightx2v_tpu.caching.teacache import (TeaCacheConfig, init_tea_state,
+                                               tea_decide_per_side)
+
+    cfg = TeaCacheConfig(thresh=0.5, ret_steps=1, cutoff_steps=100)
+    st = init_tea_state((2, 8, 16), (2, 16))
+    st["prev_mod"] = jnp.ones((2, 16), jnp.float32)
+    # cond side far from prev (big rel-L1), uncond identical (zero rel-L1)
+    embed = jnp.stack([jnp.full((16,), 50.0), jnp.ones((16,))])
+    vec, st2 = tea_decide_per_side(st, embed, None, jnp.asarray(5), cfg)
+    v = np.asarray(vec)
+    assert v[0] and not v[1]
+    # the skipped side keeps accumulating, the computed side resets
+    assert float(st2["accum"][0]) == 0.0
+
+
+def test_teacache_per_side_transform_correctness():
+    """lax.switch branches: compute-one-side output equals running the
+    transformer on that side + cached residual on the other."""
+    from lightx2v_tpu.caching.teacache import tea_transform_per_side
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 8, 16)), jnp.float32)
+    resid = jnp.asarray(rng.standard_normal((2, 8, 16)), jnp.float32)
+    st = {"prev_residual": resid}
+    f_full = lambda xx: xx * 2.0
+    f_single = lambda xx, side: xx * 2.0
+
+    # both
+    out, st2 = tea_transform_per_side(dict(st), jnp.asarray([True, True]), x, f_full, f_single)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2.0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(st2["prev_residual"]), np.asarray(x), rtol=1e-6)
+
+    # only cond
+    out, st2 = tea_transform_per_side(dict(st), jnp.asarray([True, False]), x, f_full, f_single)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(x[0]) * 2.0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(x[1] + resid[1]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(st2["prev_residual"][0]), np.asarray(x[0]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(st2["prev_residual"][1]), np.asarray(resid[1]), rtol=1e-6)
+
+    # neither
+    out, _ = tea_transform_per_side(dict(st), jnp.asarray([False, False]), x, f_full, f_single)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x + resid), rtol=1e-6)
+
+
+def test_teacache_per_side_pipeline_runs():
+    """Full denoise with per-side TeaCache under batched CFG stays finite
+    (exercises all four lax.switch branches over the step sequence)."""
+    cfg = ConfigDict({"infer_steps": 6, "sample_shift": 5.0, "teacache_thresh": 0.05,
+                      "use_ret_steps": False})
+    sched = WanUniPCScheduler(cfg)
+    state = sched.prepare(TARGET, seed=0)
+    params = load_wan_params(init_random_weight_dict(ARCH, seed=0, scale=0.05), ARCH)
+    rng = np.random.default_rng(0)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, 16)), jnp.float32)
+    denoise = make_denoise_fn(ARCH, sched, TARGET, enable_cfg=True, guide_scale=5.0,
+                              self_attn_type="xla", cross_attn_type="xla",
+                              feature_caching="Tea", caching_config=cfg)
+    out = denoise(params, state, ctx, ctx * 0.5)
+    a = np.asarray(out["latents"], np.float32)
+    assert np.isfinite(a).all()

@@ -234,3 +234,32 @@ def test_rope_fused_mesh_falls_back_to_xla_rope():
     out = wan_forward_sharded(params_f, latents, t, context, cos, sin, arch_f, mesh,
                               self_attn_type="xla", cross_attn_type="xla")
     np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=0.02, atol=0.02)
+
+
+def test_taylor_caching_with_mesh_matches_single_device():
+    """TaylorSeer caching under a dp x sp mesh (GSPMD-sharded path — round 1
+    raised NotImplementedError here) == the single-device cached run."""
+    from lightx2v_tpu.models.wan.pipeline import make_denoise_fn
+    from lightx2v_tpu.schedulers.unipc import WanUniPCScheduler
+    from lightx2v_tpu.utils.config import ConfigDict
+
+    arch = WanArch(dim=64, ffn_dim=96, num_heads=4, num_layers=2, in_dim=4, out_dim=4,
+                   freq_dim=32, text_len=8, text_dim=16)
+    params = load_wan_params(init_random_weight_dict(arch, seed=0, scale=0.05), arch)
+    target = (4, 2, 4, 8)
+    rng = np.random.default_rng(0)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, 16)), jnp.float32)
+
+    def run(mesh):
+        cfg = ConfigDict({"infer_steps": 5, "sample_shift": 5.0})
+        sched = WanUniPCScheduler(cfg)
+        state = sched.prepare(target, seed=0)
+        d = make_denoise_fn(arch, sched, target, enable_cfg=True, guide_scale=5.0,
+                            self_attn_type="xla", cross_attn_type="xla",
+                            feature_caching="TaylorSeer", caching_config=cfg,
+                            mesh=mesh, sp_size=1 if mesh is None else 4)
+        return np.asarray(d(params, state, ctx, ctx * 0.5)["latents"], np.float32)
+
+    ref = run(None)
+    got = run(build_mesh({"dp": 2, "sp": 4}))
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)

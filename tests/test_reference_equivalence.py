@@ -312,3 +312,43 @@ def test_vae_encode_matches_reference(vae_pair):
     got = np.asarray(vae_encode(ours, jnp.asarray(x), cfg, scale=False))
     assert got.shape == ref_np.shape
     np.testing.assert_allclose(got, ref_np, rtol=2e-3, atol=2e-3)
+
+
+def test_unipc_order3_matches_reference(tiny_t2v):
+    """solver_order=3: the masked-solve general path vs the reference's
+    R@rhos=b torch.linalg.solve (wan/scheduler.py:184-211,281-308 support
+    general order even though the ctor pins 2)."""
+    cfg, ckpt = tiny_t2v
+    rh.install()
+    import torch
+
+    from lightx2v.models.schedulers.wan.scheduler import WanScheduler
+
+    n = cfg["infer_steps"]
+    shape = cfg["target_shape"]
+    rng = np.random.default_rng(9)
+    preds = [rng.standard_normal(shape).astype(np.float32) for _ in range(n)]
+
+    sched_ref = WanScheduler(cfg)
+    sched_ref.device = torch.device("cpu")
+    sched_ref.solver_order = 3
+    sched_ref.prepare()
+    for i in range(n):
+        sched_ref.step_index = i  # bypass bf16 rounding (see above)
+        sched_ref.noise_pred = torch.from_numpy(preds[i])
+        sched_ref.step_post()
+    ref_final = sched_ref.latents.float().numpy()
+
+    import jax.numpy as jnp
+
+    from lightx2v_tpu.schedulers.unipc import WanUniPCScheduler
+
+    scfg = rh.Cfg(dict(cfg))
+    scfg["latent_init"] = "torch"
+    scfg["solver_order"] = 3
+    sched = WanUniPCScheduler(scfg)
+    state = sched.prepare(shape, seed=cfg["seed"])
+    for i in range(n):
+        state = sched.step_post(state, jnp.asarray(preds[i]))
+    got = np.asarray(state["latents"], np.float32)
+    np.testing.assert_allclose(got, ref_final, rtol=3e-4, atol=3e-4)
