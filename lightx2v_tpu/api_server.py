@@ -28,7 +28,8 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     config = set_config(args)
 
-    service = VideoGenerationService(lambda: init_runner(config), output_root=args.output_root)
+    service = VideoGenerationService(lambda: init_runner(config), output_root=args.output_root,
+                                     server_config=config)
     server = ApiServer(service, host=args.host, port=args.port, output_root=args.output_root)
     logger.info(f"serving model_cls={config.get('model_cls')} on {args.host}:{server.port}")
     server.serve_forever()

@@ -60,6 +60,20 @@ def make_handler(service: VideoGenerationService, output_root: str = "."):
                     "task_status": rec.status,
                     "save_video_path": rec.request.save_video_path,
                 })
+            m = re.match(r"^/v1/files/upload\?name=([\w.\-]+)$", self.path)
+            if m:
+                # i2v conditioning image upload (web UI); contained under
+                # output_root/uploads with a sanitized basename
+                name = os.path.basename(m.group(1))
+                updir = os.path.join(os.path.abspath(output_root), "uploads")
+                os.makedirs(updir, exist_ok=True)
+                n = int(self.headers.get("Content-Length", 0))
+                if n <= 0 or n > 64 << 20:
+                    return self._json(413, {"detail": "bad upload size"})
+                path = os.path.join(updir, name)
+                with open(path, "wb") as f:
+                    f.write(self.rfile.read(n))
+                return self._json(200, {"path": path})
             return self._json(404, {"detail": "not found"})
 
         def do_GET(self):
@@ -75,6 +89,11 @@ def make_handler(service: VideoGenerationService, output_root: str = "."):
                 return
             if self.path == "/v1/service/status":
                 return self._json(200, service.status())
+            if self.path == "/v1/service/metadata":
+                from .autoconfig import service_metadata
+
+                cfg = getattr(service, "server_config", None)
+                return self._json(200, service_metadata(cfg))
             if self.path == "/v1/tasks" or self.path == "/v1/tasks/":
                 tasks = service.all_tasks()
                 return self._json(200, {"tasks": [

@@ -20,6 +20,10 @@ class TaskRequest(BaseModel):
     target_video_length: Optional[int] = None
     seed: int = 42
     video_duration: Optional[int] = None
+    # advanced per-task config overrides (web UI options panel):
+    # attention_type / mm_type / feature_caching / tiny_vae / ... — merged
+    # into the runner config by the service worker
+    options: Optional[dict] = None
 
 
 class TaskResponse(BaseModel):

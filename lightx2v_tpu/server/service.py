@@ -40,9 +40,11 @@ class TaskRecord:
 class VideoGenerationService:
     """Owns the runner and the task loop (single task at a time)."""
 
-    def __init__(self, runner_factory, output_root: str = "./outputs"):
+    def __init__(self, runner_factory, output_root: str = "./outputs",
+                 server_config: Optional[Dict[str, Any]] = None):
         self._runner_factory = runner_factory
         self._output_root = os.path.abspath(output_root)
+        self.server_config = server_config  # exposed via /v1/service/metadata
         self._runner = None
         self._queue: "queue.Queue[str]" = queue.Queue()
         self._tasks: Dict[str, TaskRecord] = {}
@@ -122,6 +124,7 @@ class VideoGenerationService:
                 if self._runner is None:
                     self._runner = self._runner_factory()
                 inputs = rec.request.model_dump()
+                inputs.update(inputs.pop("options", None) or {})
                 inputs = {k: v for k, v in inputs.items() if v not in (None, "")}
                 self._runner.set_inputs(inputs)
                 self._runner.run_pipeline()

@@ -134,3 +134,67 @@ def test_save_path_traversal_contained(tmp_path):
         p = svc._resolve_save_path(evil, "TID")
         assert os.path.commonpath([svc._output_root, p]) == svc._output_root, p
     assert svc._resolve_save_path(None, "TID").endswith("TID.mp4")
+
+
+def test_service_metadata_endpoint(server):
+    srv, _ = server
+    code, meta = _req(srv.port, "GET", "/v1/service/metadata")
+    assert code == 200
+    assert any(n == "flash_attn3" for n, _ in meta["attention_ops"])
+    assert any(n == "int4" for n, _ in meta["quant_schemes"])
+    assert meta["device"]["device_count"] >= 1
+
+
+def test_image_upload_endpoint(server):
+    srv, out = server
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=30)
+    conn.request("POST", "/v1/files/upload?name=cond.png", body=b"\x89PNG fake",
+                 headers={"Content-Length": "9"})
+    resp = conn.getresponse()
+    body = json.loads(resp.read())
+    assert resp.status == 200
+    assert os.path.isfile(body["path"])
+    assert os.path.basename(body["path"]) == "cond.png"
+    assert os.path.commonpath([str(out), body["path"]]) == str(out)
+
+
+def test_auto_configure_tiers():
+    """Memory decision tree (reference auto_configure, gradio_demo.py:470):
+    resident bf16 -> resident int8 -> host streaming -> disk tier."""
+    from lightx2v_tpu.server.autoconfig import auto_configure
+
+    # 1.3B on a big chip: everything resident
+    c = auto_configure("832x480", "1.3b", hbm_gb=32, host_ram_gb=64)
+    assert not c["cpu_offload"] and c["quant_scheme"] == "bf16"
+    # 14B on 20GB HBM: fits only quantized (14GB int8 + headroom)
+    c = auto_configure("832x480", "14b", hbm_gb=20, host_ram_gb=64)
+    assert c["quant_scheme"] == "int8" and not c["cpu_offload"]
+    # 14B on 8GB HBM + 32GB host: host-RAM streaming
+    c = auto_configure("832x480", "14b", hbm_gb=8, host_ram_gb=32)
+    assert c["cpu_offload"] and not c["lazy_load"]
+    # 14B on 8GB HBM + 12GB host: disk tier
+    c = auto_configure("832x480", "14b", hbm_gb=8, host_ram_gb=12)
+    assert c["lazy_load"] and c["max_memory"] >= 2
+    # 720P turns on tiled VAE
+    assert auto_configure("1280x720", "1.3b", hbm_gb=32, host_ram_gb=64)["use_tiling_vae"]
+
+
+def test_task_options_merge_into_config(server):
+    """Per-task advanced options (web UI panel) flow into the runner config."""
+    srv, out = server
+    code, body = _req(srv.port, "POST", "/v1/tasks", {
+        "prompt": "options test", "seed": 3,
+        "save_video_path": str(out / "opt.mp4"),
+        "options": {"use_tiling_vae": False, "sample_guide_scale": 4.0},
+    })
+    assert code == 200
+    tid = body["task_id"]
+    deadline = time.time() + 280
+    while time.time() < deadline:
+        code, st = _req(srv.port, "GET", f"/v1/tasks/{tid}/status")
+        if st["status"] in ("completed", "failed"):
+            break
+        time.sleep(2)
+    assert st["status"] == "completed", st.get("error")

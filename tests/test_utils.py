@@ -129,3 +129,27 @@ def test_native_safetensors_loader(tmp_path):
     widened = load_file_native(path, widen_bf16=True)
     assert widened["a"].dtype == np.float32
     np.testing.assert_allclose(widened["a"], tensors["a"].astype(np.float32))
+
+
+def test_all_shipped_configs_parse():
+    """Every JSON under configs/ must parse and carry coherent keys
+    (mm_type resolvable, feature_caching known, mesh axes valid)."""
+    import glob
+    import json
+    import os
+
+    from lightx2v_tpu.ops.linear import resolve_mm
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    files = glob.glob(os.path.join(root, "**", "*.json"), recursive=True)
+    assert len(files) >= 40, f"expected the full config matrix, got {len(files)}"
+    known_caching = {"NoCaching", "Tea", "TaylorSeer", "Ada", "Custom"}
+    for path in files:
+        with open(path) as f:
+            cfg = json.load(f)
+        mm = (cfg.get("mm_config") or {}).get("mm_type", "Default")
+        resolve_mm(mm)  # raises on unknown scheme
+        assert cfg.get("feature_caching", "NoCaching") in known_caching, path
+        if "mesh_shape" in cfg:
+            assert set(cfg["mesh_shape"]) <= {"dp", "sp", "tp"}, path
+        assert cfg.get("parallel_attn_type") in (None, "ulysses", "ring"), path
