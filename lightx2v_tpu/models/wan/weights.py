@@ -273,3 +273,104 @@ def init_random_weight_dict(arch: WanArch, seed: int = 0, scale: float = 0.02) -
     lin("head.head", d, arch.out_dim * int(np.prod(arch.patch_size)))
     wd["head.modulation"] = (rng.standard_normal((1, 2, d)) * scale).astype(np.float32)
     return wd
+
+
+def init_random_params_on_device(arch: WanArch, scheme: str = "bf16", seed: int = 0,
+                                 scale: float = 0.02) -> Params:
+    """Synthesize the full stacked params pytree DIRECTLY on the accelerator.
+
+    Benchmarks at 14B scale cannot ship weights from the host (a tunneled
+    dev chip moves host->device at single-digit MB/s, and 28 GB of bf16
+    would not fit host->HBM round trips anyway): one jitted program
+    generates every leaf with the device PRNG instead. Layouts match
+    ``load_wan_params`` + ``tools/convert.quantize_model`` exactly:
+
+    * scheme "bf16": matmul weights bf16.
+    * "int8"/"fp8": blocks' attn/ffn linears carry int8/f8e4m3 ``w`` +
+      per-channel ``w_scale`` (ops/linear w8a8 paths).
+    * "int4": nibble-packed uint8 ``w`` (out, in//2) + per-(channel, group)
+      scales (ops/pallas/int4_matmul.py).
+    * "fp8_block128": f8 ``w`` + (out/128, in/128) block scales.
+
+    Non-block (pre/post) weights always stay bf16/fp32, mirroring the
+    converter's _SKIP_QUANT rule.
+    """
+    import itertools
+
+    import jax
+    import jax.random as jr
+
+    L, d, f_, td = arch.num_layers, arch.dim, arch.ffn_dim, arch.text_dim
+    cnt = itertools.count()
+
+    def build(base):
+        def nrm(shape, dtype=jnp.bfloat16, std=scale):
+            return jr.normal(jr.fold_in(base, next(cnt)), shape, dtype) * jnp.asarray(std, dtype)
+
+        def qlin(out, kin, stacked=True):
+            """One (stacked) quantized/bf16 linear leaf dict."""
+            sh = (L, out, kin) if stacked else (out, kin)
+            bsh = (L, out) if stacked else (out,)
+            key = jr.fold_in(base, next(cnt))
+            lin: Params = {"b": jr.normal(jr.fold_in(base, next(cnt)), bsh, jnp.float32) * scale}
+            if scheme == "int8":
+                lin["w"] = jr.randint(key, sh, -127, 128, jnp.int8)
+                lin["w_scale"] = jnp.full(bsh, scale / 127.0, jnp.float32)
+            elif scheme == "fp8":
+                lin["w"] = (jr.normal(key, sh, jnp.bfloat16) * 100.0).astype(jnp.float8_e4m3fn)
+                lin["w_scale"] = jnp.full(bsh, scale / 100.0, jnp.float32)
+            elif scheme == "int4":
+                from ...ops.pallas.int4_matmul import _pick_bk
+
+                bk = _pick_bk(kin)
+                lin["w"] = jr.randint(key, sh[:-1] + (kin // 2,), 0, 256, jnp.uint8)
+                lin["w_scale"] = jnp.full(bsh + (kin // bk,), scale / 7.0, jnp.float32)
+            elif scheme == "fp8_block128":
+                lin["w"] = (jr.normal(key, sh, jnp.bfloat16) * 100.0).astype(jnp.float8_e4m3fn)
+                lin["w_scale"] = jnp.full(bsh[:-1] + (-(-out // 128), -(-kin // 128)), scale / 100.0, jnp.float32)
+            else:
+                lin["w"] = jr.normal(key, sh, jnp.bfloat16) * scale
+            return lin
+
+        def bf16lin(out, kin, dt=jnp.bfloat16):
+            return {"w": nrm((out, kin), dt), "b": nrm((out,), jnp.float32)}
+
+        pin = arch.in_dim * int(np.prod(arch.patch_size))
+        params: Params = {
+            "patch_embedding": {"w": nrm((d, pin)), "b": nrm((d,), jnp.float32)},
+            "text_embedding": {"0": bf16lin(d, td), "2": bf16lin(d, d)},
+            "time_embedding": {"0": bf16lin(d, arch.freq_dim, jnp.float32), "2": bf16lin(d, d, jnp.float32)},
+            "time_projection": {"1": bf16lin(6 * d, d, jnp.float32)},
+            "head": {**bf16lin(arch.out_dim * int(np.prod(arch.patch_size)), d),
+                     "modulation": nrm((2, d), jnp.float32)},
+        }
+        if arch.task == "i2v":
+            params["img_emb"] = {
+                "norm0": {"w": jnp.ones(arch.clip_dim, jnp.float32), "b": jnp.zeros(arch.clip_dim, jnp.float32)},
+                "1": bf16lin(d, arch.clip_dim),
+                "3": bf16lin(d, d),
+                "norm4": {"w": jnp.ones(d, jnp.float32), "b": jnp.zeros(d, jnp.float32)},
+            }
+        blocks: Params = {
+            "modulation": nrm((L, 6, d), jnp.float32),
+            "norm3": {"w": jnp.ones((L, d), jnp.float32), "b": jnp.zeros((L, d), jnp.float32)},
+            "self_attn": {
+                **{m: qlin(d, d) for m in ("q", "k", "v", "o")},
+                "norm_q": jnp.ones((L, d), jnp.float32),
+                "norm_k": jnp.ones((L, d), jnp.float32),
+            },
+            "cross_attn": {
+                **{m: qlin(d, d) for m in ("q", "k", "v", "o")},
+                "norm_q": jnp.ones((L, d), jnp.float32),
+                "norm_k": jnp.ones((L, d), jnp.float32),
+            },
+            "ffn": {"0": qlin(f_, d), "2": qlin(d, f_)},
+        }
+        if arch.task == "i2v":
+            blocks["cross_attn"]["k_img"] = qlin(d, d)
+            blocks["cross_attn"]["v_img"] = qlin(d, d)
+            blocks["cross_attn"]["norm_k_img"] = jnp.ones((L, d), jnp.float32)
+        params["blocks"] = blocks
+        return params
+
+    return jax.jit(build)(jr.PRNGKey(seed))

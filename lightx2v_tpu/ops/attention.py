@@ -157,24 +157,30 @@ def _dispatch_sage(q, k, v, kv_len: Optional[int] = None, **kw):
     return _dispatch_flash(q, k, v, kv_len=kv_len)
 
 
-def _dispatch_radial(q, k, v, kv_len: Optional[int] = None, mask_map=None, sparsity_type="radial", decay_factor=1.0, **kw):
+def _dispatch_radial(q, k, v, kv_len: Optional[int] = None, mask_map=None, sparsity_type="radial",
+                     decay_factor=1.0, block_q=2048, block_k=1024, **kw):
     """radial_attn: block-sparse O(n log n) spatiotemporal-decay attention."""
     from .radial import radial_attention
 
-    return radial_attention(q, k, v, mask_map=mask_map, sparsity_type=sparsity_type, decay_factor=decay_factor)
+    return radial_attention(q, k, v, mask_map=mask_map, sparsity_type=sparsity_type,
+                            decay_factor=decay_factor, block_q=block_q, block_k=block_k)
 
 
-def _dispatch_sparge(q, k, v, kv_len: Optional[int] = None, keep_ratio=0.3, l1=0.07, **kw):
+def _dispatch_sparge(q, k, v, kv_len: Optional[int] = None, keep_ratio=0.3, l1=0.07,
+                     block_q=2048, block_k=1024, **kw):
     """Sparge: dynamic meansim block sparsity (reference attn_weight.py:242-291
-    wraps the spas_sage_attn CUDA package; ops/sparge.py is the TPU analog)."""
+    wraps the spas_sage_attn CUDA package; ops/sparge.py is the TPU analog).
+    Executes at MXU-sized superblocks by default (selection stays at 128)."""
     from .sparge import sparge_attention, sparge_attention_xla
 
     if jax.default_backend() == "tpu":
         try:
-            return sparge_attention(q, k, v, keep_ratio=keep_ratio, l1=l1)
+            return sparge_attention(q, k, v, keep_ratio=keep_ratio, l1=l1,
+                                    block_q=block_q, block_k=block_k)
         except Exception as e:
             kernel_fallback("sparge_attention", e)
-    return sparge_attention_xla(q, k, v, keep_ratio=keep_ratio, l1=l1)
+    return sparge_attention_xla(q, k, v, keep_ratio=keep_ratio, l1=l1,
+                                block_q=block_q, block_k=block_k)
 
 
 ATTN_REGISTER.register(["flash_attn2", "flash_attn3"], _dispatch_flash)

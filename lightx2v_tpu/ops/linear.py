@@ -73,18 +73,34 @@ def quantize_per_token_fp8(x: jnp.ndarray):
     return q, scale
 
 
-def _mm_int8(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
-    q, x_scale = quantize_per_token_int8(x)
-    acc = _nt_dot(q, params["w"], jnp.int32)
-    y = acc.astype(jnp.float32) * x_scale * params["w_scale"].astype(jnp.float32)
+def _mm_w8a8(params: Dict, x: jnp.ndarray, kind: str) -> jnp.ndarray:
+    """TPU: fused Pallas quantize+dot (no fp32 HBM temps — the jnp path's
+    three ~640 MB f32 temps are what pushed the 14B int8 forward OOM on a
+    16 GB v5e). Elsewhere: reference jnp path."""
+    if jax.default_backend() == "tpu":
+        try:
+            from .pallas.w8a8_matmul import w8a8_matmul
+
+            return w8a8_matmul(x, params["w"], params["w_scale"], params.get("b"), kind=kind)
+        except Exception as e:
+            kernel_fallback("w8a8_matmul", e)
+    if kind == "int8":
+        q, x_scale = quantize_per_token_int8(x)
+        acc = _nt_dot(q, params["w"], jnp.int32)
+        y = acc.astype(jnp.float32) * x_scale * params["w_scale"].astype(jnp.float32)
+    else:
+        q, x_scale = quantize_per_token_fp8(x)
+        acc = _nt_dot(q, params["w"], jnp.float32)
+        y = acc * x_scale * params["w_scale"].astype(jnp.float32)
     return _bias_add(y, params.get("b"), x.dtype)
+
+
+def _mm_int8(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    return _mm_w8a8(params, x, "int8")
 
 
 def _mm_fp8(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
-    q, x_scale = quantize_per_token_fp8(x)
-    acc = _nt_dot(q, params["w"], jnp.float32)
-    y = acc * x_scale * params["w_scale"].astype(jnp.float32)
-    return _bias_add(y, params.get("b"), x.dtype)
+    return _mm_w8a8(params, x, "fp8")
 
 
 def quantize_per_token_group_fp8(x: jnp.ndarray, group: int = 128):

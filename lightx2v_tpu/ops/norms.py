@@ -1,9 +1,11 @@
 """Normalization ops (reference: lightx2v/common/ops/norm/*.py).
 
 All norms accumulate in fp32 and cast back to the input dtype, matching
-the reference's fp32-sensitive-layer policy. On TPU these fuse into
-adjacent elementwise ops under XLA; a fused Pallas RMSNorm+scale kernel
-lives in ops/pallas/rmsnorm.py for the hot path.
+the reference's fp32-sensitive-layer policy. These are deliberately plain
+jnp (no Pallas): under jit XLA fuses the normalize/scale/shift chains into
+the surrounding elementwise ops, while a standalone Pallas norm kernel
+would force a materialization boundary at each call — the reference needs
+custom CUDA norm kernels (sgl-kernel), TPU does not.
 """
 
 from __future__ import annotations

@@ -6,6 +6,14 @@ blocks — skipped blocks cost neither DMA nor FLOPs (the reference gets
 this from flashinfer's BSR wrapper; here it's PrefetchScalarGridSpec).
 Grid: (batch*heads, q_blocks, max_nnz_per_row) with the nnz axis minor and
 the online-softmax state in VMEM scratch, as in flash_attention.py.
+
+Execution block sizes are independent of the 128-token mask granularity:
+callers coarsen a fine mask (union-pool) to superblocks and run the MXU at
+dense-kernel tile sizes (the dense sweep's 2048x1024 hits 132 TFLOP/s on
+v5e vs ~25 at 128x128) — see ops/radial.py / ops/sparge.py. Padding rows
+beyond each row's count repeat the last active block index, so the
+pipeline's revisit of an unchanged index costs no DMA and the compute is
+skipped by the ``j < cnt`` guard.
 """
 
 from __future__ import annotations
@@ -129,11 +137,17 @@ def block_sparse_attention(
     indices: jnp.ndarray,  # (nq, max_nnz) or (B*N, nq, max_nnz) int32 block ids
     counts: jnp.ndarray,   # (nq,) or (B*N, nq) int32
     interpret: bool = False,
+    bq: int = BLOCK,
+    bk: int = BLOCK,
 ) -> jnp.ndarray:
+    """``indices``/``counts`` are at (bq query tokens x bk key tokens)
+    granularity — row i covers q tokens [i*bq, (i+1)*bq), entry j names a
+    bk-token key block."""
     b, sq, n, d = q.shape
     sk = k.shape[1]
     scale = 1.0 / math.sqrt(d)
-    bq = bk = BLOCK
+    bq = min(bq, max(128, 1 << (sq - 1).bit_length()))
+    bk = min(bk, max(128, 1 << (sk - 1).bit_length()))
 
     pq = (-sq) % bq
     pk = (-sk) % bk

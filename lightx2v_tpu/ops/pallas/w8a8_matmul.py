@@ -1,0 +1,124 @@
+"""Fused dynamic-activation-quant w8a8 matmul (Pallas TPU).
+
+The jnp w8a8 path (ops/linear.py _mm_int8/_mm_fp8) materializes fp32
+activation temps in HBM: quantize reads x, writes q + scales, the dot
+reads q, and the f32 rescale materializes (M, N) — at 14B/480P shapes
+(32760 x 5120) those temps are ~640 MB each and three of them pushed the
+int8 DiT forward 700 MB past a v5e's 15.75 GB HBM.
+
+This kernel fuses quantize -> int8/fp8 dot -> rescale in VMEM:
+  grid (M/bm, N/bn, K/bk), k minor; per (bm, bk) x-tile compute the
+  per-token absmax IN-KERNEL, quantize to int8/fp8 on the VPU, run the
+  quantized dot on the MXU, and accumulate f32 partials rescaled by the
+  per-token-per-k-block scale. HBM traffic: x bf16 once, w int8 once,
+  out bf16 once — no f32 temps at all.
+
+Quantization granularity is per-token-per-k-block(bk) — strictly FINER
+than the jnp path's per-token scales (each k-block gets its own absmax),
+so accuracy is >= the reference's dynamic per-token scheme
+(lightx2v_kernel per-token quant; mm_weight.py act_quant_* paths).
+
+Weight layout matches the checkpoint/NT convention: w (N, K) int8 or
+f8e4m3 with per-channel ``w_scale`` (N,) f32; bias (N,) f32 or None.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BM = 512
+DEFAULT_BN = 512
+DEFAULT_BK = 1024
+
+
+def _w8a8_kernel(x_ref, w_ref, ws_ref, b_ref, o_ref, acc_ref, *, nk, kind, out_dtype):
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...].astype(jnp.float32)  # (bm, bk)
+    absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)  # (bm, 1)
+    if kind == "int8":
+        scale = jnp.maximum(absmax, 1e-8) * (1.0 / 127.0)
+        q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+        s = jax.lax.dot_general(q, w_ref[...], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        acc_ref[:] += s.astype(jnp.float32) * scale
+    else:  # fp8
+        scale = jnp.maximum(absmax, 1e-8) * (1.0 / 448.0)
+        q = (x / scale).astype(jnp.float8_e4m3fn)
+        s = jax.lax.dot_general(q, w_ref[...], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        acc_ref[:] += s * scale
+
+    @pl.when(kb == nk - 1)
+    def _():
+        y = acc_ref[:] * ws_ref[...].astype(jnp.float32)  # (1, bn) w_scale row
+        y = y + b_ref[...].astype(jnp.float32)
+        o_ref[...] = y.astype(out_dtype)
+
+
+def w8a8_matmul(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    w_scale: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    kind: str = "int8",
+    bm: int = DEFAULT_BM,
+    bn: int = DEFAULT_BN,
+    bk: int = DEFAULT_BK,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x (..., K) float -> (..., N). w (N, K) int8/f8e4m3, w_scale (N,) f32."""
+    *lead, K = x.shape
+    N = w.shape[0]
+    M = int(math.prod(lead)) if lead else 1
+    xf = x.reshape(M, K)
+    out_dtype = x.dtype
+
+    bm = min(bm, max(8, 1 << (M - 1).bit_length()))
+    bn = min(bn, max(128, 1 << (N - 1).bit_length()))
+    bk = min(bk, max(128, 1 << (K - 1).bit_length()))
+    pm, pn, pk = (-M) % bm, (-N) % bn, (-K) % bk
+    if pm or pk:
+        xf = jnp.pad(xf, ((0, pm), (0, pk)))
+    wp = jnp.pad(w, ((0, pn), (0, pk))) if (pn or pk) else w
+    wsp = jnp.pad(w_scale.reshape(-1), (0, pn)) if pn else w_scale.reshape(-1)
+    b = bias if bias is not None else jnp.zeros((N,), jnp.float32)
+    bp = jnp.pad(b.astype(jnp.float32), (0, pn)) if pn else b.astype(jnp.float32)
+
+    grid = ((M + pm) // bm, (N + pn) // bn, (K + pk) // bk)
+    out = pl.pallas_call(
+        functools.partial(_w8a8_kernel, nk=grid[2], kind=kind, out_dtype=out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kb: (i, kb)),
+            pl.BlockSpec((bn, bk), lambda i, j, kb: (j, kb)),
+            pl.BlockSpec((1, bn), lambda i, j, kb: (0, j)),
+            pl.BlockSpec((1, bn), lambda i, j, kb: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kb: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((M + pm, N + pn), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (M + pm) * (N + pn) * (K + pk),
+            bytes_accessed=2 * (M + pm) * (K + pk) + (N + pn) * (K + pk) + 2 * (M + pm) * (N + pn),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xf, wp, wsp.reshape(1, -1), bp.reshape(1, -1))
+    if pm or pn:
+        out = out[:M, :N]
+    return out.reshape(*lead, N)

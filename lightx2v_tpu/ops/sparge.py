@@ -40,6 +40,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BLOCK = 128
 
@@ -49,19 +50,28 @@ def sparge_select_blocks(
     k: jnp.ndarray,
     keep_ratio: float = 0.3,
     l1: float = 0.07,
+    block_q: int = BLOCK,
+    block_k: int = BLOCK,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Choose key blocks per (batch*head, q_block).
 
     q/k: (B, S, N, D). Returns (indices (B*N, nq, nnz) i32,
-    counts (B*N, nq) i32) for block_sparse_attention.
-    """
+    counts (B*N, nq) i32) for block_sparse_attention at
+    (block_q x block_k) execution granularity.
+
+    Scoring always runs at the reference's 128-token granularity (block-mean
+    representatives); for superblock execution (block_q/block_k > 128) the
+    fine score map is max-pooled so a single hot 128-block keeps its
+    superblock — selection fidelity stays at 128 while the kernel runs
+    dense-sized MXU tiles."""
     b, sq, n, d = q.shape
     sk = k.shape[1]
+    block_q = min(block_q, max(BLOCK, 1 << (sq - 1).bit_length()))
+    block_k = min(block_k, max(BLOCK, 1 << (sk - 1).bit_length()))
     pq = (-sq) % BLOCK
     pk = (-sk) % BLOCK
-    nq = (sq + pq) // BLOCK
-    nk = (sk + pk) // BLOCK
-    nnz = max(1, min(nk, int(math.ceil(nk * keep_ratio))))
+    nq_f = (sq + pq) // BLOCK
+    nk_f = (sk + pk) // BLOCK
 
     def pool(x, s, pad):
         xf = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * n, s, d).astype(jnp.float32)
@@ -75,20 +85,42 @@ def sparge_select_blocks(
             return (xb * valid).sum(2) / jnp.maximum(valid.sum(2), 1.0)
         return xb.mean(2)
 
-    mq = pool(q, sq, pq)  # (BN, nq, d)
-    mk = pool(k, sk, pk)  # (BN, nk, d)
+    mq = pool(q, sq, pq)  # (BN, nq_f, d)
+    mk = pool(k, sk, pk)  # (BN, nk_f, d)
     scores = jnp.einsum("bqd,bkd->bqk", mq, mk) / math.sqrt(d)
-    # force-include the diagonal block via a large finite bump (selection
-    # only; the mass computation below uses the raw scores)
-    diag = (jnp.arange(nq)[:, None] == jnp.arange(nk)[None, :])[None]
-    _, top_idx = jax.lax.top_k(scores + jnp.where(diag, 1e9, 0.0), nnz)
+
+    fq, fk = block_q // BLOCK, block_k // BLOCK
+    nq = -(-nq_f // fq)
+    nk = -(-nk_f // fk)
+    if fq > 1 or fk > 1:
+        ppq, ppk = nq * fq - nq_f, nk * fk - nk_f
+        scores = jnp.pad(scores, ((0, 0), (0, ppq), (0, ppk)), constant_values=-jnp.inf)
+        scores = scores.reshape(b * n, nq, fq, nk, fk).max(axis=(2, 4))
+
+    # every key block overlapping the q superblock's token range is forced
+    # into the selection (generalizes the square diagonal to rectangles)
+    qlo = np.arange(nq) * block_q
+    klo = np.arange(nk) * block_k
+    diag = (klo[None, :] < qlo[:, None] + block_q) & (klo[None, :] + block_k > qlo[:, None])
+    diag_span = int(diag.sum(axis=1).max())
+    nnz = max(diag_span, min(nk, int(math.ceil(nk * keep_ratio))))
+
+    # force-include via a large finite bump (selection only; the mass
+    # computation below uses the raw scores)
+    diag_j = jnp.asarray(diag)[None]
+    _, top_idx = jax.lax.top_k(scores + jnp.where(diag_j, 1e9, 0.0), nnz)
     top_scores = jnp.take_along_axis(scores, top_idx, axis=-1)  # descending-ish
     # dynamic per-row budget: keep the smallest prefix with >= 1-l1 of the
     # softmax mass over the selected candidates
     p = jax.nn.softmax(top_scores, axis=-1)
     cmass = jnp.cumsum(p, axis=-1)
     needed = jnp.sum((cmass < (1.0 - l1)).astype(jnp.int32), axis=-1) + 1
-    counts = jnp.minimum(needed, nnz)
+    counts = jnp.clip(needed, jnp.asarray(diag.sum(axis=1), jnp.int32)[None], nnz)
+    # entries past each row's count repeat the last counted block, so the
+    # kernel's pipeline revisits an unchanged index (no DMA) on skipped steps
+    last = jnp.take_along_axis(top_idx, jnp.maximum(counts - 1, 0)[..., None], axis=-1)
+    sel = jnp.arange(nnz)[None, None, :] < counts[..., None]
+    top_idx = jnp.where(sel, top_idx, last)
     return top_idx.astype(jnp.int32), counts.astype(jnp.int32)
 
 
@@ -99,15 +131,23 @@ def sparge_attention(
     kv_len=None,
     keep_ratio: float = 0.3,
     l1: float = 0.07,
+    block_q: int = BLOCK,
+    block_k: int = BLOCK,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in attention op (B, S, N, D) -> (B, S, N, D). ``kv_len`` is
     accepted for dispatch-table compatibility; sparge is used for the
-    video self-attention path where all keys are valid."""
+    video self-attention path where all keys are valid.
+
+    Production configs should set block_q/block_k to MXU-sized superblocks
+    (2048/1024, the dense flash kernel's tuned tiles) — see
+    sparge_select_blocks for how selection fidelity is preserved."""
     from .pallas.block_sparse_attention import block_sparse_attention
 
-    indices, counts = sparge_select_blocks(q, k, keep_ratio=keep_ratio, l1=l1)
-    return block_sparse_attention(q, k, v, indices, counts, interpret=interpret)
+    indices, counts = sparge_select_blocks(q, k, keep_ratio=keep_ratio, l1=l1,
+                                           block_q=block_q, block_k=block_k)
+    return block_sparse_attention(q, k, v, indices, counts, interpret=interpret,
+                                  bq=block_q, bk=block_k)
 
 
 def sparge_attention_xla(
@@ -117,21 +157,26 @@ def sparge_attention_xla(
     kv_len=None,
     keep_ratio: float = 0.3,
     l1: float = 0.07,
+    block_q: int = BLOCK,
+    block_k: int = BLOCK,
 ) -> jnp.ndarray:
     """Pure-XLA fallback (CPU tests / non-TPU): same selection, dense mask."""
     b, sq, n, d = q.shape
     sk = k.shape[1]
-    indices, counts = sparge_select_blocks(q, k, keep_ratio=keep_ratio, l1=l1)
+    block_q = min(block_q, max(BLOCK, 1 << (sq - 1).bit_length()))
+    block_k = min(block_k, max(BLOCK, 1 << (sk - 1).bit_length()))
+    indices, counts = sparge_select_blocks(q, k, keep_ratio=keep_ratio, l1=l1,
+                                           block_q=block_q, block_k=block_k)
     bn = b * n
     nq, nnz = indices.shape[1], indices.shape[2]
-    nk = (sk + BLOCK - 1) // BLOCK
+    nk = (sk + block_k - 1) // block_k
     # scatter selected block ids (within count) into a dense (BN, nq, nk) mask
     sel = jnp.arange(nnz)[None, None, :] < counts[..., None]
     blk_mask = jnp.zeros((bn, nq, nk), bool)
     bb = jnp.arange(bn)[:, None, None]
     qq = jnp.arange(nq)[None, :, None]
     blk_mask = blk_mask.at[bb, qq, indices].max(sel)
-    mask = jnp.repeat(jnp.repeat(blk_mask, BLOCK, 1), BLOCK, 2)[:, :sq, :sk]
+    mask = jnp.repeat(jnp.repeat(blk_mask, block_q, 1), block_k, 2)[:, :sq, :sk]
     mask = mask.reshape(b, n, sq, sk)
 
     qf = jnp.transpose(q, (0, 2, 1, 3)).astype(jnp.float32)

@@ -271,6 +271,8 @@ class WanRunner(DefaultRunner):
             self_attn_kwargs = {
                 "keep_ratio": float(self.config.get("sparge_keep_ratio", 0.3)),
                 "l1": float(self.config.get("sparge_l1", 0.07)),
+                "block_q": int(self.config.get("sparse_block_q", 2048)),
+                "block_k": int(self.config.get("sparse_block_k", 1024)),
             }
         if attn_default == "radial_attn":
             from ..ops.radial import MaskMap
@@ -281,6 +283,8 @@ class WanRunner(DefaultRunner):
             self_attn_kwargs = {
                 "mask_map": MaskMap(video_token_num=vid_tokens, num_frame=gf),
                 "decay_factor": float(self.config.get("decay_factor", 0.5)),
+                "block_q": int(self.config.get("sparse_block_q", 2048)),
+                "block_k": int(self.config.get("sparse_block_k", 1024)),
             }
         denoise = make_denoise_fn(
             self.arch, scheduler, target_shape,

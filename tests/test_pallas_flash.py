@@ -78,26 +78,3 @@ class TestSageAttention:
         assert snr < 1e-2
 
 
-class TestFusedNorms:
-    def test_fused_rms_matches_jnp(self):
-        from lightx2v_tpu.ops.norms import rms_norm
-        from lightx2v_tpu.ops.pallas.norms import fused_rms_norm
-
-        x = rand(2, 100, 128, key=20).astype(jnp.bfloat16)
-        w = rand(128, key=21) * 0.1 + 1.0
-        ref = rms_norm(x, w, eps=1e-5)
-        out = fused_rms_norm(x, w, eps=1e-5, interpret=True)
-        np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref, np.float32),
-                                   rtol=2e-2, atol=2e-2)
-
-    def test_fused_adaln_matches_jnp(self):
-        from lightx2v_tpu.ops.norms import modulated_layer_norm
-        from lightx2v_tpu.ops.pallas.norms import fused_adaln
-
-        x = rand(2, 64, 128, key=22).astype(jnp.bfloat16)
-        shift = rand(2, 1, 128, key=23)
-        scale = rand(2, 1, 128, key=24)
-        ref = modulated_layer_norm(x, shift, scale, eps=1e-6)
-        out = fused_adaln(x, shift, scale, eps=1e-6, interpret=True)
-        np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref, np.float32),
-                                   rtol=2e-2, atol=2e-2)

@@ -105,3 +105,35 @@ class TestRing:
                             in_specs=(P("dp", "sp"), P("dp", "sp"), P("dp", "sp"), P("dp"), P("dp")),
                             out_specs=P("dp", "sp"), check_vma=False)(q, k, v, tk, tv)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=1e-3)
+
+
+class TestSuperblockRadial:
+    def test_coarsen_is_superset(self):
+        from lightx2v_tpu.ops.radial import coarsen_block_mask
+        m = radial_block_mask(seq_len=8448, video_token_num=8192, num_frame=8)
+        c = coarsen_block_mask(m, 8, 4)
+        for bi in range(m.shape[0]):
+            for bj in range(m.shape[1]):
+                if m[bi, bj]:
+                    assert c[bi // 8, bj // 4]
+
+    def test_superblock_kernel_matches_fine(self):
+        """Radial at superblock granularity == dense masked attention with
+        the coarsened mask (interpret mode)."""
+        import jax.numpy as jnp
+        from lightx2v_tpu.ops.radial import coarsen_block_mask
+        rng = np.random.default_rng(3)
+        s, n, d = 1024, 2, 64
+        q, k, v = (jnp.asarray(rng.standard_normal((1, s, n, d)), jnp.float32) * 0.5
+                   for _ in range(3))
+        m = radial_block_mask(seq_len=s, video_token_num=896, num_frame=4)
+        c = coarsen_block_mask(m, 4, 2)
+        idx, cnt = mask_to_indices(c)
+        out = block_sparse_attention(q, k, v, jnp.asarray(idx), jnp.asarray(cnt),
+                                     bq=512, bk=256, interpret=True)
+        # dense oracle with the coarsened token mask
+        tok = np.repeat(np.repeat(c, 512, 0), 256, 1)[:s, :s]
+        logits = jnp.einsum("bqnd,bknd->bnqk", q, k) / np.sqrt(d)
+        logits = jnp.where(jnp.asarray(tok)[None, None], logits, -jnp.inf)
+        ref = jnp.einsum("bnqk,bknd->bqnd", jax.nn.softmax(logits, -1).astype(v.dtype), v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)

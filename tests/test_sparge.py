@@ -92,3 +92,52 @@ def test_pallas_non_multiple_seq_masks_padded_keys():
     out = sparge_attention(q, k, v, keep_ratio=1.0, l1=0.0, interpret=True)
     ref = attn_xla(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_superblock_matches_dense_at_full_keep():
+    """Superblock execution (block_q/k > 128) with keep_ratio=1 is exact."""
+    q, k, v = _qkv(s=4 * BLOCK, seed=13)
+    ref = attn_xla(q, k, v)
+    out = sparge_attention(q, k, v, keep_ratio=1.0, l1=0.0,
+                           block_q=2 * BLOCK, block_k=2 * BLOCK, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+    out_x = sparge_attention_xla(q, k, v, keep_ratio=1.0, l1=0.0,
+                                 block_q=2 * BLOCK, block_k=2 * BLOCK)
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_superblock_selection_covers_fine_selection():
+    """Max-pooled superblock selection keeps every superblock containing a
+    fine-selected block (coverage can only grow)."""
+    q, k, _ = _qkv(s=8 * BLOCK, seed=17)
+    idx_f, cnt_f = sparge_select_blocks(q, k, keep_ratio=0.5, l1=0.0)
+    idx_s, cnt_s = sparge_select_blocks(q, k, keep_ratio=0.5, l1=0.0,
+                                        block_q=2 * BLOCK, block_k=2 * BLOCK)
+    idx_f, cnt_f, idx_s, cnt_s = map(np.asarray, (idx_f, cnt_f, idx_s, cnt_s))
+    bn, nq_s, _ = idx_s.shape
+    kept_frac_fine = cnt_f.mean() / idx_f.shape[1] * (idx_f.shape[2] / 8)
+    kept_frac_sup = cnt_s.mean() / nq_s * (idx_s.shape[2] / 4)
+    # superblock keeps a similar or larger fraction (union semantics)
+    assert kept_frac_sup >= 0.5 * kept_frac_fine
+
+
+def test_superblock_rect_diagonal_forced():
+    """With block_q=2*block_k every q row must include BOTH overlapping
+    diagonal key blocks."""
+    q, k, _ = _qkv(s=8 * BLOCK, seed=19)
+    idx, cnt = sparge_select_blocks(q, k, keep_ratio=0.25, l1=0.0,
+                                    block_q=4 * BLOCK, block_k=2 * BLOCK)
+    idx, cnt = np.asarray(idx), np.asarray(cnt)
+    bn, nq, nnz = idx.shape
+    for bh in range(bn):
+        for i in range(nq):
+            row = set(idx[bh, i, :cnt[bh, i]])
+            assert {2 * i, 2 * i + 1} <= row, f"diag blocks missing at ({bh},{i}): {row}"
+
+
+def test_superblock_non_multiple_seq():
+    q, k, v = _qkv(s=5 * BLOCK + 37, seed=23)
+    ref = attn_xla(q, k, v)
+    out = sparge_attention(q, k, v, keep_ratio=1.0, l1=0.0,
+                           block_q=4 * BLOCK, block_k=2 * BLOCK, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
