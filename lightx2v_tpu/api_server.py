@@ -28,8 +28,20 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     config = set_config(args)
 
-    service = VideoGenerationService(lambda: init_runner(config), output_root=args.output_root,
-                                     server_config=config)
+    # num_replicas > 1 = serving data parallelism: one runner per chip,
+    # weights replicated, tasks dispatched to free chips concurrently.
+    # Incompatible with mesh_shape (model parallelism owns all chips).
+    replicas = int(config.get("num_replicas", 1))
+    if replicas > 1 and config.get("mesh_shape"):
+        logger.warning("num_replicas > 1 ignored: mesh_shape uses all chips for one task")
+        replicas = 1
+    # each replica gets its own config copy — runners mutate config via
+    # set_inputs, and a shared dict would race across worker threads
+    import copy
+
+    service = VideoGenerationService(lambda: init_runner(copy.deepcopy(config)),
+                                     output_root=args.output_root,
+                                     server_config=config, num_replicas=replicas)
     server = ApiServer(service, host=args.host, port=args.port, output_root=args.output_root)
     logger.info(f"serving model_cls={config.get('model_cls')} on {args.host}:{server.port}")
     server.serve_forever()

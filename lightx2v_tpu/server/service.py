@@ -38,22 +38,36 @@ class TaskRecord:
 
 
 class VideoGenerationService:
-    """Owns the runner and the task loop (single task at a time)."""
+    """Owns the runner(s) and the task loop.
+
+    ``num_replicas > 1`` is data parallelism for SERVING: N worker threads
+    each own a runner pinned (via ``jax.default_device``) to a distinct
+    chip, pulling from one shared queue — N concurrent single-chip tasks
+    in one process, weights replicated per chip. This replaces the
+    reference's multi-GPU task broadcast (server/service.py:77-309 sends
+    ONE task to all ranks over NCCL) with throughput-oriented dp; for
+    model-parallel tasks (``mesh_shape`` in config) keep one replica —
+    the mesh already owns every chip."""
 
     def __init__(self, runner_factory, output_root: str = "./outputs",
-                 server_config: Optional[Dict[str, Any]] = None):
+                 server_config: Optional[Dict[str, Any]] = None,
+                 num_replicas: int = 1):
         self._runner_factory = runner_factory
         self._output_root = os.path.abspath(output_root)
         self.server_config = server_config  # exposed via /v1/service/metadata
-        self._runner = None
         self._queue: "queue.Queue[str]" = queue.Queue()
         self._tasks: Dict[str, TaskRecord] = {}
         self._lock = threading.Lock()
-        self._current: Optional[str] = None
         self._stop_flag = threading.Event()
         self._shutdown = threading.Event()
-        self._worker = threading.Thread(target=self._loop, daemon=True)
-        self._worker.start()
+        self.num_replicas = max(1, int(num_replicas))
+        self._runners: Dict[int, Any] = {}
+        self._current: Dict[int, Optional[str]] = {i: None for i in range(self.num_replicas)}
+        self._workers = []
+        for i in range(self.num_replicas):
+            w = threading.Thread(target=self._loop, args=(i,), daemon=True)
+            w.start()
+            self._workers.append(w)
 
     # ---------------- public API ----------------
     def submit(self, req: TaskRequest) -> TaskRecord:
@@ -94,22 +108,41 @@ class VideoGenerationService:
 
     def status(self) -> Dict[str, Any]:
         with self._lock:
-            busy = self._current is not None
-            return {"service_status": "busy" if busy else "idle", "task_id": self._current}
+            running = {i: t for i, t in self._current.items() if t is not None}
+            busy = len(running) >= self.num_replicas
+            first = next(iter(running.values()), None)
+            out = {"service_status": "busy" if busy else "idle", "task_id": first}
+            if self.num_replicas > 1:
+                out["replicas"] = {str(i): t for i, t in self._current.items()}
+            return out
 
     def stop_running(self) -> Dict[str, Any]:
         with self._lock:
-            if self._current is None:
+            if all(t is None for t in self._current.values()):
                 return {"stop_status": "do_nothing", "reason": "no running task"}
             self._stop_flag.set()
             return {"stop_status": "requested", "reason": None}
 
     def shutdown(self):
         self._shutdown.set()
-        self._queue.put(None)  # wake the worker
+        for _ in range(self.num_replicas):
+            self._queue.put(None)  # wake every worker
 
     # ---------------- worker ----------------
-    def _loop(self):
+    def _replica_scope(self, replica: int):
+        """Pin replica i's runner to chip i (thread-local default device) —
+        uncommitted arrays and jit executions in this thread then land on
+        that chip, so replicas compute concurrently."""
+        import contextlib
+
+        if self.num_replicas <= 1:
+            return contextlib.nullcontext()
+        import jax
+
+        devs = jax.devices()
+        return jax.default_device(devs[replica % len(devs)])
+
+    def _loop(self, replica: int = 0):
         while not self._shutdown.is_set():
             task_id = self._queue.get()
             if task_id is None:
@@ -118,16 +151,18 @@ class VideoGenerationService:
             if rec is None:
                 continue
             with self._lock:
-                self._current = task_id
+                self._current[replica] = task_id
                 rec.status = "processing"
             try:
-                if self._runner is None:
-                    self._runner = self._runner_factory()
-                inputs = rec.request.model_dump()
-                inputs.update(inputs.pop("options", None) or {})
-                inputs = {k: v for k, v in inputs.items() if v not in (None, "")}
-                self._runner.set_inputs(inputs)
-                self._runner.run_pipeline()
+                with self._replica_scope(replica):
+                    if replica not in self._runners:
+                        self._runners[replica] = self._runner_factory()
+                    runner = self._runners[replica]
+                    inputs = rec.request.model_dump()
+                    inputs.update(inputs.pop("options", None) or {})
+                    inputs = {k: v for k, v in inputs.items() if v not in (None, "")}
+                    runner.set_inputs(inputs)
+                    runner.run_pipeline()
                 rec.status = "completed"
             except Exception as e:  # pragma: no cover
                 logger.error(f"task {task_id} failed: {e}\n{traceback.format_exc()}")
@@ -135,5 +170,5 @@ class VideoGenerationService:
                 rec.error = str(e)
             finally:
                 with self._lock:
-                    self._current = None
+                    self._current[replica] = None
                 self._stop_flag.clear()

@@ -198,3 +198,32 @@ def test_task_options_merge_into_config(server):
             break
         time.sleep(2)
     assert st["status"] == "completed", st.get("error")
+
+
+def test_dp_serving_two_replicas(tmp_path):
+    """num_replicas=2: two runners (one per virtual device) drain the queue
+    concurrently; both tasks complete and per-replica status is exposed."""
+    args = build_parser().parse_args([
+        "--model_cls", "wan2.1", "--task", "t2v",
+        "--config_json", CFG, "--synthetic_weights",
+    ])
+    import copy
+
+    config = set_config(args)
+    # per-replica config copies: runners mutate config via set_inputs
+    service = VideoGenerationService(lambda: init_runner(copy.deepcopy(config)),
+                                     output_root=str(tmp_path), num_replicas=2)
+    recs = [service.submit(TaskRequest(prompt=f"clip {i}",
+                                       save_video_path=str(tmp_path / f"r{i}.mp4"),
+                                       seed=i)) for i in range(2)]
+    deadline = time.time() + 280
+    while time.time() < deadline and any(r.status not in ("completed", "failed") for r in recs):
+        time.sleep(0.5)
+    assert [r.status for r in recs] == ["completed", "completed"], \
+        [(r.status, r.error) for r in recs]
+    assert len(service._runners) == 2  # both replicas exercised
+    st = service.status()
+    assert "replicas" in st and len(st["replicas"]) == 2
+    for i in range(2):
+        assert os.path.exists(tmp_path / f"r{i}.mp4")
+    service.shutdown()
