@@ -177,10 +177,15 @@ def run_e2e(arch, params, target, mm_type, attn, steps, preset="14b", scheme="bf
     vae_cfg = WanVAEConfig()
     import ml_dtypes
 
-    # the params tree carries static layer-type tags, so decode runs
-    # op-by-op like the runner does (each conv is its own XLA program)
-    vae_params = load_wan_vae_params(
-        init_random_vae_state_dict(vae_cfg, seed=0), vae_cfg, dtype=ml_dtypes.bfloat16)
+    from lightx2v_tpu.utils.synth import device_randn_like
+
+    # host numpy tree as a shape template, arrays generated ON DEVICE
+    # (~250 MB bf16 would take minutes through the tunnel); the params
+    # tree carries static layer-type tags, so decode runs op-by-op like
+    # the runner does (each conv is its own XLA program)
+    vae_params = device_randn_like(load_wan_vae_params(
+        init_random_vae_state_dict(vae_cfg, seed=0), vae_cfg,
+        dtype=ml_dtypes.bfloat16, to_jax=False), seed=0)
 
     def once():
         st = denoise(params, state0, context, context)

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.attention import attention
-from ...ops.linear import resolve_mm
+from ...ops.linear import mm_gelu, resolve_mm
 from ...ops.norms import layer_norm, modulated_layer_norm, rms_norm
 from ...ops.rope import apply_rope, guidance_scale_embedding, sinusoidal_embedding_1d
 from .config import WanArch
@@ -208,8 +208,10 @@ def wan_block_parts(
         norm2 = (xs * w + bvec).astype(x.dtype)
     else:
         norm2 = modulated_layer_norm(x, c_shift, c_scale, eps=arch.eps)
-    h = _mm(block["ffn"]["0"], norm2, mm_fn)
-    h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(h.dtype)
+    # GELU fuses into the quantized matmul kernel on TPU (in-VMEM on the
+    # fp32 accumulator) — the 13824-wide intermediate never round-trips
+    # HBM un-activated (ops/linear.mm_gelu)
+    h = mm_gelu(mm_fn, block["ffn"]["0"], norm2)
     y_ffn = _mm(block["ffn"]["2"], h, mm_fn)
     x = (x.astype(jnp.float32) + y_ffn.astype(jnp.float32) * c_gate.astype(jnp.float32)).astype(x.dtype)
     return x, y_sa, cross_proj, y_ffn

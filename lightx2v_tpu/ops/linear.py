@@ -73,7 +73,7 @@ def quantize_per_token_fp8(x: jnp.ndarray):
     return q, scale
 
 
-def _mm_w8a8(params: Dict, x: jnp.ndarray, kind: str) -> jnp.ndarray:
+def _mm_w8a8(params: Dict, x: jnp.ndarray, kind: str, act: Optional[str] = None) -> jnp.ndarray:
     """TPU: fused Pallas quantize+dot (no fp32 HBM temps — the jnp path's
     three ~640 MB f32 temps are what pushed the 14B int8 forward OOM on a
     16 GB v5e). Elsewhere: reference jnp path."""
@@ -81,7 +81,8 @@ def _mm_w8a8(params: Dict, x: jnp.ndarray, kind: str) -> jnp.ndarray:
         try:
             from .pallas.w8a8_matmul import w8a8_matmul
 
-            return w8a8_matmul(x, params["w"], params["w_scale"], params.get("b"), kind=kind)
+            return w8a8_matmul(x, params["w"], params["w_scale"], params.get("b"),
+                               kind=kind, act=act)
         except Exception as e:
             kernel_fallback("w8a8_matmul", e)
     if kind == "int8":
@@ -92,7 +93,25 @@ def _mm_w8a8(params: Dict, x: jnp.ndarray, kind: str) -> jnp.ndarray:
         q, x_scale = quantize_per_token_fp8(x)
         acc = _nt_dot(q, params["w"], jnp.float32)
         y = acc * x_scale * params["w_scale"].astype(jnp.float32)
+    if act == "gelu":
+        if params.get("b") is not None:
+            y = y + params["b"].astype(jnp.float32)
+        return jax.nn.gelu(y, approximate=True).astype(x.dtype)
     return _bias_add(y, params.get("b"), x.dtype)
+
+
+def mm_gelu(mm_fn, params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """matmul + GELU for the FFN's first projection. On the Pallas w8a8
+    path the activation is applied to the fp32 accumulator in-kernel —
+    the 14B FFN's 864 MB intermediate otherwise costs a full HBM
+    round-trip AND a second live buffer (the final ~160 MB of a 16 GB
+    v5e OOM). Other mm types fall back to mm -> jnp gelu (XLA fuses)."""
+    if mm_fn is _mm_int8:
+        return _mm_w8a8(params, x, "int8", act="gelu")
+    if mm_fn is _mm_fp8:
+        return _mm_w8a8(params, x, "fp8", act="gelu")
+    h = mm_fn(params, x)
+    return jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(h.dtype)
 
 
 def _mm_int8(params: Dict, x: jnp.ndarray) -> jnp.ndarray:

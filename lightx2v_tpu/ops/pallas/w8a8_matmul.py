@@ -38,7 +38,7 @@ DEFAULT_BN = 512
 DEFAULT_BK = 1024
 
 
-def _w8a8_kernel(x_ref, w_ref, ws_ref, b_ref, o_ref, acc_ref, *, nk, kind, out_dtype):
+def _w8a8_kernel(x_ref, w_ref, ws_ref, b_ref, o_ref, acc_ref, *, nk, kind, out_dtype, act=None):
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
@@ -64,6 +64,11 @@ def _w8a8_kernel(x_ref, w_ref, ws_ref, b_ref, o_ref, acc_ref, *, nk, kind, out_d
     def _():
         y = acc_ref[:] * ws_ref[...].astype(jnp.float32)  # (1, bn) w_scale row
         y = y + b_ref[...].astype(jnp.float32)
+        if act == "gelu":
+            # fused FFN activation (fp32, tanh approx — matches
+            # jax.nn.gelu(approximate=True)); saves a full-size HBM
+            # round-trip of the 13824-wide intermediate
+            y = 0.5 * y * (1.0 + jnp.tanh(0.7978845608028654 * (y + 0.044715 * y * y * y)))
         o_ref[...] = y.astype(out_dtype)
 
 
@@ -76,29 +81,36 @@ def w8a8_matmul(
     bm: int = DEFAULT_BM,
     bn: int = DEFAULT_BN,
     bk: int = DEFAULT_BK,
+    act: Optional[str] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """x (..., K) float -> (..., N). w (N, K) int8/f8e4m3, w_scale (N,) f32."""
+    """x (..., K) float -> (..., N). w (N, K) int8/f8e4m3, w_scale (N,) f32.
+    ``act="gelu"`` applies tanh-GELU to the fp32 accumulator in-kernel."""
     *lead, K = x.shape
     N = w.shape[0]
     M = int(math.prod(lead)) if lead else 1
     xf = x.reshape(M, K)
     out_dtype = x.dtype
 
+    # k MUST tile exactly (out-of-bounds k would contribute garbage to the
+    # accumulation): pick the largest power-of-two block dividing K. m/n are
+    # left RAGGED — Pallas masks the partial edge blocks, and a host-side
+    # jnp.pad here would duplicate the whole activation in HBM (an 864 MB
+    # copy of the 14B FFN gelu output is what re-OOMed the first version).
     bm = min(bm, max(8, 1 << (M - 1).bit_length()))
     bn = min(bn, max(128, 1 << (N - 1).bit_length()))
-    bk = min(bk, max(128, 1 << (K - 1).bit_length()))
-    pm, pn, pk = (-M) % bm, (-N) % bn, (-K) % bk
-    if pm or pk:
-        xf = jnp.pad(xf, ((0, pm), (0, pk)))
-    wp = jnp.pad(w, ((0, pn), (0, pk))) if (pn or pk) else w
-    wsp = jnp.pad(w_scale.reshape(-1), (0, pn)) if pn else w_scale.reshape(-1)
-    b = bias if bias is not None else jnp.zeros((N,), jnp.float32)
-    bp = jnp.pad(b.astype(jnp.float32), (0, pn)) if pn else b.astype(jnp.float32)
+    while bk > 128 and K % bk:
+        bk //= 2
+    if K % bk:
+        pk = (-K) % bk
+        xf = jnp.pad(xf, ((0, 0), (0, pk)))
+        w = jnp.pad(w, ((0, 0), (0, pk)))
+        K += pk
+    b = bias.astype(jnp.float32) if bias is not None else jnp.zeros((N,), jnp.float32)
 
-    grid = ((M + pm) // bm, (N + pn) // bn, (K + pk) // bk)
+    grid = (-(-M // bm), -(-N // bn), K // bk)
     out = pl.pallas_call(
-        functools.partial(_w8a8_kernel, nk=grid[2], kind=kind, out_dtype=out_dtype),
+        functools.partial(_w8a8_kernel, nk=grid[2], kind=kind, out_dtype=out_dtype, act=act),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, kb: (i, kb)),
@@ -107,18 +119,16 @@ def w8a8_matmul(
             pl.BlockSpec((1, bn), lambda i, j, kb: (0, j)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kb: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((M + pm, N + pn), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * (M + pm) * (N + pn) * (K + pk),
-            bytes_accessed=2 * (M + pm) * (K + pk) + (N + pn) * (K + pk) + 2 * (M + pm) * (N + pn),
+            flops=2 * M * N * K,
+            bytes_accessed=2 * M * K + N * K + 2 * M * N,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xf, wp, wsp.reshape(1, -1), bp.reshape(1, -1))
-    if pm or pn:
-        out = out[:M, :N]
+    )(xf, w, w_scale.reshape(1, -1).astype(jnp.float32), b.reshape(1, -1))
     return out.reshape(*lead, N)

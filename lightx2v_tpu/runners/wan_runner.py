@@ -169,13 +169,26 @@ class WanRunner(DefaultRunner):
 
     # ---------------- pipeline stages ----------------
     def set_target_shape(self):
-        """(C, F, H, W) latent shape (reference wan_runner.py:260-280)."""
+        """(C, F, H, W) latent shape (reference wan_runner.py:260-280).
+
+        ``shape_bucketing: true`` rounds the latent dims up to a coarse
+        grid (F to 4, H/W to 8 latents = 64 px) so a serving process
+        compiles a handful of programs instead of one per request shape —
+        everything under jit keys on static shapes. The decoded video is
+        cropped back to the requested size in run_vae_decoder."""
         cfg = self.config
         st, sh, sw = cfg.get("vae_stride", (4, 8, 8))
         frames = int(cfg.get("target_video_length", 81))
         h, w = int(cfg.get("target_height", 480)), int(cfg.get("target_width", 832))
         lat_f = (frames - 1) // st + 1
         lat_h, lat_w = h // sh, w // sw
+        self.config.pop("crop_output", None)
+        if cfg.get("shape_bucketing"):
+            up = lambda v, q: -(-v // q) * q
+            bf, bh, bw = up(lat_f, 4), up(lat_h, 8), up(lat_w, 8)
+            if (bf, bh, bw) != (lat_f, lat_h, lat_w):
+                self.config["crop_output"] = (frames, h, w)
+                lat_f, lat_h, lat_w = bf, bh, bw
         self.config["target_shape"] = (16, lat_f, lat_h, lat_w)
         return self.config["target_shape"]
 
@@ -476,12 +489,23 @@ class WanRunner(DefaultRunner):
                 prefetcher.close()
         return state["latents"]
 
+    def _crop_to_request(self, frames: np.ndarray) -> np.ndarray:
+        """Crop a shape-bucketed generation back to the requested
+        (frames, h, w) — center crop spatially, head crop temporally."""
+        crop = self.config.get("crop_output")
+        if not crop:
+            return frames
+        f, h, w = crop
+        oh, ow = frames.shape[1], frames.shape[2]
+        y0, x0 = max(0, (oh - h) // 2), max(0, (ow - w) // 2)
+        return frames[:f, y0:y0 + h, x0:x0 + w]
+
     def run_vae_decoder(self, latents) -> np.ndarray:
         if self.config.get("tiny_vae"):
             from ..vae.tiny_vae import tiny_decode_wan_latents
 
             frames = tiny_decode_wan_latents(self.vae, latents)
-            return np.clip(np.asarray(frames, np.float32), -1.0, 1.0)
+            return self._crop_to_request(np.clip(np.asarray(frames, np.float32), -1.0, 1.0))
         # latents (C, F, H, W) -> VAE layout (B, F, H, W, C)
         z = jnp.transpose(latents, (1, 2, 3, 0))[None]
         scale = not self.config.get("synthetic_weights")
@@ -496,7 +520,7 @@ class WanRunner(DefaultRunner):
             frames = vae_decode_tiled(self.vae, z, self.vae_cfg, scale=scale)
         else:
             frames = vae_decode(self.vae, z, self.vae_cfg, scale=scale)
-        return np.clip(np.asarray(frames[0], np.float32), -1.0, 1.0)
+        return self._crop_to_request(np.clip(np.asarray(frames[0], np.float32), -1.0, 1.0))
 
 
 @RUNNER_REGISTER.register("wan2.1_distill")

@@ -397,7 +397,7 @@ def _attn_p(sd, key, dtype) -> Dict:
 
 
 def load_wan_vae_params(state_dict: Dict[str, Any], cfg: WanVAEConfig = WanVAEConfig(),
-                        dtype=np.float32) -> Dict:
+                        dtype=np.float32, to_jax: bool = True) -> Dict:
     """Map the torch checkpoint (reference layer numbering from the
     nn.Sequential layouts in vae.py Encoder3d/Decoder3d) to our pytree."""
     sd = state_dict
@@ -466,6 +466,8 @@ def load_wan_vae_params(state_dict: Dict[str, Any], cfg: WanVAEConfig = WanVAECo
             "head_conv": _conv3d_p(sd, "decoder.head.2", dtype),
         },
     }
+    if not to_jax:  # numpy leaves (e.g. as a shape template for
+        return params  # utils/synth.device_randn_like — no device transfer)
     return jax.tree_util.tree_map(
         lambda x: x if isinstance(x, str) else jnp.asarray(x), params
     )

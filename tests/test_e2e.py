@@ -190,3 +190,25 @@ def test_lazy_disk_tier_pipeline(tmp_path):
     frames = lazy_runner.run_pipeline(save_video=False)
     assert frames.shape == (9, 64, 96, 3)
     np.testing.assert_allclose(frames, ref_frames, rtol=2e-2, atol=2e-2)
+
+
+def test_shape_bucketing_crops_to_request(tmp_path):
+    """shape_bucketing rounds the latent grid up to a bucket (fewer serving
+    recompiles) and crops the decoded video back to the request."""
+    runner, config = make_runner(tmp_path, extra={
+        "shape_bucketing": True,
+        # 33 frames -> lat_f 9 -> bucket 12; 56x88 px -> lat 7x11 -> bucket 8x16
+        "target_video_length": 33, "target_height": 56, "target_width": 88,
+    })
+    shape = runner.set_target_shape()
+    assert shape == (16, 12, 8, 16)
+    assert config["crop_output"] == (33, 56, 88)
+    frames = runner.run_pipeline(save_video=False)
+    assert frames.shape == (33, 56, 88, 3)
+    # bucket-aligned requests compile/crop nothing
+    runner2, config2 = make_runner(tmp_path, extra={
+        "shape_bucketing": True,
+        "target_video_length": 45, "target_height": 64, "target_width": 128,
+    })
+    assert runner2.set_target_shape() == (16, 12, 8, 16)
+    assert not config2.get("crop_output")

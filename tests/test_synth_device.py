@@ -66,3 +66,28 @@ def test_i2v_structure():
     host = load_wan_params(wd, arch)
     dev = init_random_params_on_device(arch, scheme="bf16", seed=0)
     assert set(_tree_shapes(host)) == set(_tree_shapes(dev))
+
+
+def test_device_randn_like_vae_tree():
+    """Generic device-side tree synth: same structure/shapes/dtypes as the
+    host VAE loader, strings passed through, stats preserved."""
+    from lightx2v_tpu.utils.synth import device_randn_like
+    from lightx2v_tpu.vae.wan_vae import (WanVAEConfig, init_random_vae_state_dict,
+                                          load_wan_vae_params)
+
+    cfg = WanVAEConfig(dim=16, z_dim=16, dim_mult=(1, 2), num_res_blocks=1)
+    host = load_wan_vae_params(init_random_vae_state_dict(cfg, seed=1), cfg, to_jax=False)
+    dev = device_randn_like(host, seed=0)
+
+    h_leaves = jax.tree_util.tree_flatten(host, is_leaf=lambda x: isinstance(x, str))[0]
+    d_leaves = jax.tree_util.tree_flatten(dev, is_leaf=lambda x: isinstance(x, str))[0]
+    assert len(h_leaves) == len(d_leaves)
+    for h, d in zip(h_leaves, d_leaves):
+        if isinstance(h, str):
+            assert h == d
+        else:
+            assert h.shape == d.shape and str(h.dtype) == str(d.dtype)
+    # norm gammas keep their ~1.0 mean so forward passes stay sane
+    g_h = np.asarray(host["decoder"]["head_norm"]["g"])
+    g_d = np.asarray(dev["decoder"]["head_norm"]["g"], np.float32)
+    assert abs(g_d.mean() - g_h.mean()) < 0.5

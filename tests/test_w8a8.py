@@ -101,3 +101,29 @@ def test_no_bias():
                                  interpret=True), np.float32)
     rel = np.abs(out - refx).mean() / (np.abs(refx).mean() + 1e-9)
     assert rel < 1e-2
+
+
+def test_fused_gelu_matches_separate():
+    """act="gelu" in-kernel == kernel output -> jnp gelu."""
+    import jax
+
+    x, w, ws, b, _ = _case(m=64, n=128, k=256, seed=15)
+    base = w8a8_matmul(x, w, ws, b, kind="int8", bm=64, bn=128, bk=128, interpret=True)
+    ref = jax.nn.gelu(np.asarray(base, np.float32), approximate=True)
+    out = np.asarray(w8a8_matmul(x, w, ws, b, kind="int8", bm=64, bn=128, bk=128,
+                                 act="gelu", interpret=True), np.float32)
+    # base was rounded to bf16 before the reference gelu; the fused path
+    # activates the fp32 accumulator, so tolerate bf16-rounding noise
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_mm_gelu_dispatch_jnp_path():
+    from lightx2v_tpu.ops.linear import _mm_int8, mm_gelu
+
+    x, w, ws, b, _ = _case(m=32, n=128, k=256, seed=17)
+    params = {"w": w, "w_scale": ws, "b": b}
+    out = mm_gelu(_mm_int8, params, x)  # CPU -> jnp fallback path
+    import jax
+
+    ref = jax.nn.gelu(np.asarray(_mm_int8(params, x), np.float32), approximate=True)
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref, rtol=2e-2, atol=2e-2)
