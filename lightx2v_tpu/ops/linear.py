@@ -74,10 +74,14 @@ def quantize_per_token_fp8(x: jnp.ndarray):
 
 
 def _mm_w8a8(params: Dict, x: jnp.ndarray, kind: str, act: Optional[str] = None) -> jnp.ndarray:
-    """TPU: fused Pallas quantize+dot (no fp32 HBM temps — the jnp path's
-    three ~640 MB f32 temps are what pushed the 14B int8 forward OOM on a
-    16 GB v5e). Elsewhere: reference jnp path."""
-    if jax.default_backend() == "tpu":
+    """TPU + large dims: fused Pallas quantize+dot (no fp32 HBM temps —
+    the jnp path's three ~640 MB f32 temps are what pushed the 14B int8
+    forward OOM on a 16 GB v5e; measured 11.8 s/forward fused). Small
+    dims (1.3B's 1536-wide projections) stay on the jnp path — XLA's
+    int8 dot wins there (2188 vs 2316 ms/forward measured) and the fp32
+    temps are only ~190 MB."""
+    n, k = params["w"].shape[-2:]
+    if jax.default_backend() == "tpu" and min(n, k) >= 4096:
         try:
             from .pallas.w8a8_matmul import w8a8_matmul
 

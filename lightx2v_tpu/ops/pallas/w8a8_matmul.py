@@ -39,13 +39,13 @@ DEFAULT_BK = 1024
 
 
 def _w8a8_kernel(x_ref, w_ref, ws_ref, b_ref, o_ref, acc_ref, *, nk, kind, out_dtype, act=None):
-    kb = pl.program_id(2)
+    kb = pl.program_id(3)
 
     @pl.when(kb == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[...].astype(jnp.float32)  # (bm, bk)
+    x = x_ref[0].astype(jnp.float32)  # (bm, bk)
     absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)  # (bm, 1)
     if kind == "int8":
         scale = jnp.maximum(absmax, 1e-8) * (1.0 / 127.0)
@@ -69,7 +69,7 @@ def _w8a8_kernel(x_ref, w_ref, ws_ref, b_ref, o_ref, acc_ref, *, nk, kind, out_d
             # jax.nn.gelu(approximate=True)); saves a full-size HBM
             # round-trip of the 13824-wide intermediate
             y = 0.5 * y * (1.0 + jnp.tanh(0.7978845608028654 * (y + 0.044715 * y * y * y)))
-        o_ref[...] = y.astype(out_dtype)
+        o_ref[0] = y.astype(out_dtype)
 
 
 def w8a8_matmul(
@@ -85,50 +85,60 @@ def w8a8_matmul(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """x (..., K) float -> (..., N). w (N, K) int8/f8e4m3, w_scale (N,) f32.
-    ``act="gelu"`` applies tanh-GELU to the fp32 accumulator in-kernel."""
+    ``act="gelu"`` applies tanh-GELU to the fp32 accumulator in-kernel.
+
+    The kernel runs on x's NATIVE (B, S, K) layout (leading dims folded to
+    one batch axis, a bitcast): reshaping to (M, K) on the host side made
+    XLA materialize a full-size copy at the custom-call layout boundary —
+    the (1, S, D) norm output AND its (S, D) reshape were simultaneously
+    live (2 x 320 MB at 14B/480P)."""
     *lead, K = x.shape
     N = w.shape[0]
-    M = int(math.prod(lead)) if lead else 1
-    xf = x.reshape(M, K)
     out_dtype = x.dtype
+    if len(lead) == 1:
+        B, S = 1, lead[0]
+        x3 = x[None]
+    else:
+        B, S = int(math.prod(lead[:-1])), lead[-1]
+        x3 = x.reshape(B, S, K)  # collapsing leading dims is a bitcast
 
     # k MUST tile exactly (out-of-bounds k would contribute garbage to the
-    # accumulation): pick the largest power-of-two block dividing K. m/n are
+    # accumulation): pick the largest power-of-two block dividing K. s/n are
     # left RAGGED — Pallas masks the partial edge blocks, and a host-side
     # jnp.pad here would duplicate the whole activation in HBM (an 864 MB
     # copy of the 14B FFN gelu output is what re-OOMed the first version).
-    bm = min(bm, max(8, 1 << (M - 1).bit_length()))
+    bm = min(bm, max(8, 1 << (S - 1).bit_length()))
     bn = min(bn, max(128, 1 << (N - 1).bit_length()))
     while bk > 128 and K % bk:
         bk //= 2
     if K % bk:
         pk = (-K) % bk
-        xf = jnp.pad(xf, ((0, 0), (0, pk)))
+        x3 = jnp.pad(x3, ((0, 0), (0, 0), (0, pk)))
         w = jnp.pad(w, ((0, 0), (0, pk)))
         K += pk
     b = bias.astype(jnp.float32) if bias is not None else jnp.zeros((N,), jnp.float32)
 
-    grid = (-(-M // bm), -(-N // bn), K // bk)
+    grid = (B, -(-S // bm), -(-N // bn), K // bk)
     out = pl.pallas_call(
-        functools.partial(_w8a8_kernel, nk=grid[2], kind=kind, out_dtype=out_dtype, act=act),
+        functools.partial(_w8a8_kernel, nk=grid[3], kind=kind, out_dtype=out_dtype, act=act),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, kb: (i, kb)),
-            pl.BlockSpec((bn, bk), lambda i, j, kb: (j, kb)),
-            pl.BlockSpec((1, bn), lambda i, j, kb: (0, j)),
-            pl.BlockSpec((1, bn), lambda i, j, kb: (0, j)),
+            pl.BlockSpec((1, bm, bk), lambda bb, i, j, kb: (bb, i, kb)),
+            pl.BlockSpec((bn, bk), lambda bb, i, j, kb: (j, kb)),
+            pl.BlockSpec((1, bn), lambda bb, i, j, kb: (0, j)),
+            pl.BlockSpec((1, bn), lambda bb, i, j, kb: (0, j)),
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kb: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        out_specs=pl.BlockSpec((1, bm, bn), lambda bb, i, j, kb: (bb, i, j)),
+        out_shape=jax.ShapeDtypeStruct((B, S, N), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * M * N * K,
-            bytes_accessed=2 * M * K + N * K + 2 * M * N,
+            flops=2 * B * S * N * K,
+            bytes_accessed=2 * B * S * K + N * K + 2 * B * S * N,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xf, w, w_scale.reshape(1, -1).astype(jnp.float32), b.reshape(1, -1))
+    )(x3, w, w_scale.reshape(1, -1).astype(jnp.float32), b.reshape(1, -1))
     return out.reshape(*lead, N)

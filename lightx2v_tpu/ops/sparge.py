@@ -24,12 +24,12 @@ and stores them in a checkpoint; here ``l1`` and ``keep_ratio`` are config
 scalars applied to all layers (per-layer overrides can be passed through
 ``self_attn_kwargs``).
 
-Measured on v5e at the 1.3B 480P shape: the 128-wide sparse tiles run the
-MXU far below the dense flash kernel's tuned 2048x1024 blocks, so at
-keep_ratio 0.3 the end-to-end DiT forward is ~2.2x SLOWER than dense
-flash (5.2 s vs 2.3 s). Use radial/sparge for quality-per-FLOP studies or
-much longer sequences; block-size tuning for the sparse kernel is tracked
-in NEXT_STEPS.md.
+Execution granularity: round 1 ran 128x128 sparse tiles, which drove the
+MXU far below the dense kernel's tuned 2048x1024 blocks (5.2 s vs 2.3 s
+per 1.3B 480P forward at keep 0.3 — sparsity LOST to tiling). Selection
+now stays at 128 tokens (fine score map) and execution runs at
+block_q x block_k superblocks (2048x1024 default via max-pooled scores);
+see scripts/bench/ + README for measured numbers.
 """
 
 from __future__ import annotations

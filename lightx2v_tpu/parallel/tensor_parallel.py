@@ -22,6 +22,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..models.wan.config import WanArch
 from ..models.wan.model import _mm, _split_modulation
+from ..ops.linear import mm_gelu
 from ..ops.norms import layer_norm, modulated_layer_norm, rms_norm
 from ..ops.rope import apply_rope
 
@@ -124,8 +125,7 @@ def wan_block_tp(
     x = x + _row_mm(ca["o"], cross_out, mm_fn, tp_axis)
 
     norm2 = modulated_layer_norm(x, c_shift, c_scale, eps=arch.eps)
-    h = _mm(block["ffn"]["0"], norm2, mm_fn)
-    h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(h.dtype)
+    h = mm_gelu(mm_fn, block["ffn"]["0"], norm2)  # in-kernel GELU on w8a8
     y = _row_mm(block["ffn"]["2"], h, mm_fn, tp_axis)
     x = (x.astype(jnp.float32) + y.astype(jnp.float32) * c_gate.astype(jnp.float32)).astype(x.dtype)
     return x
