@@ -112,13 +112,21 @@ def main():
 
     cross = "flash_attn3" if attn in ("sparge", "radial_attn") else attn
     self_attn_kwargs = None
+    sparse_blocks = {
+        "block_q": int(os.environ.get("BENCH_SPARSE_BQ", 2048)),
+        "block_k": int(os.environ.get("BENCH_SPARSE_BK", 1024)),
+    }
     if attn == "radial_attn":
         from lightx2v_tpu.ops.radial import MaskMap
 
         pt, ph, pw = arch.patch_size
         gf = f // pt
         self_attn_kwargs = {"mask_map": MaskMap(video_token_num=gf * (h // ph) * (w // pw),
-                                                num_frame=gf), "decay_factor": 0.5}
+                                                num_frame=gf), "decay_factor": 0.5,
+                            **sparse_blocks}
+    elif attn == "sparge":
+        self_attn_kwargs = {"keep_ratio": float(os.environ.get("BENCH_SPARGE_KEEP", 0.3)),
+                            "l1": 0.07, **sparse_blocks}
     fwd = jax.jit(
         lambda p, l, tt, c: wan_forward(
             p, l, tt, c, rope_cos, rope_sin, arch, mm_type=mm_type,
