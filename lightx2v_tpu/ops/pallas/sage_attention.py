@@ -8,8 +8,11 @@ throughput, and at video sequence lengths (32k+) QK^T is ~half the
 attention FLOPs — worth ~1.5x on the attention-dominated 480P workload.
 
 Structure matches ops/pallas/flash_attention.py (kv-minor grid, online
-softmax in VMEM scratch); Q/K are quantized per token-row outside the
-kernel (smoothing by the per-tile mean is left to a later pass).
+softmax in VMEM scratch). Q/K are quantized per token-row IN-KERNEL —
+head_dim (128) fits one tile, so per-row scales are exact, no fp32/int8
+copies of q/k ever hit HBM (the earlier host-side quantize materialized
+~640 MB fp32 temps at 14B shapes), and the kernel reads bf16 q/k
+directly.
 """
 
 from __future__ import annotations
@@ -27,15 +30,7 @@ DEFAULT_BQ = 1024
 DEFAULT_BK = 1024
 
 
-def _quant_rows(x: jnp.ndarray):
-    """(BN, S, D) -> int8 values + (BN, S, 1) fp32 scales (per token-row)."""
-    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
-    scale = jnp.maximum(absmax, 1e-6) / 127.0
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
-    return q, scale
-
-
-def _sage_kernel(kvlen_ref, q_ref, k_ref, v_ref, qs_ref, ks_ref, o_ref,
+def _sage_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref,
                  m_ref, l_ref, acc_ref, *, scale, bk, nk):
     k_idx = pl.program_id(2)
 
@@ -45,11 +40,15 @@ def _sage_kernel(kvlen_ref, q_ref, k_ref, v_ref, qs_ref, ks_ref, o_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]   # (bq, d) int8
-    k = k_ref[0]   # (bk, d) int8
+    def quant_rows(x):
+        xf = x.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+        sc = jnp.maximum(absmax, 1e-6) * (1.0 / 127.0)
+        return jnp.clip(jnp.round(xf / sc), -127, 127).astype(jnp.int8), sc
+
+    q, qs = quant_rows(q_ref[0])   # (bq, d) int8, (bq, 1) f32
+    k, ks = quant_rows(k_ref[0])   # (bk, d) int8, (bk, 1) f32
     v = v_ref[0]   # (bk, d) bf16
-    qs = qs_ref[0]  # (bq, 1) f32
-    ks = ks_ref[0]  # (bk, 1) f32
 
     s_i32 = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
     s = s_i32.astype(jnp.float32) * (qs * scale) * ks[:, 0][None, :]
@@ -89,23 +88,19 @@ def sage_attention(
     bk = min(bk, max(128, 1 << (sk - 1).bit_length()))
     scale = 1.0 / math.sqrt(d)
 
-    qf = q.transpose(0, 2, 1, 3).reshape(b * n, sq, d)
-    kf = k.transpose(0, 2, 1, 3).reshape(b * n, sk, d)
+    qf = q.transpose(0, 2, 1, 3).reshape(b * n, sq, d).astype(jnp.bfloat16)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * n, sk, d).astype(jnp.bfloat16)
     vf = v.transpose(0, 2, 1, 3).reshape(b * n, sk, d).astype(jnp.bfloat16)
-    qi, qscale = _quant_rows(qf)
-    ki, kscale = _quant_rows(kf)
 
     pq = (-sq) % bq
     pk = (-sk) % bk
     if pq:
-        qi = jnp.pad(qi, ((0, 0), (0, pq), (0, 0)))
-        qscale = jnp.pad(qscale, ((0, 0), (0, pq), (0, 0)), constant_values=1.0)
+        qf = jnp.pad(qf, ((0, 0), (0, pq), (0, 0)))
     if pk:
-        ki = jnp.pad(ki, ((0, 0), (0, pk), (0, 0)))
+        kf = jnp.pad(kf, ((0, 0), (0, pk), (0, 0)))
         vf = jnp.pad(vf, ((0, 0), (0, pk), (0, 0)))
-        kscale = jnp.pad(kscale, ((0, 0), (0, pk), (0, 0)), constant_values=1.0)
-    nq = qi.shape[1] // bq
-    nk = ki.shape[1] // bk
+    nq = qf.shape[1] // bq
+    nk = kf.shape[1] // bk
 
     kvlen_arr = jnp.asarray(kv_len, jnp.int32).reshape(1)
     kernel = functools.partial(_sage_kernel, scale=scale, bk=bk, nk=nk)
@@ -117,11 +112,9 @@ def sage_attention(
             pl.BlockSpec((1, bq, d), lambda bb, i, j: (bb, i, 0)),
             pl.BlockSpec((1, bk, d), lambda bb, i, j: (bb, j, 0)),
             pl.BlockSpec((1, bk, d), lambda bb, i, j: (bb, j, 0)),
-            pl.BlockSpec((1, bq, 1), lambda bb, i, j: (bb, i, 0)),
-            pl.BlockSpec((1, bk, 1), lambda bb, i, j: (bb, j, 0)),
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda bb, i, j: (bb, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * n, qi.shape[1], d), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((b * n, qf.shape[1], d), jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
@@ -136,7 +129,7 @@ def sage_attention(
             transcendentals=b * n * sq * sk,
         ),
         interpret=interpret,
-    )(kvlen_arr, qi, ki, vf, qscale, kscale)
+    )(kvlen_arr, qf, kf, vf)
     if pq:
         out = out[:, :sq]
     return out.reshape(b, n, sq, d).transpose(0, 2, 1, 3).astype(q.dtype)
