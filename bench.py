@@ -50,6 +50,7 @@ MM_ALIAS = {
     "int8": "W-int8-channel-sym-A-int8-channel-sym-dynamic-Tpu",
     "fp8": "W-fp8-channel-sym-A-fp8-channel-sym-dynamic-Tpu",
     "int4": "W-int4-group-sym-A-bf16-Tpu",
+    "int4a8": "W-int4-group-sym-A-int8-token-dynamic-Tpu",
     "fp8_block128": "W-fp8-block128-A-fp8-block128-dynamic-Tpu",
 }
 
@@ -85,9 +86,10 @@ def main():
     attn = os.environ.get("BENCH_ATTN", "flash_attn3")
     mm_env = os.environ.get("BENCH_MM", "Default")
     low = mm_env.lower()
-    scheme = next((s for s in ("fp8_block128", "int8", "fp8", "int4") if s in low), "bf16")
-    mm_type = MM_ALIAS.get(scheme, mm_env if scheme == "bf16" else mm_env)
-    if scheme == "bf16":
+    alias = next((s for s in ("fp8_block128", "int4a8", "int8", "fp8", "int4") if s in low), "bf16")
+    scheme = "int4" if alias == "int4a8" else alias  # same packed-int4 ckpt
+    mm_type = MM_ALIAS.get(alias, mm_env)
+    if alias == "bf16":
         mm_type = "Default" if low in ("default", "bf16") else mm_env
     steps = int(os.environ.get("BENCH_STEPS", 3))
 
@@ -101,7 +103,7 @@ def main():
     jax.block_until_ready(params)
 
     if mode == "e2e":
-        run_e2e(arch, params, target, mm_type, attn, steps, preset, scheme)
+        run_e2e(arch, params, target, mm_type, attn, steps, preset, alias)
         return
 
     rope_cos, rope_sin, seq_len = rope_for_shape(arch, target)
@@ -150,7 +152,7 @@ def main():
     base = H200_14B_480P_MS_PER_FORWARD if preset == "14b" else H200_1P3B_480P_MS_PER_FORWARD
     raw = base / ms
     emit(
-        f"wan{preset}_480p_dit_forward_ms_on_v5e[{scheme}] (chip-normalized vs H200; raw ratio {raw:.3f})",
+        f"wan{preset}_480p_dit_forward_ms_on_v5e[{alias}] (chip-normalized vs H200; raw ratio {raw:.3f})",
         ms, "ms", raw * PEAK_RATIO,
     )
 

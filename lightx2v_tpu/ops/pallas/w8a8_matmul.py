@@ -142,3 +142,98 @@ def w8a8_matmul(
         interpret=interpret,
     )(x3, w, w_scale.reshape(1, -1).astype(jnp.float32), b.reshape(1, -1))
     return out.reshape(*lead, N)
+
+
+def _w4a8_kernel(x_ref, w_ref, ws_ref, b_ref, o_ref, acc_ref, *, nk, half, out_dtype, act=None):
+    """int4-weight x int8-activation: nibbles unpack to int8 IN-KERNEL and
+    the dot runs on the int8 MXU path (2x bf16 throughput) — the
+    weight-only int4 kernel's bf16 dequant+dot measured 53% slower than
+    int8 at 14B. The k-block size equals the quantization group, so the
+    per-(channel, group) weight scale applies exactly per grid step."""
+    kb = pl.program_id(3)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[0].astype(jnp.float32)  # (bm, bk)
+    absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+    xs = jnp.maximum(absmax, 1e-8) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(x / xs), -127, 127).astype(jnp.int8)
+
+    # unpack nibbles in int32 (Mosaic has no 8-bit arithmetic); packing
+    # layout per group: low nibbles = first half, high = second half
+    # (int4_matmul.quantize_int4)
+    wp = w_ref[...].astype(jnp.int32)  # (bn, bk//2) uint8 widened
+    lo = (wp & 15) - 8
+    hi = (wp >> 4) - 8
+    w8 = jnp.concatenate([lo, hi], axis=1).astype(jnp.int8)  # (bn, bk)
+
+    s = jax.lax.dot_general(q, w8, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    # xs: (bm, 1) act scale; ws: (bn, 1) weight scale for THIS k group
+    acc_ref[:] += s.astype(jnp.float32) * xs * ws_ref[...][:, 0][None, :]
+
+    @pl.when(kb == nk - 1)
+    def _():
+        y = acc_ref[:] + b_ref[...].astype(jnp.float32)
+        if act == "gelu":
+            y = 0.5 * y * (1.0 + jnp.tanh(0.7978845608028654 * (y + 0.044715 * y * y * y)))
+        o_ref[0] = y.astype(out_dtype)
+
+
+def w4a8_matmul(
+    x: jnp.ndarray,
+    packed: jnp.ndarray,
+    w_scale: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    bm: int = DEFAULT_BM,
+    bn: int = DEFAULT_BN,
+    act: Optional[str] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x (..., K) float -> (..., N). packed (N, K//2) uint8 nibbles,
+    w_scale (N, K//group) f32 per-(channel, group) scales. Activations are
+    int8-quantized per-token-per-group in-kernel (finer than the
+    W-int4-A-bf16 contract — documented divergence: this is the
+    A-int8 alias's semantics, not the weight-only path's)."""
+    *lead, K = x.shape
+    N = packed.shape[0]
+    groups = w_scale.shape[1]
+    bk = K // groups  # k block == quant group (512/256/128 by construction)
+    out_dtype = x.dtype
+    if len(lead) == 1:
+        B, S = 1, lead[0]
+        x3 = x[None]
+    else:
+        B, S = int(math.prod(lead[:-1])), lead[-1]
+        x3 = x.reshape(B, S, K)
+    bm = min(bm, max(8, 1 << (S - 1).bit_length()))
+    bn = min(bn, max(128, 1 << (N - 1).bit_length()))
+    b = bias.astype(jnp.float32) if bias is not None else jnp.zeros((N,), jnp.float32)
+
+    grid = (B, -(-S // bm), -(-N // bn), groups)
+    out = pl.pallas_call(
+        functools.partial(_w4a8_kernel, nk=groups, half=bk // 2,
+                          out_dtype=out_dtype, act=act),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bm, bk), lambda bb, i, j, kb: (bb, i, kb)),
+            pl.BlockSpec((bn, bk // 2), lambda bb, i, j, kb: (j, kb)),
+            pl.BlockSpec((bn, 1), lambda bb, i, j, kb: (j, kb)),
+            pl.BlockSpec((1, bn), lambda bb, i, j, kb: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, bm, bn), lambda bb, i, j, kb: (bb, i, j)),
+        out_shape=jax.ShapeDtypeStruct((B, S, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * S * N * K,
+            bytes_accessed=2 * B * S * K + N * K // 2 + 2 * B * S * N,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x3, packed, w_scale.astype(jnp.float32), b.reshape(1, -1))
+    return out.reshape(*lead, N)

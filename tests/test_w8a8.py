@@ -127,3 +127,49 @@ def test_mm_gelu_dispatch_jnp_path():
 
     ref = jax.nn.gelu(np.asarray(_mm_int8(params, x), np.float32), approximate=True)
     np.testing.assert_allclose(np.asarray(out, np.float32), ref, rtol=2e-2, atol=2e-2)
+
+
+def test_w4a8_matches_fake_quant_oracle():
+    """w4a8: int4 weights (packed) x in-kernel int8 acts vs a numpy oracle
+    with identical quantization."""
+    from lightx2v_tpu.ops.pallas.int4_matmul import quantize_int4
+    from lightx2v_tpu.ops.pallas.w8a8_matmul import w4a8_matmul
+
+    rng = np.random.default_rng(21)
+    m, n, k, group = 96, 128, 512, 256
+    x = jnp.asarray(rng.standard_normal((m, k)) * 0.5, jnp.bfloat16)
+    wf = rng.standard_normal((n, k)).astype(np.float32) * 0.05
+    packed, ws = quantize_int4(wf, bk=group)
+    b = rng.standard_normal(n).astype(np.float32) * 0.1
+
+    # oracle: dequant int4 weights, int8-quantize x per (token, group)
+    lo = (packed & 15).astype(np.int8) - 8
+    hi = (packed >> 4).astype(np.int8) - 8
+    wq = np.concatenate([lo.reshape(n, k // group, group // 2),
+                         hi.reshape(n, k // group, group // 2)], axis=2)
+    wdq = (wq * ws[:, :, None]).reshape(n, k)
+    xf = np.asarray(x, np.float32).reshape(m, k // group, group)
+    xs = np.maximum(np.abs(xf).max(axis=2, keepdims=True), 1e-8) * np.float32(1 / 127.0)
+    xq = np.clip(np.round(xf / xs), -127, 127) * xs
+    ref = xq.reshape(m, k) @ wdq.T + b
+
+    out = np.asarray(w4a8_matmul(x, jnp.asarray(packed), jnp.asarray(ws),
+                                 jnp.asarray(b), bm=96, bn=128, interpret=True), np.float32)
+    rel = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-9)
+    assert rel < 2e-3, f"rel err {rel}"
+
+
+def test_w4a8_alias_resolves():
+    from lightx2v_tpu.ops.linear import resolve_mm
+
+    fn = resolve_mm("W-int4-group-sym-A-int8-token-dynamic-Tpu")
+    from lightx2v_tpu.ops.pallas.int4_matmul import quantize_int4
+
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.standard_normal((16, 256)) * 0.5, jnp.bfloat16)
+    wf = rng.standard_normal((128, 256)).astype(np.float32) * 0.05
+    packed, ws = quantize_int4(wf)
+    out = fn({"w": jnp.asarray(packed), "w_scale": jnp.asarray(ws), "b": None}, x)
+    ref = np.asarray(x, np.float32) @ wf.T
+    c = np.corrcoef(np.asarray(out, np.float32).ravel(), ref.ravel())[0, 1]
+    assert out.shape == (16, 128) and c > 0.99
