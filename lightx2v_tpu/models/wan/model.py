@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.attention import attention
-from ...ops.linear import mm_gelu, resolve_mm
+from ...ops.linear import mm_ffn, resolve_mm
 from ...ops.norms import layer_norm, modulated_layer_norm, rms_norm
 from ...ops.rope import apply_rope, guidance_scale_embedding, sinusoidal_embedding_1d
 from .config import WanArch
@@ -208,11 +208,11 @@ def wan_block_parts(
         norm2 = (xs * w + bvec).astype(x.dtype)
     else:
         norm2 = modulated_layer_norm(x, c_shift, c_scale, eps=arch.eps)
-    # GELU fuses into the quantized matmul kernel on TPU (in-VMEM on the
-    # fp32 accumulator) — the 13824-wide intermediate never round-trips
-    # HBM un-activated (ops/linear.mm_gelu)
-    h = mm_gelu(mm_fn, block["ffn"]["0"], norm2)
-    y_ffn = _mm(block["ffn"]["2"], h, mm_fn)
+    # on the quantized TPU path the WHOLE FFN runs as one Pallas kernel
+    # (quantize -> GEMM -> gelu -> requantize -> GEMM, hidden tile kept in
+    # VMEM); elsewhere mm -> gelu -> mm with gelu fused into the first
+    # matmul where the mm type supports it (ops/linear.mm_ffn)
+    y_ffn = mm_ffn(mm_fn, block["ffn"]["0"], block["ffn"]["2"], norm2)
     x = (x.astype(jnp.float32) + y_ffn.astype(jnp.float32) * c_gate.astype(jnp.float32)).astype(x.dtype)
     return x, y_sa, cross_proj, y_ffn
 
@@ -232,10 +232,33 @@ def wan_transformer(
     self_attn_kwargs: Optional[dict] = None,
 ) -> jnp.ndarray:
     """Scan the block stack (reference _infer_without_offload loop,
-    transformer_infer.py:269-287)."""
+    transformer_infer.py:269-287).
+
+    ``self_attn_kwargs["l1_per_layer"]`` (an (L,) array) threads a
+    per-layer sparge mass budget through the scan as a traced xs leaf —
+    the analog of the reference's per-block tuned (l1, pv_l1) tables from
+    ``sparge_ckpt`` (transformer_weights.py:183-190). keep_ratio stays a
+    shared static (it sets the top-k SHAPE); l1 only moves the dynamic
+    per-row count, so it can vary layer to layer inside one compiled scan."""
     mm_fn = resolve_mm(mm_type)
-    self_attn_fn = partial(attention, self_attn_type, **(self_attn_kwargs or {}))
+    kw = dict(self_attn_kwargs or {})
+    l1_layers = kw.pop("l1_per_layer", None)
+    self_attn_fn = partial(attention, self_attn_type, **kw)
     cross_attn_fn = partial(attention, cross_attn_type)
+
+    if l1_layers is not None:
+        l1_arr = jnp.asarray(l1_layers, jnp.float32)
+
+        def body(carry, xs):
+            layer, l1 = xs
+            out = wan_block(
+                layer, carry, embed0, context, context_img, rope_cos, rope_sin,
+                arch, mm_fn, partial(self_attn_fn, l1=l1), cross_attn_fn,
+            )
+            return out, None
+
+        x, _ = jax.lax.scan(body, x, (blocks, l1_arr))
+        return x
 
     def body(carry, layer):
         out = wan_block(

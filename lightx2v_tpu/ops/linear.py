@@ -104,6 +104,27 @@ def _mm_w8a8(params: Dict, x: jnp.ndarray, kind: str, act: Optional[str] = None)
     return _bias_add(y, params.get("b"), x.dtype)
 
 
+def mm_ffn(mm_fn, p0: Dict, p2: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Whole FFN (mm -> gelu -> mm) with one fused Pallas kernel on the
+    quantized TPU path. The two-kernel route writes the (S, H) gelu'd
+    intermediate to HBM and re-reads it N/bn times in the second GEMM
+    (~9.5 GB/block extra traffic at 14B/480P); the fused kernel keeps the
+    hidden tile in VMEM (ops/pallas/w8a8_matmul.ffn_w8a8). Falls back to
+    mm_gelu + mm for non-w8a8 types, small dims, or non-dividing shapes."""
+    n, k = p0["w"].shape[-2:]
+    kind = "int8" if mm_fn is _mm_int8 else "fp8" if mm_fn is _mm_fp8 else None
+    if kind and jax.default_backend() == "tpu" and min(n, k) >= 4096:
+        try:
+            from .pallas.w8a8_matmul import ffn_w8a8
+
+            return ffn_w8a8(x, p0["w"], p0["w_scale"], p0.get("b"),
+                            p2["w"], p2["w_scale"], p2.get("b"), kind=kind)
+        except Exception as e:
+            kernel_fallback("ffn_w8a8", e)
+    h = mm_gelu(mm_fn, p0, x)
+    return mm_fn(p2, h)
+
+
 def mm_gelu(mm_fn, params: Dict, x: jnp.ndarray) -> jnp.ndarray:
     """matmul + GELU for the FFN's first projection. On the Pallas w8a8
     path the activation is applied to the fp32 accumulator in-kernel —
@@ -145,6 +166,11 @@ def _mm_fp8_block128(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
     k-group before accumulation (a plain output-side rescale would be
     wrong — the scale varies along the contraction).
 
+    Also serves the mxfp8 aliases (reference lightx2v_kernel
+    mxfp8_*.cu: block-32 e8m0 scales): an mx checkpoint carries
+    per-(channel, in/32) scales — detected by ws rows == out_features —
+    and the activation group follows the weight group (32).
+
     A checkpoint quantized per-channel (1D scale) routed to a Deepgemm
     mm_type degrades to the per-channel kernel (same numerics class)."""
     ws = params["w_scale"]
@@ -155,8 +181,11 @@ def _mm_fp8_block128(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
     group = in_f // ws.shape[1]
     q, x_scale = quantize_per_token_group_fp8(x, group)  # (..., in), (..., G)
     g = in_f // group
-    # expand block scales to per-(out, group): (ob, G) -> (out, G)
-    ws_full = jnp.repeat(ws.astype(jnp.float32), 128, axis=0)[:out_f]  # (out, G)
+    if ws.shape[0] == out_f:  # mx layout: per-(channel, k-group) scales
+        ws_full = ws.astype(jnp.float32)  # (out, G)
+    else:
+        # Deepgemm layout: 128-row blocks -> expand to per-(out, group)
+        ws_full = jnp.repeat(ws.astype(jnp.float32), 128, axis=0)[:out_f]  # (out, G)
 
     # scan over k-groups with the group axis leading (no dynamic gathers)
     qg = jnp.moveaxis(q.reshape(*q.shape[:-1], g, group), -2, 0)  # (g, ..., group)
@@ -202,8 +231,51 @@ for _alias in [
     "W-fp8-block128-sym-A-fp8-channel-group128-sym-dynamic-Deepgemm",
     "W-fp8-block128-sym-A-fp8-channel-group128-sym-dynamic-Deepgemm-ActSgl",
     "W-fp8-block128-sym-A-fp8-channel-group128-sym-dynamic-Tpu",
+    # mx-format fp8: same group-rescaled accumulation, block-32 pow2 scales
+    # (reference lightx2v_kernel cutlass_scaled_mxfp8_mm_sm120)
+    "W-mxfp8-A-mxfp8-dynamic-Tpu",
+    "W-fp8-block128-A-fp8-block128-dynamic-Tpu",
 ]:
     MM_REGISTER.register(_alias, _mm_fp8_block128)
+
+
+def unpack_fp6_e2m3(packed: jnp.ndarray, n_cols: int) -> jnp.ndarray:
+    """Unpack 3n/4-byte fp6(e2m3) rows to f32 (reference lightx2v_kernel
+    mxfp6 packing: 4 six-bit codes per 3 bytes, little-endian bit order).
+
+    Decode is pure integer/VPU math (TPU has no fp6 dtype): code
+    s|ee|mmm -> (-1)^s * (e==0 ? m/8 : (1+m/8)*2^(e-1))."""
+    rows = packed.shape[0]
+    trip = packed.reshape(rows, -1, 3).astype(jnp.int32)
+    bits = trip[..., 0] | (trip[..., 1] << 8) | (trip[..., 2] << 16)
+    codes = jnp.stack([(bits >> (6 * i)) & 63 for i in range(4)], axis=-1)
+    codes = codes.reshape(rows, n_cols)
+    sign = jnp.where(codes & 32 != 0, -1.0, 1.0)
+    e = (codes >> 3) & 3
+    m = (codes & 7).astype(jnp.float32)
+    mag = jnp.where(e == 0, m * 0.125, (1.0 + m * 0.125) * jnp.exp2((e - 1).astype(jnp.float32)))
+    return sign * mag
+
+
+def _mm_mxfp6(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """mxfp6-weight matmul (reference cutlass_scaled_mxfp6_mxfp8_mm_sm120):
+    weights stored as packed fp6(e2m3) at 6 bits/value (+ block-32 pow2
+    scales) for the capacity win; compute dequantizes to bf16 and runs the
+    MXU bf16 path — the TPU MXU has no fp6 feed, so the mx-hardware act
+    path has no equivalent and weight-only semantics are the honest
+    analog (strictly MORE accurate on the activation side)."""
+    w = params["w"]  # (out, 3*in/4) uint8 packed
+    ws = params["w_scale"]  # (out, in/32) f32 pow2
+    out_f = w.shape[0]
+    in_f = x.shape[-1]
+    wf = unpack_fp6_e2m3(w, in_f)
+    wf = wf.reshape(out_f, ws.shape[1], -1) * ws.astype(jnp.float32)[:, :, None]
+    y = _nt_dot(x, wf.reshape(out_f, in_f).astype(x.dtype), jnp.float32)
+    return _bias_add(y, params.get("b"), x.dtype)
+
+
+for _alias in ["W-mxfp6-A-mxfp8-dynamic-Tpu", "W-mxfp6-A-bf16-Tpu"]:
+    MM_REGISTER.register(_alias, _mm_mxfp6)
 
 
 def _mm_int4(params: Dict, x: jnp.ndarray) -> jnp.ndarray:

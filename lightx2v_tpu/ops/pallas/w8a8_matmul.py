@@ -144,6 +144,141 @@ def w8a8_matmul(
     return out.reshape(*lead, N)
 
 
+def _ffn_w8a8_kernel(x_ref, w0_ref, s0_ref, b0_ref, w2_ref, s2_ref, b2_ref,
+                     o_ref, acc_ref, xq_ref, xs_ref, *, nh, kind, out_dtype):
+    """Whole FFN (x @ w0 -> gelu -> @ w2) in one kernel.
+
+    Grid (B, S/bm, H/bh), hidden minor. The x tile's block index is
+    constant over the hidden loop so Pallas fetches it once per s-block;
+    it is quantized into VMEM scratch at hb==0 and reused for all nh
+    first-GEMM steps. The gelu'd (bm, bh) hidden tile is quantized and
+    consumed by the second GEMM immediately — the (S, H) intermediate
+    (864 MB bf16 at 14B/480P) never exists in HBM, and neither do the
+    separate kernels' h-write + 10x h-re-read (second-GEMM n-loop).
+    HBM per call: x once, out once, w0+w2 once per s-block.
+    """
+    hb = pl.program_id(2)
+
+    @pl.when(hb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        x = x_ref[0].astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+        if kind == "int8":
+            s = jnp.maximum(absmax, 1e-8) * (1.0 / 127.0)
+            xq_ref[:] = jnp.clip(jnp.round(x / s), -127, 127).astype(xq_ref.dtype)
+        else:
+            s = jnp.maximum(absmax, 1e-8) * (1.0 / 448.0)
+            xq_ref[:] = (x / s).astype(xq_ref.dtype)
+        xs_ref[:] = jnp.broadcast_to(s, xs_ref.shape)
+
+    xs = xs_ref[:, :1]  # (bm, 1) per-token act scale
+    if kind == "int8":
+        h = jax.lax.dot_general(xq_ref[:], w0_ref[...], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32).astype(jnp.float32)
+    else:
+        h = jax.lax.dot_general(xq_ref[:], w0_ref[...], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    h = h * xs * s0_ref[...].astype(jnp.float32) + b0_ref[...].astype(jnp.float32)
+    # tanh-GELU on the fp32 tile (matches jax.nn.gelu(approximate=True))
+    h = 0.5 * h * (1.0 + jnp.tanh(0.7978845608028654 * (h + 0.044715 * h * h * h)))
+
+    habs = jnp.max(jnp.abs(h), axis=1, keepdims=True)
+    if kind == "int8":
+        hs = jnp.maximum(habs, 1e-8) * (1.0 / 127.0)
+        hq = jnp.clip(jnp.round(h / hs), -127, 127).astype(jnp.int8)
+        p = jax.lax.dot_general(hq, w2_ref[...], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32).astype(jnp.float32)
+    else:
+        hs = jnp.maximum(habs, 1e-8) * (1.0 / 448.0)
+        hq = (h / hs).astype(jnp.float8_e4m3fn)
+        p = jax.lax.dot_general(hq, w2_ref[...], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    acc_ref[:] += p * hs
+
+    @pl.when(hb == nh - 1)
+    def _():
+        y = acc_ref[:] * s2_ref[...].astype(jnp.float32) + b2_ref[...].astype(jnp.float32)
+        o_ref[0] = y.astype(out_dtype)
+
+
+def ffn_w8a8(
+    x: jnp.ndarray,
+    w0: jnp.ndarray,
+    w0_scale: jnp.ndarray,
+    b0: Optional[jnp.ndarray],
+    w2: jnp.ndarray,
+    w2_scale: jnp.ndarray,
+    b2: Optional[jnp.ndarray],
+    kind: str = "int8",
+    bm: int = 512,
+    bh: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused quantized FFN: x (..., K) -> gelu(x @ w0^T) @ w2^T -> (..., N).
+
+    w0 (H, K), w2 (N, H) int8/f8e4m3 with per-channel scales (H,) / (N,).
+    Requires K % 128 == 0 and H % bh == 0 (an out-of-range hidden block
+    would feed garbage into the accumulation); callers fall back to the
+    two-kernel path otherwise. The hidden activation is re-quantized
+    per-token-per-h-block in-kernel (same granularity class as the
+    two-kernel path's per-token-per-k-block scheme)."""
+    *lead, K = x.shape
+    H = w0.shape[0]
+    N = w2.shape[0]
+    out_dtype = x.dtype
+    if len(lead) == 1:
+        B, S = 1, lead[0]
+        x3 = x[None]
+    else:
+        B, S = int(math.prod(lead[:-1])), lead[-1]
+        x3 = x.reshape(B, S, K)
+    while bh > 128 and H % bh:
+        bh //= 2
+    if K % 128 or H % bh:
+        raise ValueError(f"ffn_w8a8 needs K%128==0 and H%bh==0, got K={K} H={H} bh={bh}")
+    bm = min(bm, max(8, 1 << (S - 1).bit_length()))
+    qdt = jnp.int8 if kind == "int8" else jnp.float8_e4m3fn
+    b0a = (b0 if b0 is not None else jnp.zeros((H,), jnp.float32)).astype(jnp.float32)
+    b2a = (b2 if b2 is not None else jnp.zeros((N,), jnp.float32)).astype(jnp.float32)
+
+    grid = (B, -(-S // bm), H // bh)
+    out = pl.pallas_call(
+        functools.partial(_ffn_w8a8_kernel, nh=grid[2], kind=kind, out_dtype=out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bm, K), lambda bb, i, hb: (bb, i, 0)),
+            pl.BlockSpec((bh, K), lambda bb, i, hb: (hb, 0)),
+            pl.BlockSpec((1, bh), lambda bb, i, hb: (0, hb)),
+            pl.BlockSpec((1, bh), lambda bb, i, hb: (0, hb)),
+            pl.BlockSpec((N, bh), lambda bb, i, hb: (0, hb)),
+            pl.BlockSpec((1, N), lambda bb, i, hb: (0, 0)),
+            pl.BlockSpec((1, N), lambda bb, i, hb: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bm, N), lambda bb, i, hb: (bb, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, S, N), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm, N), jnp.float32),
+            pltpu.VMEM((bm, K), qdt),
+            pltpu.VMEM((bm, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # full-K x tile + (bm, N) accumulator exceed the 16 MB scoped
+            # default; ~47 MB at bm=512 on a 128 MB-VMEM v5e
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * S * H * (K + N),
+            bytes_accessed=2 * B * S * K + H * K + N * H + 2 * B * S * N,
+            transcendentals=B * S * H,
+        ),
+        interpret=interpret,
+    )(x3, w0, w0_scale.reshape(1, -1).astype(jnp.float32), b0a.reshape(1, -1),
+      w2, w2_scale.reshape(1, -1).astype(jnp.float32), b2a.reshape(1, -1))
+    return out.reshape(*lead, N)
+
+
 def _w4a8_kernel(x_ref, w_ref, ws_ref, b_ref, o_ref, acc_ref, *, nk, half, out_dtype, act=None):
     """int4-weight x int8-activation: nibbles unpack to int8 IN-KERNEL and
     the dot runs on the int8 MXU path (2x bf16 throughput) — the
@@ -171,8 +306,9 @@ def _w4a8_kernel(x_ref, w_ref, ws_ref, b_ref, o_ref, acc_ref, *, nk, half, out_d
 
     s = jax.lax.dot_general(q, w8, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.int32)
-    # xs: (bm, 1) act scale; ws: (bn, 1) weight scale for THIS k group
-    acc_ref[:] += s.astype(jnp.float32) * xs * ws_ref[...][:, 0][None, :]
+    # xs: (bm, 1) act scale; ws: (1, bn) weight scale for THIS k group
+    # (scales ship as (G, 1, N) so the block's trailing dims are lane-legal)
+    acc_ref[:] += s.astype(jnp.float32) * xs * ws_ref[0]
 
     @pl.when(kb == nk - 1)
     def _():
@@ -220,7 +356,7 @@ def w4a8_matmul(
         in_specs=[
             pl.BlockSpec((1, bm, bk), lambda bb, i, j, kb: (bb, i, kb)),
             pl.BlockSpec((bn, bk // 2), lambda bb, i, j, kb: (j, kb)),
-            pl.BlockSpec((bn, 1), lambda bb, i, j, kb: (j, kb)),
+            pl.BlockSpec((1, 1, bn), lambda bb, i, j, kb: (kb, 0, j)),
             pl.BlockSpec((1, bn), lambda bb, i, j, kb: (0, j)),
         ],
         out_specs=pl.BlockSpec((1, bm, bn), lambda bb, i, j, kb: (bb, i, j)),
@@ -235,5 +371,5 @@ def w4a8_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x3, packed, w_scale.astype(jnp.float32), b.reshape(1, -1))
+    )(x3, packed, w_scale.T.reshape(groups, 1, N).astype(jnp.float32), b.reshape(1, -1))
     return out.reshape(*lead, N)

@@ -287,6 +287,19 @@ class WanRunner(DefaultRunner):
                 "block_q": int(self.config.get("sparse_block_q", 2048)),
                 "block_k": int(self.config.get("sparse_block_k", 1024)),
             }
+            # per-layer tuned budgets, the reference's sparge_ckpt analog:
+            # either an inline list or an .npz with an "l1" (L,) array
+            per_layer = self.config.get("sparge_l1_per_layer")
+            if not per_layer and self.config.get("sparge_ckpt"):
+                import numpy as _np
+
+                per_layer = _np.load(self.config["sparge_ckpt"])["l1"]
+            if per_layer is not None:
+                per_layer = list(map(float, per_layer))
+                assert len(per_layer) == self.arch.num_layers, (
+                    f"sparge l1 table has {len(per_layer)} entries, "
+                    f"model has {self.arch.num_layers} layers")
+                self_attn_kwargs["l1_per_layer"] = per_layer
         if attn_default == "radial_attn":
             from ..ops.radial import MaskMap
 

@@ -62,6 +62,30 @@ def quantize_tensor(w: np.ndarray, scheme: str) -> Tuple[np.ndarray, np.ndarray]
         q = qp.reshape(o + po, i + pi)[:o, :i]
         scale = (amax[:, 0, :, 0] / 448.0).astype(np.float32)  # (ob, ib)
         return np.ascontiguousarray(q), scale
+    elif scheme in ("mxfp8", "mxfp6"):
+        # mx formats: block-32 power-of-two (e8m0-class) shared scales
+        # (reference lightx2v_kernel mxfp8_*.cu / mxfp6_*.cu; fp6 packs
+        # 4 values into 3 bytes — the "3n/4" layout)
+        o, i = wf.shape
+        assert i % 32 == 0, f"mx formats need in_features%32==0, got {i}"
+        g = wf.reshape(o, i // 32, 32)
+        amax = np.maximum(np.abs(g).max(axis=2), 1e-12)  # (o, i/32)
+        fmax = 448.0 if scheme == "mxfp8" else 7.5  # e4m3 / e2m3 max finite
+        # smallest pow2 scale with amax/scale <= fmax: no saturation loss
+        # (floor(log2(amax))-emax leaves the top of each block in the
+        # overflow band, which e4m3fn rounds to NaN and clipping would
+        # crush by up to 12%)
+        scale = np.exp2(np.ceil(np.log2(amax / fmax))).astype(np.float32)
+        el = np.clip(g / scale[:, :, None], -fmax, fmax)  # fp rounding guard
+        if scheme == "mxfp8":
+            q = el.astype(ml_dtypes.float8_e4m3fn).reshape(o, i)
+            return np.ascontiguousarray(q), scale
+        codes = el.astype(ml_dtypes.float6_e2m3fn).view(np.uint8).reshape(o, i)
+        c = codes.reshape(o, i // 4, 4).astype(np.uint32)
+        bits = c[..., 0] | (c[..., 1] << 6) | (c[..., 2] << 12) | (c[..., 3] << 18)
+        packed = np.stack([bits & 255, (bits >> 8) & 255, (bits >> 16) & 255],
+                          axis=-1).astype(np.uint8).reshape(o, 3 * i // 4)
+        return np.ascontiguousarray(packed), scale
     else:
         raise ValueError(f"unknown quant scheme {scheme}")
     return q, scale.astype(np.float32)
@@ -215,6 +239,10 @@ def mm_type_for_scheme(scheme: Optional[str]) -> str:
         return "W-int4-group-sym-A-bf16-Tpu"
     if scheme == "fp8_block128":
         return "W-fp8-block128-sym-A-fp8-channel-group128-sym-dynamic-Tpu"
+    if scheme == "mxfp8":
+        return "W-mxfp8-A-mxfp8-dynamic-Tpu"
+    if scheme == "mxfp6":
+        return "W-mxfp6-A-mxfp8-dynamic-Tpu"
     return f"W-{scheme}-channel-sym-A-{scheme}-channel-sym-dynamic-Tpu"
 
 
@@ -222,7 +250,8 @@ def main():
     p = argparse.ArgumentParser(description="quantize / convert checkpoints")
     p.add_argument("--source", required=True, help="source checkpoint dir (safetensors)")
     p.add_argument("--output", required=True)
-    p.add_argument("--quant", choices=["int8", "fp8", "fp8_block128", "int4", "none"], default="int8")
+    p.add_argument("--quant", choices=["int8", "fp8", "fp8_block128", "int4",
+                                       "mxfp8", "mxfp6", "none"], default="int8")
     p.add_argument("--calib_stats", default=None,
                    help="activation-stats .npz from tools/calibrate.py; enables "
                         "smooth-quant (advanced_ptq) output with affine_norm tensors")

@@ -141,3 +141,50 @@ def test_superblock_non_multiple_seq():
     out = sparge_attention(q, k, v, keep_ratio=1.0, l1=0.0,
                            block_q=4 * BLOCK, block_k=2 * BLOCK, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_per_layer_l1_threads_through_scan():
+    """l1_per_layer: (L,) budgets ride the block scan as traced xs —
+    uniform table == scalar l1 bit-for-bit; mixed table actually changes
+    the selection (runs under jit, so l1 must be traceable)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightx2v_tpu.models.wan.config import WanArch
+    from lightx2v_tpu.models.wan.model import wan_forward
+    from lightx2v_tpu.models.wan.pipeline import rope_for_shape
+    from lightx2v_tpu.models.wan.weights import init_random_weight_dict, load_wan_params
+
+    arch = WanArch(dim=128, ffn_dim=256, num_heads=2, num_layers=3, in_dim=16,
+                   out_dim=16, text_len=32, text_dim=128, freq_dim=64)
+    params = load_wan_params(init_random_weight_dict(arch, seed=0, scale=0.05), arch)
+    target = (16, 2, 32, 32)  # 512 tokens = 4 key blocks, so l1 moves counts
+    rope_cos, rope_sin, _ = rope_for_shape(arch, target)
+    rng = np.random.default_rng(0)
+    lat = jnp.asarray(rng.standard_normal((1, *target)) * 0.5, jnp.bfloat16)
+    t = jnp.asarray([500.0], jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 32, 128)) * 0.1, jnp.bfloat16)
+
+    def run(attn, kw):
+        return jax.jit(lambda p, l, tt, c: wan_forward(
+            p, l, tt, c, rope_cos, rope_sin, arch, self_attn_type=attn,
+            cross_attn_type="flash_attn3", self_attn_kwargs=kw))(params, lat, t, ctx)
+
+    base_kw = {"keep_ratio": 0.5, "l1": 0.3}
+    ref = np.asarray(run("sparge", base_kw), np.float32)
+    uniform = np.asarray(run("sparge", {**base_kw, "l1_per_layer": [0.3, 0.3, 0.3]}), np.float32)
+    np.testing.assert_array_equal(uniform, ref)
+
+    # the in-model selection can saturate (peaked diag mass makes counts
+    # l1-invariant), so prove per-layer THREADING with a probe op whose
+    # output is a direct function of the traced l1 it receives
+    from lightx2v_tpu.utils.registry import ATTN_REGISTER
+
+    # cast l1 to q.dtype: a python-float l1 multiplies weakly-typed (stays
+    # bf16) while a traced f32 scalar would promote, changing rounding
+    ATTN_REGISTER.register("_l1_probe", lambda q, k, v, kv_len=None, l1=0.0, **kw: q * jnp.asarray(l1, q.dtype))
+    probe_uniform = np.asarray(run("_l1_probe", {"l1": 0.5}), np.float32)
+    probe_same = np.asarray(run("_l1_probe", {"l1": 0.0, "l1_per_layer": [0.5, 0.5, 0.5]}), np.float32)
+    np.testing.assert_array_equal(probe_same, probe_uniform)
+    probe_mixed = np.asarray(run("_l1_probe", {"l1": 0.5, "l1_per_layer": [0.1, 0.5, 0.9]}), np.float32)
+    assert not np.array_equal(probe_mixed, probe_uniform)

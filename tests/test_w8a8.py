@@ -129,6 +129,67 @@ def test_mm_gelu_dispatch_jnp_path():
     np.testing.assert_allclose(np.asarray(out, np.float32), ref, rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("kind", ["int8", "fp8"])
+def test_fused_ffn_matches_two_kernel_path(kind):
+    """ffn_w8a8 (one kernel) vs w8a8(act=gelu) -> w8a8 (two kernels):
+    same quantization class, so agreement to act-quant noise level."""
+    from lightx2v_tpu.ops.pallas.w8a8_matmul import ffn_w8a8
+
+    k, h_dim, n = 256, 384, 256
+    x, w0, s0, b0, _ = _case(m=96, n=h_dim, k=k, seed=31, kind=kind)
+    _, w2, s2, b2, _ = _case(m=8, n=n, k=h_dim, seed=33, kind=kind)
+    mid = w8a8_matmul(x, w0, s0, b0, kind=kind, bm=128, bn=128, bk=128,
+                      act="gelu", interpret=True)
+    ref = np.asarray(w8a8_matmul(mid, w2, s2, b2, kind=kind, bm=128, bn=128,
+                                 bk=128, interpret=True), np.float32)
+    out = np.asarray(ffn_w8a8(x, w0, s0, b0, w2, s2, b2, kind=kind, bm=128,
+                              bh=128, interpret=True), np.float32)
+    rel = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-9)
+    # both sides are quantized estimators (different h granularity + the
+    # two-kernel path's bf16 mid rounding), so their noises add: 2x the
+    # single-path bar. Absolute accuracy is covered by the float oracle.
+    assert out.shape == (96, n) and rel < (2e-2 if kind == "int8" else 5e-2), f"rel err {rel}"
+
+
+def test_fused_ffn_float_oracle_and_batched():
+    """ffn_w8a8 vs a full-precision numpy FFN oracle (within quant noise),
+    with batched leading dims and a ragged s edge."""
+    from lightx2v_tpu.ops.pallas.w8a8_matmul import ffn_w8a8
+
+    k, h_dim, n = 256, 384, 128
+    x, w0, s0, b0, _ = _case(m=130, n=h_dim, k=k, seed=41)
+    _, w2, s2, b2, _ = _case(m=8, n=n, k=h_dim, seed=43)
+    xf = np.asarray(x, np.float32)
+    w0f = np.asarray(w0, np.float32) * np.asarray(s0)[:, None]
+    w2f = np.asarray(w2, np.float32) * np.asarray(s2)[:, None]
+    import jax
+
+    hmid = jax.nn.gelu(xf @ w0f.T + np.asarray(b0), approximate=True)
+    ref = np.asarray(hmid, np.float32) @ w2f.T + np.asarray(b2)
+    out = np.asarray(ffn_w8a8(x.reshape(2, 65, k), w0, s0, b0, w2, s2, b2,
+                              bm=128, bh=128, interpret=True), np.float32)
+    assert out.shape == (2, 65, n)
+    rel = np.abs(out.reshape(130, n) - ref).mean() / (np.abs(ref).mean() + 1e-9)
+    # two int8 act-quant stages (x and h) -> ~2x one stage's ~0.5% noise
+    assert rel < 2e-2, f"rel err {rel}"
+
+
+def test_mm_ffn_dispatch_jnp_path():
+    from lightx2v_tpu.ops.linear import _mm_int8, mm_ffn
+
+    x, w0, s0, b0, _ = _case(m=32, n=384, k=256, seed=45)
+    _, w2, s2, b2, _ = _case(m=8, n=256, k=384, seed=47)
+    p0 = {"w": w0, "w_scale": s0, "b": b0}
+    p2 = {"w": w2, "w_scale": s2, "b": b2}
+    out = mm_ffn(_mm_int8, p0, p2, x)  # CPU -> two-call fallback
+    import jax
+
+    h = jax.nn.gelu(np.asarray(_mm_int8(p0, x), np.float32), approximate=True)
+    ref = _mm_int8(p2, jnp.asarray(h, jnp.bfloat16))
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), rtol=3e-2, atol=3e-2)
+
+
 def test_w4a8_matches_fake_quant_oracle():
     """w4a8: int4 weights (packed) x in-kernel int8 acts vs a numpy oracle
     with identical quantization."""
