@@ -11,15 +11,14 @@ Audio features come from encoders/audio.py (HF wav2vec-class model when
 ``audio_encoder_path``/``model_path`` is configured, waveform-envelope
 fallback otherwise). Multi-segment generation with previous-latent
 conditioning is implemented below (see run_dit's segment loop); the audio track is
-written as a sibling .wav next to the mp4 (no in-container a/v mux — the
-one remaining gap vs the reference's ffmpeg mux).
+muxed with the video into a single RIFF-AVI container (MJPG + PCM16,
+utils/media.mux_avi_pcm — the no-ffmpeg analog of the reference's mux).
 """
 
 from __future__ import annotations
 
 import math
 import os
-import wave
 from functools import partial
 from typing import Any, Dict, Optional
 
@@ -231,8 +230,8 @@ class WanAudioRunner(WanRunner):
         """Segmented long-form generation when ``video_duration`` exceeds one
         segment (reference wan_audio_runner.py:440-583): 81-frame windows
         with a 5-frame conditioned overlap; per-segment audio windows are
-        stitched and saved as a sibling .wav (the reference muxes with
-        ffmpeg, which is not in this image)."""
+        stitched and muxed with the frames into one .avi container
+        (the reference muxes mp4+AAC with ffmpeg, not in this image)."""
         cfg = self.config
         fps = float(cfg.get("target_fps", cfg.get("fps", 16)))
         max_frames = int(cfg.get("target_video_length", 81))
@@ -290,10 +289,13 @@ class WanAudioRunner(WanRunner):
             save_path = cfg.get("save_video_path", "./output.mp4")
             self.save_video(video, save_path)
             merged = np.concatenate(audio_slices)
-            with wave.open(save_path + ".wav", "wb") as w:
-                w.setnchannels(1)
-                w.setsampwidth(2)
-                w.setframerate(sr)
-                w.writeframes((np.clip(merged, -1, 1) * 32767).astype(np.int16).tobytes())
-            logger.info(f"saved segment-merged audio to {save_path}.wav (no ffmpeg for muxing)")
+            # single-container a/v mux (reference uses ffmpeg -> mp4+AAC,
+            # wan_audio_runner.py:560-575; no ffmpeg here, so a pure-python
+            # RIFF-AVI with MJPG video + interleaved PCM16)
+            from ..utils.media import mux_avi_pcm
+
+            avi = os.path.splitext(save_path)[0] + ".avi"
+            mux_avi_pcm(video, merged, sr, avi,
+                        fps=int(cfg.get("target_fps", cfg.get("fps", 16))))
+            logger.info(f"saved muxed a/v container to {avi}")
         return video
