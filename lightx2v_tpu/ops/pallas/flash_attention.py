@@ -32,18 +32,39 @@ DEFAULT_BQ = 2048
 DEFAULT_BK = 1024
 
 
-def _flash_kernel_lse(kvlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *, scale, bk, nk):
+LOG2E = 1.4426950408889634
+LN2 = 0.6931471805599453
+
+
+def _flash_kernel_lse(kvlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *, scale, bk, nk, mask_mode="all", kvlen_static=None):
     """Variant emitting log-sum-exp per query row (ring-attention partials)."""
     _flash_body(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-                scale=scale, bk=bk, nk=nk, lse_ref=lse_ref)
+                scale=scale, bk=bk, nk=nk, lse_ref=lse_ref, mask_mode=mask_mode,
+                kvlen_static=kvlen_static)
 
 
-def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, bk, nk):
+def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, bk, nk, mask_mode="all", kvlen_static=None):
     _flash_body(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-                scale=scale, bk=bk, nk=nk, lse_ref=None)
+                scale=scale, bk=bk, nk=nk, lse_ref=None, mask_mode=mask_mode,
+                kvlen_static=kvlen_static)
 
 
-def _flash_body(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, bk, nk, lse_ref):
+def _flash_body(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, bk, nk, lse_ref, mask_mode="all", kvlen_static=None):
+    """Online-softmax inner body, VPU-lean form.
+
+    The per-tile elementwise work is the bottleneck at d=128 (the two
+    dots cost ~5.4 us/step on a v5e MXU; a (2048, 1024) tile's scale-mul
+    + mask-add + exp are ~3x that on the VPU), so:
+      * the softmax scale is folded into q ONCE per q-tile as
+        scale*log2(e), making the logits land directly in the exp2
+        domain — the 2M-element `s * scale` disappears and `exp`
+        becomes the hardware-native `exp2`;
+      * the kv-length mask is applied per-step only under mask_mode
+        "all" (traced kv_len). With a static kv_len the boundary block
+        index is known at trace time, and `pl.when` splits the sweep
+        into unmasked steps (no bias add at all) and the single
+        partial block ("last"); fully-valid static lengths skip the
+        mask everywhere ("none")."""
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
@@ -52,42 +73,65 @@ def _flash_body(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]  # (bq, d) bf16
+    # fold scale*log2e into q: (bq, d) muls instead of (bq, bk); the bf16
+    # re-round adds <= 2^-9 relative logit noise (same class as the bf16
+    # inputs themselves)
+    q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(q_ref.dtype)
     k = k_ref[0]  # (bk, d)
     v = v_ref[0]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    s = s * scale
-    # mask keys beyond the dynamic valid length; the bias row is (1, bk)
-    # so the iota/compare run once per tile, not per query row (VPU win)
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1) + k_idx * bk
-    s = s + jnp.where(col < kvlen_ref[0], 0.0, -jnp.inf).astype(jnp.float32)
 
-    m_prev = m_ref[:, 0:1]  # (bq, 1)
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
-    l_new = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-    pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    acc_ref[:] = acc_ref[:] * alpha + pv
-    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+    def update(s):
+        m_prev = m_ref[:, 0:1]  # (bq, 1)
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m_prev - m_new)
+        l_new = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    def masked(s):
+        # bias row is (1, bk): iota/compare run once per tile, the add is
+        # the (bq, bk) cost this branch exists to localize
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1) + k_idx * bk
+        return s + jnp.where(col < kvlen_ref[0], 0.0, -jnp.inf).astype(jnp.float32)
+
+    if mask_mode == "all":
+        update(masked(s))
+    elif mask_mode == "none":
+        update(s)
+    else:  # "last": static boundary, mask only blocks containing/past it
+        boundary = kvlen_static // bk  # first block index needing a mask
+
+        @pl.when(k_idx < boundary)
+        def _():
+            update(s)
+
+        @pl.when(k_idx >= boundary)
+        def _():
+            update(masked(s))
 
     @pl.when(k_idx == nk - 1)
     def _():
         o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, 0:1], 1e-30)).astype(o_ref.dtype)
         if lse_ref is not None:
-            lse = m_ref[:, 0:1] + jnp.log(jnp.maximum(l_ref[:, 0:1], 1e-30))
+            # natural-log LSE contract (ring merge): m is in log2 units
+            lse = m_ref[:, 0:1] * LN2 + jnp.log(jnp.maximum(l_ref[:, 0:1], 1e-30))
             lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:]).astype(jnp.float32)
 
 
 def _flash_rope_kernel(kvlen_ref, q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
-                       o_ref, m_ref, l_ref, acc_ref, *, scale, bk, nk):
+                       o_ref, m_ref, l_ref, acc_ref, *, scale, bk, nk,
+                       mask_mode="all", kvlen_static=None):
     """Flash attention with RoPE applied in-kernel (half-split pair layout;
     q/k projections permuted at load, models/wan/weights.py). Saves the
     XLA apply_rope pass over q and k (~8% of attention time at 32k tokens,
-    measured on v5e). Rotation: x*[c|c] + roll_half(x)*[-s|s] in fp32."""
+    measured on v5e). Rotation: x*[c|c] + roll_half(x)*[-s|s] in fp32.
+    Softmax scale/exp2 folding and mask modes as in _flash_body."""
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
@@ -96,31 +140,49 @@ def _flash_rope_kernel(kvlen_ref, q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, s
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    def rot(x, c, s):
+    def rot(x, c, s, gain=1.0):
         d2 = x.shape[1] // 2
         xf = x.astype(jnp.float32)
         rolled = jnp.concatenate([xf[:, d2:], xf[:, :d2]], axis=1)
-        return (xf * c + rolled * s).astype(jnp.bfloat16)
+        return ((xf * c + rolled * s) * gain).astype(jnp.bfloat16)
 
-    q = rot(q_ref[0], cq_ref[...], sq_ref[...])
+    # softmax scale folded into the q rotation (exp2 domain, see _flash_body)
+    q = rot(q_ref[0], cq_ref[...], sq_ref[...], gain=scale * LOG2E)
     k = rot(k_ref[0], ck_ref[...], sk_ref[...])
     v = v_ref[0]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    s = s * scale
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1) + k_idx * bk
-    s = s + jnp.where(col < kvlen_ref[0], 0.0, -jnp.inf).astype(jnp.float32)
 
-    m_prev = m_ref[:, 0:1]
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
-    l_new = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-    pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    acc_ref[:] = acc_ref[:] * alpha + pv
-    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+    def update(s):
+        m_prev = m_ref[:, 0:1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m_prev - m_new)
+        l_new = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    def masked(s):
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1) + k_idx * bk
+        return s + jnp.where(col < kvlen_ref[0], 0.0, -jnp.inf).astype(jnp.float32)
+
+    if mask_mode == "all":
+        update(masked(s))
+    elif mask_mode == "none":
+        update(s)
+    else:
+        boundary = kvlen_static // bk
+
+        @pl.when(k_idx < boundary)
+        def _():
+            update(s)
+
+        @pl.when(k_idx >= boundary)
+        def _():
+            update(masked(s))
 
     @pl.when(k_idx == nk - 1)
     def _():
@@ -134,18 +196,17 @@ def flash_attention_fused_rope(
     cos: jnp.ndarray,
     sin: jnp.ndarray,
     kv_len: Optional[Union[int, jnp.ndarray]] = None,
-    bq: int = 1024,
-    bk: int = 1024,
+    bq: int = DEFAULT_BQ,
+    bk: int = DEFAULT_BK,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """q/k/v (B, S, N, D) in half-split pair layout; cos/sin (S_rope, D/2)
     pair tables. Tokens past S_rope get identity rotation (matching
     apply_rope's pass-through tail).
 
-    Blocks default to 1024x1024 (not the dense kernel's 2048): the four
-    fp32 table blocks put the 2048 config over the 16M scoped-VMEM limit
-    (measured AOT OOM at 21.7M), and 1024 costs only ~3.6% vs the ~8%
-    the fused rotation saves."""
+    Blocks default to 2048x1024 like the dense kernel (the four fp32
+    table blocks need the raised per-kernel VMEM limit; at the default
+    16M scope this config AOT-OOMed at 21.7M)."""
     from ...ops.rope import rope_tables_full
 
     b, sq, n, d = q.shape
@@ -183,8 +244,10 @@ def flash_attention_fused_rope(
     nq = qf.shape[1] // bq
     nk = kf.shape[1] // bk
 
+    mask_mode, kvlen_static = _mask_mode_for(kv_len, kf.shape[1], bk)
     kvlen_arr = jnp.asarray(kv_len, jnp.int32).reshape(1)
-    kernel = functools.partial(_flash_rope_kernel, scale=scale, bk=bk, nk=nk)
+    kernel = functools.partial(_flash_rope_kernel, scale=scale, bk=bk, nk=nk,
+                               mask_mode=mask_mode, kvlen_static=kvlen_static)
     out = pl.pallas_call(
         kernel,
         grid=(b * n, nq, nk),
@@ -207,12 +270,29 @@ def flash_attention_fused_rope(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # four fp32 table blocks push 2048-wide q blocks past the
+            # 16M scoped default; the v5e has 128M VMEM
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(kvlen_arr, qf, kf, vf, cos_full, sin_full, cos_full, sin_full)
     if pq:
         out = out[:, :sq]
     return out.reshape(b, n, sq, d).transpose(0, 2, 1, 3)
+
+
+def _mask_mode_for(kv_len, padded_sk: int, bk: int):
+    """("all"|"last"|"none", kvlen_static): traced lengths mask every
+    step; static lengths mask only blocks at/past the boundary block,
+    and fully-valid static lengths skip the mask entirely."""
+    import numpy as np
+
+    if isinstance(kv_len, (int, np.integer)):
+        kv = int(kv_len)
+        if kv >= padded_sk:
+            return "none", None
+        return "last", kv
+    return "all", None
 
 
 def _flash_bnsd(q, k, v, kv_len, bq: int, bk: int, interpret: bool = False):
@@ -231,8 +311,10 @@ def _flash_bnsd(q, k, v, kv_len, bq: int, bk: int, interpret: bool = False):
     nq = q.shape[1] // bq
     nk = k.shape[1] // bk
 
+    mask_mode, kvlen_static = _mask_mode_for(kv_len, k.shape[1], bk)
     kvlen_arr = jnp.asarray(kv_len, jnp.int32).reshape(1)
-    kernel = functools.partial(_flash_kernel, scale=scale, bk=bk, nk=nk)
+    kernel = functools.partial(_flash_kernel, scale=scale, bk=bk, nk=nk,
+                               mask_mode=mask_mode, kvlen_static=kvlen_static)
     out = pl.pallas_call(
         kernel,
         grid=(bn, nq, nk),
@@ -251,6 +333,7 @@ def _flash_bnsd(q, k, v, kv_len, bq: int, bk: int, interpret: bool = False):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * bn * sq * sk * d,
@@ -317,8 +400,10 @@ def flash_attention_with_lse(
         vf = jnp.pad(vf, ((0, 0), (0, pk), (0, 0)))
     nq = qf.shape[1] // bq
     nk = kf.shape[1] // bk
+    mask_mode, kvlen_static = _mask_mode_for(kv_len, kf.shape[1], bk)
     kvlen_arr = jnp.asarray(kv_len, jnp.int32).reshape(1)
-    kernel = functools.partial(_flash_kernel_lse, scale=scale, bk=bk, nk=nk)
+    kernel = functools.partial(_flash_kernel_lse, scale=scale, bk=bk, nk=nk,
+                               mask_mode=mask_mode, kvlen_static=kvlen_static)
     out, lse = pl.pallas_call(
         kernel,
         grid=(b * n, nq, nk),

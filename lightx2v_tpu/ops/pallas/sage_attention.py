@@ -30,8 +30,17 @@ DEFAULT_BQ = 1024
 DEFAULT_BK = 1024
 
 
+LOG2E = 1.4426950408889634
+
+
 def _sage_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref,
-                 m_ref, l_ref, acc_ref, *, scale, bk, nk):
+                 m_ref, l_ref, acc_ref, *, scale, bk, nk,
+                 mask_mode="all", kvlen_static=None):
+    """VPU-lean form (see flash_attention._flash_body): scale*log2e folds
+    into the per-row q scale so softmax runs in the exp2 domain; the kv
+    mask is a (1, bk) row bias applied only on boundary blocks when the
+    length is static. The k-row scale varies per COLUMN, so one (bq, bk)
+    rescale of the int32 logits is irreducible."""
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
@@ -51,20 +60,37 @@ def _sage_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref,
     v = v_ref[0]   # (bk, d) bf16
 
     s_i32 = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
-    s = s_i32.astype(jnp.float32) * (qs * scale) * ks[:, 0][None, :]
+    s = s_i32.astype(jnp.float32) * (qs * (scale * LOG2E)) * ks[:, 0][None, :]
 
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k_idx * bk
-    s = jnp.where(col < kvlen_ref[0], s, -jnp.inf)
+    def update(s):
+        m_prev = m_ref[:, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m_prev - m_new)
+        l_new = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
-    m_prev = m_ref[:, 0:1]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
-    l_new = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-    pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    acc_ref[:] = acc_ref[:] * alpha + pv
-    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+    def masked(s):
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1) + k_idx * bk
+        return s + jnp.where(col < kvlen_ref[0], 0.0, -jnp.inf).astype(jnp.float32)
+
+    if mask_mode == "all":
+        update(masked(s))
+    elif mask_mode == "none":
+        update(s)
+    else:
+        boundary = kvlen_static // bk
+
+        @pl.when(k_idx < boundary)
+        def _():
+            update(s)
+
+        @pl.when(k_idx >= boundary)
+        def _():
+            update(masked(s))
 
     @pl.when(k_idx == nk - 1)
     def _():
@@ -102,8 +128,12 @@ def sage_attention(
     nq = qf.shape[1] // bq
     nk = kf.shape[1] // bk
 
+    from .flash_attention import _mask_mode_for
+
+    mask_mode, kvlen_static = _mask_mode_for(kv_len, kf.shape[1], bk)
     kvlen_arr = jnp.asarray(kv_len, jnp.int32).reshape(1)
-    kernel = functools.partial(_sage_kernel, scale=scale, bk=bk, nk=nk)
+    kernel = functools.partial(_sage_kernel, scale=scale, bk=bk, nk=nk,
+                               mask_mode=mask_mode, kvlen_static=kvlen_static)
     out = pl.pallas_call(
         kernel,
         grid=(b * n, nq, nk),
@@ -122,6 +152,7 @@ def sage_attention(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * n * sq * sk * d,

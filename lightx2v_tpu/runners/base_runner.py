@@ -67,6 +67,19 @@ class DefaultRunner(BaseRunner):
         self.image_encoder = self.load_image_encoder()
         self.vae = self.load_vae()
 
+    def _mesh_devices(self):
+        """Device list for this runner's mesh. ``config["mesh_devices"]``
+        (a list of device indices) carves a SUB-mesh out of the machine —
+        set by the serving layer when dp replicas each own an sp/tp group
+        of chips (server/service.py) — otherwise all devices."""
+        import jax
+
+        ids = self.config.get("mesh_devices")
+        if not ids:
+            return None
+        devs = jax.devices()
+        return [devs[int(i)] for i in ids]
+
     def run_input_encoder(self) -> Dict[str, Any]:
         raise NotImplementedError
 

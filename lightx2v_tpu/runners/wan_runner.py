@@ -267,7 +267,8 @@ class WanRunner(DefaultRunner):
         mesh = None
         sp_size = 1
         if self.config.get("mesh_shape"):
-            mesh = build_mesh(dict(self.config["mesh_shape"]))
+            mesh = build_mesh(dict(self.config["mesh_shape"]),
+                              devices=self._mesh_devices())
             sp_size = dict(self.config["mesh_shape"]).get("sp", 1)
 
         attn_default = self.config.get("attention_impl") or self.config.get("self_attn_1_type", "flash_attn3")
@@ -525,7 +526,8 @@ class WanRunner(DefaultRunner):
         if self.config.get("parallel_vae") and self.config.get("mesh_shape"):
             from ..parallel.vae_parallel import parallel_vae_decode
 
-            mesh = build_mesh(dict(self.config["mesh_shape"]))
+            mesh = build_mesh(dict(self.config["mesh_shape"]),
+                              devices=self._mesh_devices())
             frames = parallel_vae_decode(self.vae, z, self.vae_cfg, mesh, scale=scale)
         elif self.config.get("use_tiling_vae"):
             from ..vae.wan_vae import vae_decode_tiled

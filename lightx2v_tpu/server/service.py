@@ -129,13 +129,42 @@ class VideoGenerationService:
             self._queue.put(None)  # wake every worker
 
     # ---------------- worker ----------------
-    def _replica_scope(self, replica: int):
+    def _make_replica_runner(self, replica: int):
+        """Build replica i's runner. With ``mesh_shape`` in its config and
+        num_replicas > 1, each replica is handed a DISJOINT contiguous
+        group of prod(mesh_shape) devices via ``mesh_devices`` — dp over
+        sp/tp sub-meshes (e.g. 2 replicas x {sp: 4} on 8 chips), not just
+        dp over single chips."""
+        runner = self._runner_factory()
+        cfg = getattr(runner, "config", None)
+        ms = cfg.get("mesh_shape") if cfg else None
+        if ms and self.num_replicas > 1 and not cfg.get("mesh_devices"):
+            import jax
+            import numpy as np
+
+            per = int(np.prod([int(v) for v in dict(ms).values()]))
+            n = len(jax.devices())
+            lo = replica * per
+            if lo + per > n:
+                raise ValueError(
+                    f"num_replicas={self.num_replicas} x mesh {dict(ms)} needs "
+                    f"{self.num_replicas * per} devices, have {n}")
+            cfg["mesh_devices"] = list(range(lo, lo + per))
+            logger.info(f"replica {replica}: sub-mesh devices {cfg['mesh_devices']}")
+        return runner
+
+    def _replica_scope(self, replica: int, runner=None):
         """Pin replica i's runner to chip i (thread-local default device) —
         uncommitted arrays and jit executions in this thread then land on
-        that chip, so replicas compute concurrently."""
+        that chip, so replicas compute concurrently. Mesh-owning replicas
+        skip the pin: their placement comes from explicit shardings over
+        their sub-mesh."""
         import contextlib
 
         if self.num_replicas <= 1:
+            return contextlib.nullcontext()
+        cfg = getattr(runner, "config", None) if runner is not None else None
+        if cfg and cfg.get("mesh_devices"):
             return contextlib.nullcontext()
         import jax
 
@@ -154,10 +183,14 @@ class VideoGenerationService:
                 self._current[replica] = task_id
                 rec.status = "processing"
             try:
-                with self._replica_scope(replica):
-                    if replica not in self._runners:
-                        self._runners[replica] = self._runner_factory()
-                    runner = self._runners[replica]
+                if replica not in self._runners:
+                    # construction pinned to the replica chip (single-chip
+                    # dp); a mesh replica's weights get resharded onto its
+                    # sub-mesh by the explicit shardings at run time
+                    with self._replica_scope(replica):
+                        self._runners[replica] = self._make_replica_runner(replica)
+                runner = self._runners[replica]
+                with self._replica_scope(replica, runner):
                     inputs = rec.request.model_dump()
                     inputs.update(inputs.pop("options", None) or {})
                     inputs = {k: v for k, v in inputs.items() if v not in (None, "")}

@@ -227,3 +227,31 @@ def test_dp_serving_two_replicas(tmp_path):
     for i in range(2):
         assert os.path.exists(tmp_path / f"r{i}.mp4")
     service.shutdown()
+
+
+def test_dp_serving_over_sub_meshes(tmp_path):
+    """num_replicas=2 with mesh_shape {sp: 2}: each replica runs its task
+    over its OWN disjoint 2-device sub-mesh (dp x sp serving)."""
+    args = build_parser().parse_args([
+        "--model_cls", "wan2.1", "--task", "t2v",
+        "--config_json", CFG, "--synthetic_weights",
+    ])
+    import copy
+
+    config = set_config(args)
+    config["mesh_shape"] = {"sp": 2}
+    service = VideoGenerationService(lambda: init_runner(copy.deepcopy(config)),
+                                     output_root=str(tmp_path), num_replicas=2)
+    recs = [service.submit(TaskRequest(prompt=f"clip {i}",
+                                       save_video_path=str(tmp_path / f"m{i}.mp4"),
+                                       seed=i)) for i in range(2)]
+    deadline = time.time() + 280
+    while time.time() < deadline and any(r.status not in ("completed", "failed") for r in recs):
+        time.sleep(0.5)
+    assert [r.status for r in recs] == ["completed", "completed"], \
+        [(r.status, r.error) for r in recs]
+    groups = [tuple(service._runners[i].config["mesh_devices"]) for i in range(2)]
+    assert groups[0] == (0, 1) and groups[1] == (2, 3)
+    for i in range(2):
+        assert os.path.exists(tmp_path / f"m{i}.mp4")
+    service.shutdown()
