@@ -29,74 +29,74 @@ from jax.experimental.pallas import tpu as pltpu
 BLOCK = 128
 
 
+LOG2E = 1.4426950408889634
+
+
+def _bs_body(kvlen_ref, blk_id, active, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, nnz):
+    """Shared online-softmax body, VPU-lean (see flash_attention):
+    scale*log2e folds into the q tile (softmax in exp2 domain) and the
+    key-validity mask runs ONLY on steps whose selected block straddles
+    the padded tail — ``blk_id`` is scalar-prefetched, so the boundary
+    test is a scalar `pl.when`, not a per-element where.
+
+    Invariant: the j=0 selected block must contain at least one valid key
+    (guaranteed by diagonal inclusion), else m stays -inf and p NaNs."""
+    j = pl.program_id(2)
+    bk = k_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def update(masked: bool):
+        q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(q_ref.dtype)
+        k = k_ref[0]
+        v = v_ref[0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if masked:
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1) + blk_id * bk
+            s = s + jnp.where(col < kvlen_ref[0], 0.0, -jnp.inf).astype(jnp.float32)
+        m_prev = m_ref[:, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m_prev - m_new)
+        l_ref[:] = jnp.broadcast_to(l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
+        pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    straddles = (blk_id + 1) * bk > kvlen_ref[0]
+
+    @pl.when(active & jnp.logical_not(straddles))
+    def _():
+        update(False)
+
+    @pl.when(active & straddles)
+    def _():
+        update(True)
+
+    @pl.when(j == nnz - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, 0:1], 1e-30)).astype(o_ref.dtype)
+
+
 def _bs_kernel(kvlen_ref, idx_ref, cnt_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, nnz):
     i = pl.program_id(1)
     j = pl.program_id(2)
-
-    @pl.when(j == 0)
-    def _():
-        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
-        l_ref[:] = jnp.zeros_like(l_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    @pl.when(j < cnt_ref[i])
-    def _():
-        q = q_ref[0]
-        k = k_ref[0]
-        v = v_ref[0]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
-        # mask key positions past the true (unpadded) sequence length
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + idx_ref[i, j] * k.shape[0]
-        s = jnp.where(col < kvlen_ref[0], s, -jnp.inf)
-        m_prev = m_ref[:, 0:1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_ref[:] = jnp.broadcast_to(l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
-        pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        acc_ref[:] = acc_ref[:] * alpha + pv
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-
-    @pl.when(j == nnz - 1)
-    def _():
-        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, 0:1], 1e-30)).astype(o_ref.dtype)
+    _bs_body(kvlen_ref, idx_ref[i, j], j < cnt_ref[i], q_ref, k_ref, v_ref,
+             o_ref, m_ref, l_ref, acc_ref, scale=scale, nnz=nnz)
 
 
 def _bs_kernel_per_head(kvlen_ref, idx_ref, cnt_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, nnz):
-    """Same online-softmax body, but indices/counts carry a leading
-    batch*heads axis (per-head sparsity patterns, e.g. sparge selection).
-    Invariant: the j=0 selected block must contain at least one valid key
-    (guaranteed by diagonal inclusion), else m stays -inf and p NaNs."""
+    """Indices/counts carry a leading batch*heads axis (per-head sparsity
+    patterns, e.g. sparge selection)."""
     bb = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
-
-    @pl.when(j == 0)
-    def _():
-        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
-        l_ref[:] = jnp.zeros_like(l_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    @pl.when(j < cnt_ref[bb, i])
-    def _():
-        q = q_ref[0]
-        k = k_ref[0]
-        v = v_ref[0]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + idx_ref[bb, i, j] * k.shape[0]
-        s = jnp.where(col < kvlen_ref[0], s, -jnp.inf)
-        m_prev = m_ref[:, 0:1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_ref[:] = jnp.broadcast_to(l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
-        pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        acc_ref[:] = acc_ref[:] * alpha + pv
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-
-    @pl.when(j == nnz - 1)
-    def _():
-        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, 0:1], 1e-30)).astype(o_ref.dtype)
+    _bs_body(kvlen_ref, idx_ref[bb, i, j], j < cnt_ref[bb, i], q_ref, k_ref, v_ref,
+             o_ref, m_ref, l_ref, acc_ref, scale=scale, nnz=nnz)
 
 
 def _bs_per_head_call(qf, kf, vf, idx, cnt, sk, bq, bk, nq, nnz, scale, interpret):
@@ -124,6 +124,7 @@ def _bs_per_head_call(qf, kf, vf, idx, cnt, sk, bq, bk, nq, nnz, scale, interpre
         out_shape=jax.ShapeDtypeStruct(qf.shape, qf.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(jnp.asarray(sk, jnp.int32).reshape(1), idx.astype(jnp.int32),
@@ -208,6 +209,7 @@ def block_sparse_attention(
         out_shape=jax.ShapeDtypeStruct(qf.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(jnp.asarray(sk, jnp.int32).reshape(1), indices.astype(jnp.int32),

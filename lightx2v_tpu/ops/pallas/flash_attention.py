@@ -25,11 +25,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# block-size sweep on v5e @ 32k tokens (loop-amortized, row-bias mask):
-# (2048,1024) 132.3 TFLOP/s, (1024,2048) 128.6, (1024,1024) 127.5,
-# (512,1024) 112.7; (2048,2048) and (4096,1024) exceed VMEM
-DEFAULT_BQ = 2048
-DEFAULT_BK = 1024
+# block-size sweep on v5e @ 32k tokens (loop-amortized, unmasked/phantom):
+# (4096,2048) 153.2 TFLOP/s, (2048,2048) 152.4, (2048,4096) 150.3,
+# (4096,1024) 140.3, (2048,1024) 136.0 — the >16M-VMEM configs unlocked
+# by the per-kernel vmem_limit_bytes raise; round-1 best was 132.3
+DEFAULT_BQ = 4096
+DEFAULT_BK = 2048
 
 
 LOG2E = 1.4426950408889634
@@ -59,12 +60,18 @@ def _flash_body(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
         scale*log2(e), making the logits land directly in the exp2
         domain — the 2M-element `s * scale` disappears and `exp`
         becomes the hardware-native `exp2`;
-      * the kv-length mask is applied per-step only under mask_mode
-        "all" (traced kv_len). With a static kv_len the boundary block
-        index is known at trace time, and `pl.when` splits the sweep
-        into unmasked steps (no bias add at all) and the single
-        partial block ("last"); fully-valid static lengths skip the
-        mask everywhere ("none")."""
+      * mask_mode "phantom" (the model's common case: full-length static
+        kv, only the kernel's own zero pad rows invalid) does NO masking
+        at all: a zero key row yields logit 0 and a zero value row, so
+        the pad rows contribute EXACTLY npad*exp2(-m) to l and nothing
+        to acc — subtracted in closed form at the final step. Measured
+        on v5e: per-step mask adds cost ~4%, and a `pl.when`
+        masked/unmasked step split costs ~12% (the dual body defeats
+        Mosaic's cross-step software pipelining), while phantom mode
+        runs at the unmasked kernel's rate bit-exactly;
+      * mask_mode "all" (traced kv_len, or static short kv with NONZERO
+        rows beyond it, e.g. sequence-parallel pad tokens) applies the
+        (1, bk) row-bias mask every step; "none"/"last" as named."""
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
@@ -100,10 +107,10 @@ def _flash_body(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
         col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1) + k_idx * bk
         return s + jnp.where(col < kvlen_ref[0], 0.0, -jnp.inf).astype(jnp.float32)
 
-    if mask_mode == "all":
-        update(masked(s))
-    elif mask_mode == "none":
+    if mask_mode in ("none", "phantom"):
         update(s)
+    elif mask_mode == "all":
+        update(masked(s))
     else:  # "last": static boundary, mask only blocks containing/past it
         boundary = kvlen_static // bk  # first block index needing a mask
 
@@ -115,12 +122,18 @@ def _flash_body(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
         def _():
             update(masked(s))
 
+    npad = (nk * bk - kvlen_static) if mask_mode == "phantom" else 0
+
     @pl.when(k_idx == nk - 1)
     def _():
-        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, 0:1], 1e-30)).astype(o_ref.dtype)
+        l_fin = l_ref[:, 0:1]
+        if npad:
+            # remove the zero-pad rows' exact mass (logit 0, value 0)
+            l_fin = l_fin - npad * jnp.exp2(-m_ref[:, 0:1])
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_fin, 1e-30)).astype(o_ref.dtype)
         if lse_ref is not None:
             # natural-log LSE contract (ring merge): m is in log2 units
-            lse = m_ref[:, 0:1] * LN2 + jnp.log(jnp.maximum(l_ref[:, 0:1], 1e-30))
+            lse = m_ref[:, 0:1] * LN2 + jnp.log(jnp.maximum(l_fin, 1e-30))
             lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:]).astype(jnp.float32)
 
 
@@ -169,10 +182,10 @@ def _flash_rope_kernel(kvlen_ref, q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, s
         col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1) + k_idx * bk
         return s + jnp.where(col < kvlen_ref[0], 0.0, -jnp.inf).astype(jnp.float32)
 
-    if mask_mode == "all":
-        update(masked(s))
-    elif mask_mode == "none":
+    if mask_mode in ("none", "phantom"):
         update(s)
+    elif mask_mode == "all":
+        update(masked(s))
     else:
         boundary = kvlen_static // bk
 
@@ -184,9 +197,15 @@ def _flash_rope_kernel(kvlen_ref, q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, s
         def _():
             update(masked(s))
 
+    npad = (nk * bk - kvlen_static) if mask_mode == "phantom" else 0
+
     @pl.when(k_idx == nk - 1)
     def _():
-        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, 0:1], 1e-30)).astype(o_ref.dtype)
+        l_fin = l_ref[:, 0:1]
+        if npad:
+            # zero pad rows rotate to zero keys: exact mass npad*exp2(-m)
+            l_fin = l_fin - npad * jnp.exp2(-m_ref[:, 0:1])
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_fin, 1e-30)).astype(o_ref.dtype)
 
 
 def flash_attention_fused_rope(
@@ -244,7 +263,7 @@ def flash_attention_fused_rope(
     nq = qf.shape[1] // bq
     nk = kf.shape[1] // bk
 
-    mask_mode, kvlen_static = _mask_mode_for(kv_len, kf.shape[1], bk)
+    mask_mode, kvlen_static = _mask_mode_for(kv_len, sk, kf.shape[1], bk)
     kvlen_arr = jnp.asarray(kv_len, jnp.int32).reshape(1)
     kernel = functools.partial(_flash_rope_kernel, scale=scale, bk=bk, nk=nk,
                                mask_mode=mask_mode, kvlen_static=kvlen_static)
@@ -281,17 +300,23 @@ def flash_attention_fused_rope(
     return out.reshape(b, n, sq, d).transpose(0, 2, 1, 3)
 
 
-def _mask_mode_for(kv_len, padded_sk: int, bk: int):
-    """("all"|"last"|"none", kvlen_static): traced lengths mask every
-    step; static lengths mask only blocks at/past the boundary block,
-    and fully-valid static lengths skip the mask entirely."""
+def _mask_mode_for(kv_len, sk_orig: int, padded_sk: int, bk: int):
+    """("all"|"phantom"|"none", kvlen_static): traced lengths mask every
+    step. A static length equal to the caller's (pre-pad) key count means
+    the only invalid rows are the kernel's own zero padding — handled in
+    closed form ("phantom", see _flash_body) with no per-step masking. A
+    static length SHORTER than the caller's key count means real data
+    rows sit beyond it (e.g. sequence-parallel pad tokens), which are not
+    zero — conservatively mask every step."""
     import numpy as np
 
     if isinstance(kv_len, (int, np.integer)):
         kv = int(kv_len)
         if kv >= padded_sk:
             return "none", None
-        return "last", kv
+        if kv == sk_orig:
+            return "phantom", kv
+        return "all", None
     return "all", None
 
 
@@ -311,7 +336,7 @@ def _flash_bnsd(q, k, v, kv_len, bq: int, bk: int, interpret: bool = False):
     nq = q.shape[1] // bq
     nk = k.shape[1] // bk
 
-    mask_mode, kvlen_static = _mask_mode_for(kv_len, k.shape[1], bk)
+    mask_mode, kvlen_static = _mask_mode_for(kv_len, sk, k.shape[1], bk)
     kvlen_arr = jnp.asarray(kv_len, jnp.int32).reshape(1)
     kernel = functools.partial(_flash_kernel, scale=scale, bk=bk, nk=nk,
                                mask_mode=mask_mode, kvlen_static=kvlen_static)
@@ -400,7 +425,7 @@ def flash_attention_with_lse(
         vf = jnp.pad(vf, ((0, 0), (0, pk), (0, 0)))
     nq = qf.shape[1] // bq
     nk = kf.shape[1] // bk
-    mask_mode, kvlen_static = _mask_mode_for(kv_len, kf.shape[1], bk)
+    mask_mode, kvlen_static = _mask_mode_for(kv_len, sk, kf.shape[1], bk)
     kvlen_arr = jnp.asarray(kv_len, jnp.int32).reshape(1)
     kernel = functools.partial(_flash_kernel_lse, scale=scale, bk=bk, nk=nk,
                                mask_mode=mask_mode, kvlen_static=kvlen_static)

@@ -77,10 +77,10 @@ def _sage_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref,
         col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1) + k_idx * bk
         return s + jnp.where(col < kvlen_ref[0], 0.0, -jnp.inf).astype(jnp.float32)
 
-    if mask_mode == "all":
-        update(masked(s))
-    elif mask_mode == "none":
+    if mask_mode in ("none", "phantom"):
         update(s)
+    elif mask_mode == "all":
+        update(masked(s))
     else:
         boundary = kvlen_static // bk
 
@@ -92,9 +92,15 @@ def _sage_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref,
         def _():
             update(masked(s))
 
+    npad = (nk * bk - kvlen_static) if mask_mode == "phantom" else 0
+
     @pl.when(k_idx == nk - 1)
     def _():
-        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, 0:1], 1e-30)).astype(o_ref.dtype)
+        l_fin = l_ref[:, 0:1]
+        if npad:
+            # zero pad rows quantize to zero int8 keys -> logit 0, value 0
+            l_fin = l_fin - npad * jnp.exp2(-m_ref[:, 0:1])
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_fin, 1e-30)).astype(o_ref.dtype)
 
 
 def sage_attention(
@@ -130,7 +136,7 @@ def sage_attention(
 
     from .flash_attention import _mask_mode_for
 
-    mask_mode, kvlen_static = _mask_mode_for(kv_len, kf.shape[1], bk)
+    mask_mode, kvlen_static = _mask_mode_for(kv_len, sk, kf.shape[1], bk)
     kvlen_arr = jnp.asarray(kv_len, jnp.int32).reshape(1)
     kernel = functools.partial(_sage_kernel, scale=scale, bk=bk, nk=nk,
                                mask_mode=mask_mode, kvlen_static=kvlen_static)

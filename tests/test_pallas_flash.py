@@ -78,3 +78,19 @@ class TestSageAttention:
         assert snr < 1e-2
 
 
+
+
+def test_phantom_pad_correction_equals_masked():
+    """Static full-length kv on an unaligned shape takes the "phantom"
+    path (no per-step masking; the zero pad rows' exact mass
+    npad*exp2(-m) is subtracted at the end). It must agree with the
+    dynamically masked path to fp32-association noise."""
+    b, n, d = 1, 2, 128
+    sq = sk = 200  # pads to 256 -> npad=56 phantom rows
+    q = rand(b, sq, n, d, key=7).astype(jnp.bfloat16)
+    k = rand(b, sk, n, d, key=8).astype(jnp.bfloat16)
+    v = rand(b, sk, n, d, key=9).astype(jnp.bfloat16)
+    phantom = np.asarray(flash_attention(q, k, v, bq=128, bk=128, interpret=True), np.float32)
+    masked = np.asarray(flash_attention(q, k, v, kv_len=jnp.asarray(sk), bq=128, bk=128,
+                                        interpret=True), np.float32)
+    np.testing.assert_allclose(phantom, masked, rtol=2e-3, atol=2e-3)
