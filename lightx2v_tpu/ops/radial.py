@@ -105,7 +105,20 @@ def coarsen_block_mask(mask: np.ndarray, fq: int, fk: int) -> np.ndarray:
 
     Keeps a SUPERSET of the fine mask, so quality can only improve; the
     payoff is running the sparse kernel at the dense flash kernel's tuned
-    MXU tile sizes (2048x1024 = 132 TFLOP/s on v5e) instead of 128x128."""
+    MXU tile sizes instead of 128x128.
+
+    Tile-size tradeoff, measured at 720P/21f (fine density 0.328):
+    2048x1024 -> 0.955 (x2.92 fine work), 2048x256 -> 0.820,
+    1024x256 -> 0.588, 512x128 -> 0.427, 256x128 -> 0.360. The
+    q-direction union drives the inflation (adjacent frames' windows
+    shift, so a 2048-token q superblock unions ~16 shifted bands), but
+    small tiles are DMA-latency-bound in the BSR kernel (round-1 sweep:
+    (1024,256) ran 1.8x SLOWER than dense despite 0.59 density — a
+    (bq,128)-tile step is ~0.2us of MXU against several us of
+    scalar-prefetched k/v DMA that cannot overlap across steps). Radial
+    therefore stays at dense-sized tiles with a modest win; sparge's
+    learned selection, which concentrates mass into fewer superblocks,
+    is the sparse path that pays on TPU (2.27x dense at 720P)."""
     nq, nk = mask.shape
     pq, pk = (-nq) % fq, (-nk) % fk
     m = np.pad(mask, ((0, pq), (0, pk)))
