@@ -197,8 +197,15 @@ def run_e2e(arch, params, target, mm_type, attn, steps, preset="14b", scheme="bf
         init_random_vae_state_dict(vae_cfg, seed=0), vae_cfg,
         dtype=ml_dtypes.bfloat16, to_jax=False), seed=0)
 
+    # host-stepped: one device execution per denoise step + one per VAE
+    # decode — a whole-pipeline program is a single multi-10s device call,
+    # which exceeds the axon tunnel's per-execute deadline at 14B
+    step_fn = jax.jit(denoise.one_step)
+
     def once():
-        st = denoise(params, state0, context, context)
+        st, cache = state0, denoise.init_cache()
+        for _ in range(sched_cfg["infer_steps"]):
+            st, cache = step_fn(params, st, cache, context, context, None, None)
         z = jnp.transpose(st["latents"], (1, 2, 3, 0))[None]  # (1,T,h,w,C)
         frames = vae_decode_tiled(vae_params, z, vae_cfg, dtype=jnp.bfloat16)
         return float(jnp.sum(frames.astype(jnp.float32)))

@@ -19,6 +19,9 @@ def main():
     parser = build_parser()
     parser.add_argument("--host", type=str, default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--compile_cache_dir", type=str, default=None,
+                        help="persistent XLA compile cache dir (or env "
+                             "LIGHTX2V_COMPILE_CACHE)")
     parser.add_argument("--output_root", type=str, default="./outputs",
                         help="directory client save paths are contained under")
     args = parser.parse_args()
@@ -26,6 +29,9 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    from .utils.envs import setup_compile_cache
+
+    setup_compile_cache(getattr(args, "compile_cache_dir", None))
     config = set_config(args)
 
     # num_replicas > 1 = serving data parallelism: one runner per chip,

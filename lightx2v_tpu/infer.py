@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="run with randomly initialized weights (no checkpoint)")
     parser.add_argument("--platform", type=str, default=None, choices=["tpu", "cpu"],
                         help="force a JAX platform (overrides site defaults)")
+    parser.add_argument("--compile_cache_dir", type=str, default=None,
+                        help="persistent XLA compile cache dir (or env "
+                             "LIGHTX2V_COMPILE_CACHE); restarts skip recompiles")
     return parser
 
 
@@ -56,6 +59,11 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    from .utils.envs import setup_compile_cache
+
+    cache = setup_compile_cache(getattr(args, "compile_cache_dir", None))
+    if cache:
+        logger.info(f"persistent compile cache: {cache}")
     config = set_config(args)
     logger.info(f"config:\n{config}")
     runner = init_runner(config)

@@ -68,7 +68,10 @@ def _flash_body(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
         on v5e: per-step mask adds cost ~4%, and a `pl.when`
         masked/unmasked step split costs ~12% (the dual body defeats
         Mosaic's cross-step software pipelining), while phantom mode
-        runs at the unmasked kernel's rate bit-exactly;
+        runs at the unmasked kernel's rate bit-exactly (precision note:
+        if EVERY true logit in a row sat below ~-126 in log2 units the
+        true mass would underflow against the phantom max of 0 — beyond
+        attention's realistic logit range by two orders of magnitude);
       * mask_mode "all" (traced kv_len, or static short kv with NONZERO
         rows beyond it, e.g. sequence-parallel pad tokens) applies the
         (1, bk) row-bias mask every step; "none"/"last" as named."""

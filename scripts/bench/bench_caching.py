@@ -62,8 +62,16 @@ def main():
             cross_attn_type="flash_attn3", feature_caching=mode, caching_config=cfg,
         )
 
+        # host-stepped loop: one device execution PER STEP. A whole-run
+        # scan is a single ~160 s device call at 50 steps, which exceeds
+        # the axon tunnel's per-execute deadline (observed ABORTED/worker
+        # crash); per-step dispatch overhead is ~25 ms against ~3 s steps.
+        step_fn = jax.jit(denoise.one_step)
+
         def once():
-            st = denoise(params, state0, ctx, ctx_null)
+            st, cache = state0, denoise.init_cache()
+            for _ in range(steps):
+                st, cache = step_fn(params, st, cache, ctx, ctx_null, None, None)
             return float(jnp.sum(st["latents"].astype(jnp.float32)))
 
         t0 = time.perf_counter()

