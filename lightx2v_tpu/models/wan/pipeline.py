@@ -35,9 +35,15 @@ from .sharded import make_sharded_transformer
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
-def rope_for_shape(arch: WanArch, target_shape, sp_pad: int = 1):
+def rope_for_shape(arch: WanArch, target_shape, sp_pad: int = 1, to_jax: bool = True):
     """Host-precomputed RoPE grids for a latent shape (C, F, H, W).
-    Pads the token count to a multiple of ``sp_pad`` (sequence parallel)."""
+    Pads the token count to a multiple of ``sp_pad`` (sequence parallel).
+
+    ``to_jax=False`` keeps numpy: closures that are traced into jitted
+    fns must hold HOST arrays — a closed-over device array is hoisted as
+    a program constant via a device->host fetch at trace time, which is
+    both slow through a tunneled chip and what RESOURCE_EXHAUSTED'd the
+    host-stepped bench (numpy embeds directly)."""
     _, f, h, w = target_shape
     pt, ph, pw = arch.patch_size
     gf, gh, gw = f // pt, h // ph, w // pw
@@ -47,6 +53,8 @@ def rope_for_shape(arch: WanArch, target_shape, sp_pad: int = 1):
     if pad:
         cos = np.concatenate([cos, np.ones((pad, cos.shape[1]), cos.dtype)])
         sin = np.concatenate([sin, np.zeros((pad, sin.shape[1]), sin.dtype)])
+    if not to_jax:
+        return cos, sin, s + pad
     return jnp.asarray(cos), jnp.asarray(sin), s + pad
 
 
@@ -71,7 +79,10 @@ def make_denoise_fn(
     """Build a jitted fn(params, state, context, context_null, y, clip_fea)
     -> final scheduler state, running all ``scheduler.num_steps()`` steps
     on device."""
-    rope_cos, rope_sin, seq_len = rope_for_shape(arch, target_shape, sp_pad=sp_size)
+    # host numpy on purpose: these are CLOSURES of the jitted step/denoise
+    # fns (see rope_for_shape's to_jax note)
+    rope_cos, rope_sin, seq_len = rope_for_shape(arch, target_shape, sp_pad=sp_size,
+                                                 to_jax=False)
     batch = 2 if enable_cfg else 1
 
     tea_cfg: Optional[TeaCacheConfig] = None

@@ -310,6 +310,17 @@ def test_audio_multisegment_pipeline(tmp_path):
     assert frames.shape[0] >= 13
     assert np.isfinite(frames).all()
     assert (tmp_path / "long.mp4").is_file()
-    assert (tmp_path / "long.mp4.wav").is_file()
-    with wave.open(str(tmp_path / "long.mp4.wav"), "rb") as w:
-        assert w.getnframes() > 8000  # ~>0.5s of merged audio
+    # a/v muxed into one RIFF-AVI container (utils/media.mux_avi_pcm)
+    raw = (tmp_path / "long.avi").read_bytes()
+    assert raw[:4] == b"RIFF" and raw[8:12] == b"AVI " and b"01wb" in raw
+    # merged audio length: walk the 01wb chunks (~>0.5s of PCM16)
+    import struct
+
+    movi, end = raw.index(b"movi") + 4, raw.index(b"idx1")
+    audio_bytes, i = 0, raw.index(b"movi") + 4
+    while i < end - 8:
+        cc, size = raw[i:i + 4], struct.unpack("<I", raw[i + 4:i + 8])[0]
+        if cc == b"01wb":
+            audio_bytes += size
+        i += 8 + size + (size & 1)
+    assert audio_bytes // 2 > 8000
