@@ -121,6 +121,15 @@ def mm_ffn(mm_fn, p0: Dict, p2: Dict, x: jnp.ndarray) -> jnp.ndarray:
                             p2["w"], p2["w_scale"], p2.get("b"), kind=kind)
         except Exception as e:
             kernel_fallback("ffn_w8a8", e)
+    if (mm_fn is _mm_int4_a8 and jax.default_backend() == "tpu"
+            and p0["w_scale"].ndim == 2 and min(n, k) >= 2048):
+        try:
+            from .pallas.w8a8_matmul import ffn_w4a8
+
+            return ffn_w4a8(x, p0["w"], p0["w_scale"], p0.get("b"),
+                            p2["w"], p2["w_scale"], p2.get("b"))
+        except Exception as e:
+            kernel_fallback("ffn_w4a8", e)
     h = mm_gelu(mm_fn, p0, x)
     return mm_fn(p2, h)
 

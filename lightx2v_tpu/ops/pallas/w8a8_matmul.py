@@ -279,6 +279,139 @@ def ffn_w8a8(
     return out.reshape(*lead, N)
 
 
+def _unpack_nibbles(wp_i32, axis: int = 1):
+    """(rows, cols) uint8-widened-to-i32 -> (rows, 2*cols) int8 along axis.
+    Packing layout per group: low nibbles = first half, high = second
+    (int4_matmul.quantize_int4)."""
+    lo = (wp_i32 & 15) - 8
+    hi = (wp_i32 >> 4) - 8
+    return jnp.concatenate([lo, hi], axis=axis).astype(jnp.int8)
+
+
+def _ffn_w4a8_kernel(x_ref, w0_ref, s0_ref, b0_ref, w2_ref, s2_ref, b2_ref,
+                     o_ref, acc_ref, xq_ref, xs_ref, *, nh, g0, group, out_dtype):
+    """Whole FFN with int4 (nibble-packed) weights on the int8 MXU.
+
+    Same structure as _ffn_w8a8_kernel, but both GEMMs unpack nibbles
+    in-kernel and the FIRST GEMM contracts full K as a sum of g0
+    per-group partials, each rescaled by its per-(token, group) act scale
+    and per-(channel, group) weight scale — a single output-side rescale
+    would be wrong because int4 scales vary along the contraction.
+    The k-block of the second GEMM equals the quant group, so its scale
+    column applies exactly per grid step (as in _w4a8_kernel)."""
+    hb = pl.program_id(2)
+
+    @pl.when(hb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        x = x_ref[0].astype(jnp.float32).reshape(x_ref.shape[1], g0, group)
+        absmax = jnp.max(jnp.abs(x), axis=2, keepdims=True)  # (bm, g0, 1)
+        s = jnp.maximum(absmax, 1e-8) * (1.0 / 127.0)
+        q = jnp.clip(jnp.round(x / s), -127, 127)
+        xq_ref[:] = q.reshape(xq_ref.shape).astype(jnp.int8)
+        # full-width store (partial lane stores don't lower reliably)
+        pad_w = xs_ref.shape[1] - g0
+        xs_ref[:] = jnp.concatenate(
+            [s[:, :, 0], jnp.zeros((s.shape[0], pad_w), jnp.float32)], axis=1)
+
+    # ---- GEMM 1: h_blk = sum_g (xq_g @ w0_g^T) * xs_g * w0s_g ----
+    h = jnp.zeros((xq_ref.shape[0], w0_ref.shape[0]), jnp.float32)
+    for g in range(g0):
+        wp = w0_ref[:, g * (group // 2):(g + 1) * (group // 2)].astype(jnp.int32)
+        w8 = _unpack_nibbles(wp)  # (bh, group)
+        part = jax.lax.dot_general(
+            xq_ref[:, g * group:(g + 1) * group], w8, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        h = h + part * xs_ref[:, g:g + 1] * s0_ref[0][:, g][None, :]
+    h = h + b0_ref[...].astype(jnp.float32)
+    h = 0.5 * h * (1.0 + jnp.tanh(0.7978845608028654 * (h + 0.044715 * h * h * h)))
+
+    # ---- requantize + GEMM 2 over this h-group ----
+    habs = jnp.max(jnp.abs(h), axis=1, keepdims=True)
+    hs = jnp.maximum(habs, 1e-8) * (1.0 / 127.0)
+    hq = jnp.clip(jnp.round(h / hs), -127, 127).astype(jnp.int8)
+    w2 = _unpack_nibbles(w2_ref[...].astype(jnp.int32))  # (N, bh)
+    p = jax.lax.dot_general(hq, w2, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32).astype(jnp.float32)
+    acc_ref[:] += p * hs * s2_ref[0]
+
+    @pl.when(hb == nh - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] + b2_ref[...].astype(jnp.float32)).astype(out_dtype)
+
+
+def ffn_w4a8(
+    x: jnp.ndarray,
+    w0: jnp.ndarray,
+    w0_scale: jnp.ndarray,
+    b0: Optional[jnp.ndarray],
+    w2: jnp.ndarray,
+    w2_scale: jnp.ndarray,
+    b2: Optional[jnp.ndarray],
+    bm: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused FFN for int4 checkpoints: x (..., K) -> (..., N).
+
+    w0 (H, K//2) / w2 (N, H//2) nibble-packed uint8 with per-(channel,
+    group) scales (H, K//group) / (N, H//group); the hidden block size is
+    w2's quant group. Activations int8-quantize per-(token, group)
+    in-kernel (the w4a8 contract, ops/linear._mm_int4_a8)."""
+    *lead, K = x.shape
+    H = w0.shape[0]
+    N = w2.shape[0]
+    g0 = w0_scale.shape[1]
+    group = K // g0
+    bh = H // w2_scale.shape[1]  # w2 quant group == hidden block
+    out_dtype = x.dtype
+    if len(lead) == 1:
+        B, S = 1, lead[0]
+        x3 = x[None]
+    else:
+        B, S = int(math.prod(lead[:-1])), lead[-1]
+        x3 = x.reshape(B, S, K)
+    if K % group or H % bh or g0 > 128:
+        raise ValueError(f"ffn_w4a8 shape mismatch K={K} H={H} group={group} bh={bh}")
+    bm = min(bm, max(8, 1 << (S - 1).bit_length()))
+    b0a = (b0 if b0 is not None else jnp.zeros((H,), jnp.float32)).astype(jnp.float32)
+    b2a = (b2 if b2 is not None else jnp.zeros((N,), jnp.float32)).astype(jnp.float32)
+
+    grid = (B, -(-S // bm), H // bh)
+    out = pl.pallas_call(
+        functools.partial(_ffn_w4a8_kernel, nh=grid[2], g0=g0, group=group,
+                          out_dtype=out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bm, K), lambda bb, i, hb: (bb, i, 0)),
+            pl.BlockSpec((bh, K // 2), lambda bb, i, hb: (hb, 0)),
+            pl.BlockSpec((1, bh, g0), lambda bb, i, hb: (0, hb, 0)),
+            pl.BlockSpec((1, bh), lambda bb, i, hb: (0, hb)),
+            pl.BlockSpec((N, bh // 2), lambda bb, i, hb: (0, hb)),
+            pl.BlockSpec((1, 1, N), lambda bb, i, hb: (hb, 0, 0)),
+            pl.BlockSpec((1, N), lambda bb, i, hb: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bm, N), lambda bb, i, hb: (bb, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, S, N), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm, N), jnp.float32),
+            pltpu.VMEM((bm, K), jnp.int8),
+            pltpu.VMEM((bm, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * S * H * (K + N),
+            bytes_accessed=2 * B * S * K + (H * K + N * H) // 2 + 2 * B * S * N,
+            transcendentals=B * S * H,
+        ),
+        interpret=interpret,
+    )(x3, w0, w0_scale.reshape(1, H, g0).astype(jnp.float32), b0a.reshape(1, -1),
+      w2, w2_scale.T.reshape(-1, 1, N).astype(jnp.float32), b2a.reshape(1, -1))
+    return out.reshape(*lead, N)
+
+
 def _w4a8_kernel(x_ref, w_ref, ws_ref, b_ref, o_ref, acc_ref, *, nk, half, out_dtype, act=None):
     """int4-weight x int8-activation: nibbles unpack to int8 IN-KERNEL and
     the dot runs on the int8 MXU path (2x bf16 throughput) — the

@@ -234,3 +234,62 @@ def test_w4a8_alias_resolves():
     ref = np.asarray(x, np.float32) @ wf.T
     c = np.corrcoef(np.asarray(out, np.float32).ravel(), ref.ravel())[0, 1]
     assert out.shape == (16, 128) and c > 0.99
+
+
+def test_fused_ffn_w4a8_matches_two_call_path():
+    """ffn_w4a8 (one kernel, int4 weights) vs w4a8_matmul(act=gelu) ->
+    w4a8_matmul: same quantization classes, agreement to act-quant noise."""
+    from lightx2v_tpu.ops.pallas.int4_matmul import quantize_int4
+    from lightx2v_tpu.ops.pallas.w8a8_matmul import ffn_w4a8, w4a8_matmul
+
+    rng = np.random.default_rng(61)
+    m, k, h_dim, n, group = 96, 512, 768, 512, 256
+    x = jnp.asarray(rng.standard_normal((m, k)) * 0.5, jnp.bfloat16)
+    w0f = rng.standard_normal((h_dim, k)).astype(np.float32) * 0.05
+    w2f = rng.standard_normal((n, h_dim)).astype(np.float32) * 0.05
+    p0, s0 = quantize_int4(w0f, bk=group)
+    p2, s2 = quantize_int4(w2f, bk=group)
+    b0 = rng.standard_normal(h_dim).astype(np.float32) * 0.1
+    b2 = rng.standard_normal(n).astype(np.float32) * 0.1
+
+    mid = w4a8_matmul(x, jnp.asarray(p0), jnp.asarray(s0), jnp.asarray(b0),
+                      bm=128, act="gelu", interpret=True)
+    ref = np.asarray(w4a8_matmul(mid, jnp.asarray(p2), jnp.asarray(s2),
+                                 jnp.asarray(b2), bm=128, interpret=True), np.float32)
+    out = np.asarray(ffn_w4a8(x, jnp.asarray(p0), jnp.asarray(s0), jnp.asarray(b0),
+                              jnp.asarray(p2), jnp.asarray(s2), jnp.asarray(b2),
+                              bm=128, interpret=True), np.float32)
+    rel = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-9)
+    assert out.shape == (m, n) and rel < 2e-2, f"rel err {rel}"
+
+
+def test_fused_ffn_w4a8_float_oracle():
+    """ffn_w4a8 vs a full-precision numpy FFN on the dequantized weights."""
+    import jax
+
+    from lightx2v_tpu.ops.pallas.int4_matmul import quantize_int4
+    from lightx2v_tpu.ops.pallas.w8a8_matmul import ffn_w4a8
+
+    rng = np.random.default_rng(67)
+    m, k, h_dim, n, group = 64, 256, 512, 256, 128
+    x = jnp.asarray(rng.standard_normal((m, k)) * 0.5, jnp.bfloat16)
+    w0f = rng.standard_normal((h_dim, k)).astype(np.float32) * 0.05
+    w2f = rng.standard_normal((n, h_dim)).astype(np.float32) * 0.05
+    p0, s0 = quantize_int4(w0f, bk=group)
+    p2, s2 = quantize_int4(w2f, bk=group)
+
+    def dq(packed, scale, cols):
+        lo = (packed & 15).astype(np.int8) - 8
+        hi = (packed >> 4).astype(np.int8) - 8
+        g = scale.shape[1]
+        wq = np.concatenate([lo.reshape(packed.shape[0], g, -1),
+                             hi.reshape(packed.shape[0], g, -1)], axis=2)
+        return (wq * scale[:, :, None]).reshape(packed.shape[0], cols)
+
+    hmid = jax.nn.gelu(np.asarray(x, np.float32) @ dq(p0, s0, k).T, approximate=True)
+    ref = np.asarray(hmid) @ dq(p2, s2, h_dim).T
+    out = np.asarray(ffn_w4a8(x, jnp.asarray(p0), jnp.asarray(s0), None,
+                              jnp.asarray(p2), jnp.asarray(s2), None,
+                              bm=64, interpret=True), np.float32)
+    rel = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-9)
+    assert rel < 2e-2, f"rel err {rel}"
