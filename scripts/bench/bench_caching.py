@@ -47,17 +47,76 @@ def main():
     ctx = jnp.asarray(rng.standard_normal((1, arch.text_len, arch.text_dim)) * 0.1, jnp.bfloat16)
     ctx_null = jnp.asarray(rng.standard_normal((1, arch.text_len, arch.text_dim)) * 0.1, jnp.bfloat16)
 
+    def calibrate_tea_thresh(sched_steps, target_calc_frac=None):
+        """Pick a thresh whose calc fraction matches the reference's
+        operating point (~1/3 of steps compute at thresh 0.26 on the real
+        checkpoint, cache_source.md). The decision input is the TIMESTEP
+        embedding only, so the whole 50-step decision series simulates on
+        host from 50 tiny embed fetches — synthetic weights shift the
+        embedding scale the published polynomial was fit on, which is why
+        a fixed 0.26 never skips here."""
+        from lightx2v_tpu.caching.teacache import TeaCacheConfig
+        from lightx2v_tpu.models.wan.model import time_embeddings
+
+        frac = target_calc_frac or float(os.environ.get("BENCH_TEA_CALC_FRAC", 0.36))
+        cfg0 = ConfigDict(infer_steps=steps, sample_shift=5.0)
+        sched0 = WanUniPCScheduler(cfg0)
+        sched0.prepare(target, seed=42)
+        # one jitted call for the whole series (eager per-step ops would be
+        # 50 compile RPCs through the tunnel)
+        ts = jnp.asarray(np.asarray(sched0.timesteps, np.float32))
+        e_all, e0_all = jax.jit(lambda tt: time_embeddings(params, tt, arch, None))(ts)
+        e_all = np.asarray(e_all, np.float32)    # (steps, D)
+        # numpy mirror of tea_decide (caching/teacache.py:67-86) — the
+        # decision is deterministic in the embed series, so the whole
+        # thresh sweep runs on host with zero device round-trips
+        coeffs = np.asarray(TeaCacheConfig().coefficients, np.float32)
+        prev = np.zeros_like(e_all[0])
+        rescaled = np.empty(steps, np.float32)
+        for i in range(steps):
+            rel = np.abs(e_all[i] - prev).mean() / max(np.abs(prev).mean(), 1e-8)
+            rescaled[i] = np.polyval(coeffs, rel)
+            prev = e_all[i]
+        best, best_d, best_calc = 0.26, 1e9, steps
+        for thresh in np.geomspace(1e-3, 1e4, 120):
+            accum, calc = 0.0, 0
+            for i in range(steps):
+                accum += rescaled[i]
+                should = (i < 1) or (i >= steps - 1) or (accum >= thresh)
+                if should:
+                    accum = 0.0
+                    calc += 1
+            d = abs(calc / steps - frac)
+            if d < best_d:
+                best, best_d, best_calc = float(thresh), d, calc
+        print(json.dumps({"tea_calibration": {"thresh": best, "calc_steps": best_calc,
+                                              "of": steps, "target_frac": frac}}), flush=True)
+        return best
+
     modes = sys.argv[1:] or ["NoCaching", "Tea", "TaylorSeer", "Ada", "Custom"]
-    base_s = None
+    baselines = {}
     results = {}
+    tea_thresh = None
     for mode in modes:
+        shape = target
+        label = mode
+        if mode in ("TaylorSeer", "Custom"):
+            # per-module value+derivative caches are O(L * 3 * B * S * D)
+            # — ~16+ GB at 1.3B/480P/CFG, over one v5e's 15.75 GB HBM (the
+            # reference measures these on an 80 GB H200). Measure the
+            # mechanism at quarter tokens, labeled as such.
+            shape = (target[0], target[1], target[2] // 2, target[3] // 2)
+            label = f"{mode}@quarter-tokens"
+        if mode in ("Tea", "Custom") and tea_thresh is None:
+            env = os.environ.get("BENCH_TEA_THRESH")
+            tea_thresh = float(env) if env else calibrate_tea_thresh(steps)
         cfg = ConfigDict(infer_steps=steps, sample_shift=5.0,
-                         teacache_thresh=float(os.environ.get("BENCH_TEA_THRESH", 0.26)),
+                         teacache_thresh=tea_thresh or 0.26,
                          use_ret_steps=False)
         sched = WanUniPCScheduler(cfg)
-        state0 = sched.prepare(target, seed=42)
+        state0 = sched.prepare(shape, seed=42)
         denoise = make_denoise_fn(
-            arch, sched, target, enable_cfg=True, guide_scale=5.0,
+            arch, sched, shape, enable_cfg=True, guide_scale=5.0,
             mm_type="Default", self_attn_type="flash_attn3",
             cross_attn_type="flash_attn3", feature_caching=mode, caching_config=cfg,
         )
@@ -84,13 +143,32 @@ def main():
             times.append(time.perf_counter() - t0)
         sec = float(np.median(times))
         if mode == "NoCaching":
-            base_s = sec
-        results[mode] = sec
+            baselines[shape] = sec
+        if shape not in baselines:
+            # reduced-shape mode: time its own NoCaching baseline so the
+            # speedup compares like against like
+            nb = make_denoise_fn(arch, sched, shape, enable_cfg=True, guide_scale=5.0,
+                                 mm_type="Default", self_attn_type="flash_attn3",
+                                 cross_attn_type="flash_attn3")
+            nb_step = jax.jit(nb.one_step)
+
+            def nb_once():
+                st, cache = state0, nb.init_cache()
+                for _ in range(steps):
+                    st, cache = nb_step(params, st, cache, ctx, ctx_null, None, None)
+                return float(jnp.sum(st["latents"].astype(jnp.float32)))
+
+            nb_once()
+            t0 = time.perf_counter()
+            nb_once()
+            baselines[shape] = time.perf_counter() - t0
+        base = baselines.get(shape)
+        results[label] = sec
         print(json.dumps({
-            "mode": mode, "seconds": round(sec, 2),
+            "mode": label, "seconds": round(sec, 2),
             "compile_s": round(compile_s, 1),
-            "speedup_vs_nocache": round(base_s / sec, 3) if base_s else None,
-            "steps": steps, "shape": target,
+            "speedup_vs_nocache": round(base / sec, 3) if base else None,
+            "steps": steps, "shape": shape,
         }), flush=True)
 
 
