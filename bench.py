@@ -86,7 +86,19 @@ def main():
     attn = os.environ.get("BENCH_ATTN", "flash_attn3")
     mm_env = os.environ.get("BENCH_MM", "Default")
     low = mm_env.lower()
-    alias = next((s for s in ("fp8_block128", "int4a8", "int8", "fp8", "int4") if s in low), "bf16")
+    # order matters: full registry aliases contain multiple substrings
+    # (the w4a8 alias has both "int4" and "int8"; block-128 aliases say
+    # "block128" with a hyphen, never the literal "fp8_block128")
+    if "block128" in low or "fp8_block128" in low:
+        alias = "fp8_block128"
+    elif "int4" in low:
+        alias = "int4a8" if ("a8" in low or "int8" in low) else "int4"
+    elif "int8" in low:
+        alias = "int8"
+    elif "fp8" in low:
+        alias = "fp8"
+    else:
+        alias = "bf16"
     scheme = "int4" if alias == "int4a8" else alias  # same packed-int4 ckpt
     mm_type = MM_ALIAS.get(alias, mm_env)
     if alias == "bf16":

@@ -187,14 +187,28 @@ def _mm_fp8_block128(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
         return _mm_fp8(params, x)
     w = params["w"]  # (out, in) fp8
     out_f, in_f = w.shape
-    group = in_f // ws.shape[1]
-    q, x_scale = quantize_per_token_group_fp8(x, group)  # (..., in), (..., G)
-    g = in_f // group
-    if ws.shape[0] == out_f:  # mx layout: per-(channel, k-group) scales
+    if ws.shape[0] == out_f:
+        # mx layout: per-(channel, k-group) scales; converter asserts
+        # in % group == 0, so the division is exact
+        group = in_f // ws.shape[1]
         ws_full = ws.astype(jnp.float32)  # (out, G)
     else:
-        # Deepgemm layout: 128-row blocks -> expand to per-(out, group)
+        # Deepgemm layout: the group is 128 BY DEFINITION (the converter
+        # quantizes on 128-column boundaries then truncates the pad, so
+        # inferring group = in // n_cols is wrong whenever in % 128 != 0
+        # — e.g. in=200 would rescale columns 100..127 with block 0's
+        # scales). Zero-pad x and w to the block grid instead: zero
+        # columns contribute nothing to the dot.
+        group = 128
+        pad = (-in_f) % group
+        if pad:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+            w = jnp.pad(w, ((0, 0), (0, pad)))
+            in_f += pad
+        # 128-row blocks -> expand to per-(out, group)
         ws_full = jnp.repeat(ws.astype(jnp.float32), 128, axis=0)[:out_f]  # (out, G)
+    q, x_scale = quantize_per_token_group_fp8(x, group)  # (..., in), (..., G)
+    g = in_f // group
 
     # scan over k-groups with the group axis leading (no dynamic gathers)
     qg = jnp.moveaxis(q.reshape(*q.shape[:-1], g, group), -2, 0)  # (g, ..., group)

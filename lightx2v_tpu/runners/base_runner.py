@@ -49,6 +49,16 @@ class BaseRunner:
     def set_inputs(self, inputs: Dict[str, Any]):
         """Accept a task dict (prompt, negative_prompt, image_path, seed...)
         — the server feeds tasks through here (reference default_runner)."""
+        req_mm = inputs.pop("mm_type", None)
+        loaded = getattr(self, "mm_type", None)
+        if req_mm and loaded and req_mm != loaded:
+            # quantization is a LOAD-time property (weights are quantized
+            # when the runner starts); silently accepting a different
+            # mm_type per task would generate under the wrong scheme
+            raise ValueError(
+                f"task requested mm_type {req_mm!r} but the server loaded "
+                f"{loaded!r}; relaunch with that mm_config/quantized ckpt "
+                "(per-task quantization switching is not supported)")
         self.config.update({k: v for k, v in inputs.items() if v is not None})
 
 

@@ -82,6 +82,18 @@ class WanRunner(DefaultRunner):
             from ..models.wan.lazy_offload import LazyBlockStore, is_blocks_layout
 
             if is_blocks_layout(lazy_path):
+                if self.arch.rope_fused:
+                    # the fused-rope kernel needs half-split-permuted q/k
+                    # weights (permute_qk_half), which the per-block lazy
+                    # reader doesn't apply — running fused rope on
+                    # unpermuted weights silently corrupts every frame.
+                    # Fall back to the XLA rope pass (~3% slower; this is
+                    # the memory-constrained tier anyway).
+                    import dataclasses
+
+                    logger.warning("lazy_load blocks layout: disabling rope_fused "
+                                   "(per-block streaming does not permute q/k)")
+                    self.arch = dataclasses.replace(self.arch, rope_fused=False)
                 # disk tier: only pre/post weights go resident; blocks
                 # stream from their per-block files at denoise time
                 self._lazy_store = LazyBlockStore(lazy_path, self.arch)
@@ -258,6 +270,15 @@ class WanRunner(DefaultRunner):
                 or self.config.get("lazy_load"):
             # reference parity: cpu_offload selects the block-offload path,
             # lazy_load adds the disk tier (set_config.py defaults)
+            dropped = [k for k, v in (("feature_caching", self.config.get("feature_caching")),
+                                      ("mesh_shape", self.config.get("mesh_shape")),
+                                      ("sparge", self.config.get("sparge"))) if v and v != "NoCaching"]
+            if dropped:
+                # the reference combines offload with these freely; the
+                # streamed loop here does not implement them yet — say so
+                # instead of silently running without
+                logger.warning(f"streamed (offload) path ignores {dropped} — "
+                               "these features currently require the resident path")
             return self._run_dit_streamed(encoder_out)
         target_shape = self.set_target_shape()
         scheduler = self.init_scheduler()

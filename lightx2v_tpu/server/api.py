@@ -111,9 +111,18 @@ def make_handler(service: VideoGenerationService, output_root: str = "."):
                     return self._json(404, {"detail": "task not found"})
                 if rec.status != "completed":
                     return self._json(400, {"detail": f"task status: {rec.status}"})
+                # download_path: relative to output_root, usable directly
+                # in /v1/files/download/ (basename alone breaks for save
+                # paths in subdirectories of the output root)
+                try:
+                    dl = os.path.relpath(rec.request.save_video_path,
+                                         os.path.abspath(output_root))
+                except ValueError:  # different drive (win)
+                    dl = os.path.basename(rec.request.save_video_path)
                 return self._json(200, {
                     "task_id": m.group(1), "status": rec.status,
                     "save_video_path": rec.request.save_video_path,
+                    "download_path": dl,
                 })
             m = re.match(r"^/v1/files/download/(.+)$", self.path)
             if m:

@@ -132,6 +132,16 @@ def service_metadata(server_config: Dict[str, Any] = None) -> Dict[str, Any]:
     if server_config:
         meta["model_cls"] = server_config.get("model_cls")
         meta["task"] = server_config.get("task", "t2v")
+        # the scheme the server LOADED with (quantization is a load-time
+        # property; the UI shows this as the active selection)
+        mm = (server_config.get("mm_config") or {}).get("mm_type", "Default")
+        meta["active_quant_scheme"] = (
+            "bf16" if mm in ("Default", "Default-Force-FP32") else
+            "fp8_block128" if "block128" in mm else
+            "int4" if "int4" in mm and "int8" not in mm else
+            "int4" if "int4" in mm else
+            "int8" if "int8" in mm else
+            "fp8" if "fp8" in mm else "bf16")
         meta["defaults"] = {
             "infer_steps": server_config.get("infer_steps"),
             "seed": server_config.get("seed", 42),

@@ -77,7 +77,7 @@ WEB_UI_HTML = """<!doctype html>
   <div id="ops"></div>
   <div class="row">
     <div><label>Attention kernel</label><select id="attn"></select></div>
-    <div><label>DiT quantization</label><select id="quant"></select></div>
+    <div><label>DiT quantization (load-time; changing it requires a relaunch)</label><select id="quant"></select></div>
   </div>
   <div>
     <label class="chk"><input type="checkbox" id="teacache"> TeaCache</label>
@@ -128,6 +128,7 @@ async function loadMeta() {
   attn.innerHTML = (META.attention_ops || []).map(([n]) => `<option>${n}</option>`).join('');
   const quant = document.getElementById('quant');
   quant.innerHTML = (META.quant_schemes || []).map(([n]) => `<option>${n}</option>`).join('');
+  if (META.active_quant_scheme) quant.value = META.active_quant_scheme;
   const def = META.defaults || {};
   if (def.seed != null) document.getElementById('seed').value = def.seed;
   if (def.infer_steps != null) document.getElementById('steps').placeholder = def.infer_steps;
@@ -172,7 +173,12 @@ async function submitTask() {
     const options = {
       attention_type: document.getElementById('attn').value || undefined,
       self_attn_1_type: document.getElementById('attn').value || undefined,
-      mm_type: QUANT_MM[document.getElementById('quant').value],
+      // quantization is a load-time property: send mm_type only when
+      // the user picked a scheme other than the server's active one —
+      // the server rejects the task with a clear message rather than
+      // silently generating under the loaded scheme
+      mm_type: (document.getElementById('quant').value !== (META && META.active_quant_scheme)) ?
+        QUANT_MM[document.getElementById('quant').value] : undefined,
       feature_caching: document.getElementById('teacache').checked ? 'Tea' : undefined,
       teacache_thresh: parseFloat(document.getElementById('teathresh').value),
       tiny_vae: document.getElementById('tinyvae').checked || undefined,
@@ -214,9 +220,11 @@ async function submitTask() {
     }
     if (st.status === 'failed') throw new Error(st.error || 'generation failed');
     const out = await (await fetch('/v1/tasks/' + task.task_id + '/result')).json();
-    const parts = out.save_video_path.split('/');
+    // download_path is relative to the server's output root (keeps
+    // subdirectories; a bare basename 404s for nested save paths)
+    const rel = out.download_path || out.save_video_path.split('/').pop();
     result.innerHTML = '<video controls autoplay loop src="/v1/files/download/' +
-      encodeURIComponent(parts[parts.length - 1]) + '"></video>';
+      rel.split('/').map(encodeURIComponent).join('/') + '"></video>';
   } catch (e) {
     status.textContent = 'error: ' + e.message;
   } finally {

@@ -30,7 +30,9 @@ def device_randn_like(tree: Any, seed: int = 0) -> Any:
     for leaf in leaves:
         if is_arr(leaf):
             a = np.asarray(leaf, np.float32)
-            stats.append((float(a.mean()), float(a.std()) or 1.0))
+            # std 0 stays 0: a constant leaf (norm gamma, zero bias) must
+            # come back constant at its mean, not as N(mean, 1) noise
+            stats.append((float(a.mean()), float(a.std())))
         else:
             stats.append(None)
 

@@ -150,3 +150,28 @@ class TestSmoothQuantProduction:
         assert os.path.isfile(tmp_path / "stats.npz")
         with np.load(tmp_path / "stats.npz") as z:
             assert any(k.endswith("self_attn.q") for k in z.files)
+
+
+def test_fp8_block128_non_multiple_in_features():
+    """Deepgemm block-128 with in_features % 128 != 0: the group is 128 by
+    definition (converter truncates the pad), so inferring it from the
+    scale column count (200 // 2 = 100) would rescale columns 100..127
+    with the wrong block's scales."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lightx2v_tpu.ops.linear import resolve_mm
+    from lightx2v_tpu.tools.convert import quantize_tensor
+
+    rng = np.random.default_rng(71)
+    o, i = 64, 200
+    w = (rng.standard_normal((o, i)) * 0.05).astype(np.float32)
+    q, s = quantize_tensor(w, "fp8_block128")
+    assert q.shape == (o, i) and s.shape == (1, 2)
+    x = jnp.asarray(rng.standard_normal((16, i)) * 0.5, jnp.bfloat16)
+    fn = resolve_mm("W-fp8-block128-sym-A-fp8-channel-group128-sym-dynamic-Tpu")
+    out = np.asarray(fn({"w": jnp.asarray(q), "w_scale": jnp.asarray(s), "b": None}, x),
+                     np.float32)
+    ref = np.asarray(x, np.float32) @ w.T
+    rel = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-9)
+    assert rel < 5e-2, f"rel err {rel}"
