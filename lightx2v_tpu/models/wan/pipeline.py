@@ -106,8 +106,17 @@ def make_denoise_fn(
 
     sharded_tf = None
     if mesh is not None:
+        # unpadded token count: when sp padding exists, the pad tokens'
+        # K rows are nonzero (modulation shifts) and must be masked out of
+        # every distributed attention path, as the single-device forward
+        # does via kv_len (model.py wan_forward)
+        _, f_, h_, w_ = target_shape
+        pt_, ph_, pw_ = arch.patch_size
+        s_tokens = (f_ // pt_) * (h_ // ph_) * (w_ // pw_)
+        kv_tokens = s_tokens if seq_len > s_tokens else None
         sharded_tf = make_sharded_transformer(mesh, arch, mm_type, self_attn_type,
-                                              cross_attn_type, parallel_attn_type or "ulysses")
+                                              cross_attn_type, parallel_attn_type or "ulysses",
+                                              kv_tokens=kv_tokens)
 
     def transformer(params, x, embed0, ctx, ctx_img):
         if sharded_tf is not None:

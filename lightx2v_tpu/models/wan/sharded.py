@@ -39,6 +39,12 @@ from .config import WanArch
 from .model import wan_block, wan_forward
 
 
+def _ring_pad(kv_tokens: int, sp: int, local_chunk: int) -> int:
+    """Pad rows at the global tail: sp*chunk padded length minus the true
+    token count (0 when the sequence divides sp)."""
+    return max(sp * local_chunk - kv_tokens, 0)
+
+
 def make_sharded_transformer(
     mesh: Mesh,
     arch: WanArch,
@@ -46,6 +52,7 @@ def make_sharded_transformer(
     self_attn_type: str = "flash_attn3",
     cross_attn_type: str = "flash_attn3",
     parallel_attn_type: str = "ulysses",
+    kv_tokens: Optional[int] = None,
 ):
     """Returns transformer_fn(blocks, x, embed0, context, context_img) with
     x sharded (dp, sp) — pluggable into wan_forward(transformer_fn=...).
@@ -69,13 +76,19 @@ def make_sharded_transformer(
         raise ValueError(f"unsupported parallel_attn_type: {parallel_attn_type}")
 
     def transformer(blocks, x, embed0, context, context_img, cos, sin):
+        # kv_tokens masks the sequence-parallel pad tail (nonzero k rows —
+        # zero embeddings pick up modulation shifts), matching the
+        # single-device forward's kv_len masking. None when S divides sp.
         if sp > 1:
             if parallel_attn_type == "ring":
-                sp_attn = lambda q, k, v: ring_attention(q, k, v, axis="sp")
+                sp_attn = lambda q, k, v: ring_attention(
+                    q, k, v, axis="sp",
+                    pad_tail=0 if kv_tokens is None else _ring_pad(kv_tokens, sp, k.shape[1]))
             else:
-                sp_attn = lambda q, k, v: ulysses_attention(dense_self, q, k, v, axis="sp")
+                sp_attn = lambda q, k, v: ulysses_attention(dense_self, q, k, v, axis="sp",
+                                                            kv_len=kv_tokens)
         else:
-            sp_attn = dense_self
+            sp_attn = partial(dense_self, kv_len=kv_tokens) if kv_tokens is not None else dense_self
 
         def self_fn(q, k, v, rope_cos=None, rope_sin=None):
             if rope_cos is not None:  # arch.rope_fused: q/k arrive un-rotated
@@ -144,8 +157,12 @@ def wan_forward_sharded(
     sp = mesh_axis_size(mesh, "sp")
     assert arch.num_heads % sp == 0, f"heads {arch.num_heads} % sp {sp} != 0"
 
+    pt, ph, pw = arch.patch_size
+    s_tokens = (latents.shape[2] // pt) * (latents.shape[3] // ph) * (latents.shape[4] // pw)
+    kv_tokens = s_tokens if (seq_len is not None and seq_len > s_tokens) else None
     sharded_tf = make_sharded_transformer(mesh, arch, mm_type, self_attn_type,
-                                          cross_attn_type, parallel_attn_type)
+                                          cross_attn_type, parallel_attn_type,
+                                          kv_tokens=kv_tokens)
 
     def transformer_fn(blocks, x, embed0, context, context_img):
         if context_img is None:

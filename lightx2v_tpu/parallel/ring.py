@@ -26,11 +26,15 @@ import jax.numpy as jnp
 from ..utils.kernel_dispatch import kernel_fallback
 
 
-def _partial_attn_jnp(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _partial_attn_jnp(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                      kv_len=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dense partial attention returning (out, lse). q/k/v: (B, S, N, D)."""
     d = q.shape[-1]
     logits = jnp.einsum("bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32) / jnp.sqrt(
         jnp.asarray(d, jnp.float32))
+    if kv_len is not None:
+        col = jnp.arange(k.shape[1])
+        logits = jnp.where(col[None, None, None, :] < kv_len, logits, -jnp.inf)
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
@@ -39,15 +43,15 @@ def _partial_attn_jnp(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> Tuple[j
     return out.astype(q.dtype), lse
 
 
-def partial_attention(q, k, v):
+def partial_attention(q, k, v, kv_len=None):
     if jax.default_backend() == "tpu":
         try:
             from ..ops.pallas.flash_attention import flash_attention_with_lse
 
-            return flash_attention_with_lse(q, k, v)
+            return flash_attention_with_lse(q, k, v, kv_len=kv_len)
         except Exception as e:
             kernel_fallback("flash_attention_with_lse", e)
-    return _partial_attn_jnp(q, k, v)
+    return _partial_attn_jnp(q, k, v, kv_len=kv_len)
 
 
 def merge_partials(out_a, lse_a, out_b, lse_b):
@@ -65,26 +69,42 @@ def ring_attention(
     axis: str = "sp",
     txt_k: Optional[jnp.ndarray] = None,
     txt_v: Optional[jnp.ndarray] = None,
+    pad_tail: int = 0,
 ) -> jnp.ndarray:
     """Inside shard_map: q/k/v seq-sharded (B, S/sp, N, D). Rotates K/V
     around the ring; optionally appends replicated text K/V on the final
-    step (reference :160-162)."""
+    step (reference :160-162).
+
+    ``pad_tail``: number of sequence-parallel pad tokens at the global
+    tail. They live in the LAST device's chunk, whose k rows are NOT zero
+    (the zero embeddings pick up modulation shifts), so the step holding
+    that chunk masks its tail — matching the single-device forward's
+    kv_len masking."""
     n_dev = jax.lax.axis_size(axis)
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    d_idx = jax.lax.axis_index(axis)
+    chunk = k.shape[1]
 
-    out, lse = partial_attention(q, k, v)
+    def kvlen_for(src_chunk):
+        if not pad_tail:
+            return None
+        return jnp.where(src_chunk == n_dev - 1, chunk - pad_tail, chunk)
+
+    out, lse = partial_attention(q, k, v, kv_len=kvlen_for(d_idx))
     kc, vc = k, v
 
-    def step(carry, _):
+    def step(carry, t):
         out, lse, kc, vc = carry
         kc = jax.lax.ppermute(kc, axis, perm)
         vc = jax.lax.ppermute(vc, axis, perm)
-        o2, l2 = partial_attention(q, kc, vc)
+        # after t rotations along (i -> i+1), device d holds chunk (d - t) % n
+        o2, l2 = partial_attention(q, kc, vc, kv_len=kvlen_for((d_idx - t) % n_dev))
         out, lse = merge_partials(out, lse, o2, l2)
         return (out, lse, kc, vc), None
 
     if n_dev > 1:
-        (out, lse, _, _), _ = jax.lax.scan(step, (out, lse, kc, vc), None, length=n_dev - 1)
+        (out, lse, _, _), _ = jax.lax.scan(step, (out, lse, kc, vc),
+                                           jnp.arange(1, n_dev))
 
     if txt_k is not None:
         o2, l2 = partial_attention(q, txt_k, txt_v)

@@ -37,16 +37,18 @@ def ulysses_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     axis: str = "sp",
+    kv_len=None,
 ) -> jnp.ndarray:
     """Full-sequence attention with per-device head slices.
 
     q/k/v: (B, S/sp, N, D) seq-sharded -> returns (B, S/sp, N, D).
     ``attn_fn(q, k, v)`` computes dense attention on (B, S, N/sp, D).
-    """
+    ``kv_len`` (static int) masks the global tail after the head swap —
+    the sequence-parallel pad tokens, whose k rows are not zero."""
     qh = seq2head(q, axis)
     kh = seq2head(k, axis)
     vh = seq2head(v, axis)
-    oh = attn_fn(qh, kh, vh)
+    oh = attn_fn(qh, kh, vh) if kv_len is None else attn_fn(qh, kh, vh, kv_len=kv_len)
     return head2seq(oh, axis)
 
 

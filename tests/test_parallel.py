@@ -263,3 +263,34 @@ def test_taylor_caching_with_mesh_matches_single_device():
     ref = run(None)
     got = run(build_mesh({"dp": 2, "sp": 4}))
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("algo", ["ulysses", "ring"])
+def test_sharded_forward_masks_sp_pad_tokens(algo):
+    """Tokens NOT dividing sp: the pad rows' K are nonzero (zero
+    embeddings pick up modulation shifts), so without masking the
+    sharded output diverges from single-device. With kv_tokens threaded
+    (ulysses kv_len / ring pad_tail) they must agree."""
+    arch = WanArch(dim=64, ffn_dim=96, num_heads=4, num_layers=2, in_dim=4, out_dim=4,
+                   freq_dim=32, text_len=8, text_dim=16)
+    wd = init_random_weight_dict(arch, seed=0, scale=0.05)
+    params = load_wan_params(wd, arch)
+    rng = np.random.default_rng(3)
+    B = 2
+    # grid 2x3x3 = 18 tokens; sp=4 pads to 20 -> 2 pad tokens
+    latents = jnp.asarray(rng.standard_normal((B, 4, 2, 6, 6)), jnp.float32)
+    t = jnp.asarray([500.0, 500.0], jnp.float32)
+    context = jnp.asarray(rng.standard_normal((B, 8, 16)), jnp.float32)
+    from lightx2v_tpu.models.wan.pipeline import rope_for_shape
+
+    cos, sin, seq_len = rope_for_shape(arch, (4, 2, 6, 6), sp_pad=4)
+    assert seq_len == 20  # 18 tokens padded to the sp multiple
+
+    ref = wan_forward(params, latents, t, context, cos, sin, arch,
+                      self_attn_type="xla", cross_attn_type="xla", seq_len=seq_len)
+    mesh = build_mesh({"dp": 2, "sp": 4})
+    out = wan_forward_sharded(params, latents, t, context, cos, sin, arch, mesh,
+                              self_attn_type="xla", cross_attn_type="xla",
+                              seq_len=seq_len, parallel_attn_type=algo)
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref, np.float32),
+                               rtol=0.02, atol=0.02)
