@@ -209,17 +209,35 @@ def run_e2e(arch, params, target, mm_type, attn, steps, preset="14b", scheme="bf
         init_random_vae_state_dict(vae_cfg, seed=0), vae_cfg,
         dtype=ml_dtypes.bfloat16, to_jax=False), seed=0)
 
-    # host-stepped: one device execution per denoise step + one per VAE
-    # decode — a whole-pipeline program is a single multi-10s device call,
-    # which exceeds the axon tunnel's per-execute deadline at 14B
+    # host-stepped: one device execution per denoise step + ONE jitted
+    # program for the whole VAE decode — a whole-pipeline program is a
+    # single multi-10s device call, which exceeds the axon tunnel's
+    # per-execute deadline at 14B; and an UN-jitted decode dispatches
+    # every conv as its own tunneled call (measured: 501 s e2e of which
+    # ~480 s was per-op dispatch latency). The params tree carries string
+    # layer tags which can't cross jit as arguments, so array leaves ride
+    # as args and the tags stay in the closure.
     step_fn = jax.jit(denoise.one_step)
+    flat, treedef = jax.tree_util.tree_flatten(
+        vae_params, is_leaf=lambda x: isinstance(x, str))
+    arr_idx = [i for i, l in enumerate(flat) if hasattr(l, "shape")]
+
+    @jax.jit
+    def decode(z, *arrs):
+        leaves = list(flat)
+        for i, a in zip(arr_idx, arrs):
+            leaves[i] = a
+        p = jax.tree_util.tree_unflatten(treedef, leaves)
+        return vae_decode_tiled(p, z, vae_cfg, dtype=jnp.bfloat16)
+
+    vae_arrs = [flat[i] for i in arr_idx]
 
     def once():
         st, cache = state0, denoise.init_cache()
         for _ in range(sched_cfg["infer_steps"]):
             st, cache = step_fn(params, st, cache, context, context, None, None)
         z = jnp.transpose(st["latents"], (1, 2, 3, 0))[None]  # (1,T,h,w,C)
-        frames = vae_decode_tiled(vae_params, z, vae_cfg, dtype=jnp.bfloat16)
+        frames = decode(z, *vae_arrs)
         return float(jnp.sum(frames.astype(jnp.float32)))
 
     once()  # compile
