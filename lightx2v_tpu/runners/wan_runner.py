@@ -550,12 +550,17 @@ class WanRunner(DefaultRunner):
             mesh = build_mesh(dict(self.config["mesh_shape"]),
                               devices=self._mesh_devices())
             frames = parallel_vae_decode(self.vae, z, self.vae_cfg, mesh, scale=scale)
-        elif self.config.get("use_tiling_vae"):
-            from ..vae.wan_vae import vae_decode_tiled
-
-            frames = vae_decode_tiled(self.vae, z, self.vae_cfg, scale=scale)
         else:
-            frames = vae_decode(self.vae, z, self.vae_cfg, scale=scale)
+            # one compiled program for the whole decode (eager decode
+            # dispatches every conv separately and loses cross-op fusion)
+            key = ("_jit_decode", bool(self.config.get("use_tiling_vae")), scale)
+            if getattr(self, "_jit_decode_key", None) != key:
+                from ..vae.wan_vae import make_jitted_decode
+
+                self._jit_decode = make_jitted_decode(
+                    self.vae, self.vae_cfg, tiled=key[1], scale=scale)
+                self._jit_decode_key = key
+            frames = self._jit_decode(z)
         return self._crop_to_request(np.clip(np.asarray(frames[0], np.float32), -1.0, 1.0))
 
 

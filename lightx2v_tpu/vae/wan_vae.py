@@ -646,3 +646,31 @@ def vae_encode_tiled(params: Dict, x: jnp.ndarray, cfg: WanVAEConfig = WanVAECon
         out_rows.append(jnp.concatenate(merged, axis=3))
     out = jnp.concatenate(out_rows, axis=2)
     return out[:, :, : h // 8, : w // 8]
+
+
+def make_jitted_decode(params: Dict, cfg: WanVAEConfig, tiled: bool = False,
+                       scale: bool = True, dtype=None):
+    """One COMPILED program for the whole decode (the TRT-engine analog).
+
+    Calling vae_decode eagerly runs every conv as its own XLA program —
+    no cross-op fusion, one dispatch per op (hundreds per decode). The
+    params tree carries static string layer tags that cannot cross jit
+    as arguments, so array leaves ride as args and tags stay closured.
+    Returns decode_fn(z) -> frames; jit re-specializes per z shape."""
+    import jax
+
+    flat, treedef = jax.tree_util.tree_flatten(params, is_leaf=lambda x: isinstance(x, str))
+    arr_idx = [i for i, l in enumerate(flat) if hasattr(l, "shape")]
+    arrs = [flat[i] for i in arr_idx]
+
+    @jax.jit
+    def _decode(z, *leaves_in):
+        leaves = list(flat)
+        for i, a in zip(arr_idx, leaves_in):
+            leaves[i] = a
+        p = jax.tree_util.tree_unflatten(treedef, leaves)
+        if tiled:
+            return vae_decode_tiled(p, z, cfg, scale=scale, **({"dtype": dtype} if dtype else {}))
+        return vae_decode(p, z, cfg, scale=scale)
+
+    return lambda z: _decode(z, *arrs)
