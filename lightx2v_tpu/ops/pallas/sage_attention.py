@@ -26,15 +26,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BQ = 1024
-DEFAULT_BK = 1024
+# v5e sweep @32k, 12 heads, q-quant cached in scratch: (4096,2048)
+# 142.1 TFLOP/s, (1024,1024) 142.0, (2048,2048) 137.7. Dense flash
+# reaches 150.3 at the same shape: the per-tile qs*ks logit rescale (two
+# broadcast muls over (bq, bk)) outweighs the int8-QK MXU saving at
+# d=128, so sage on TPU is a numerics/compat option, not a speed win
+# (unlike CUDA tensor cores, where the int8 path doubles throughput).
+DEFAULT_BQ = 4096
+DEFAULT_BK = 2048
 
 
 LOG2E = 1.4426950408889634
 
 
 def _sage_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref,
-                 m_ref, l_ref, acc_ref, *, scale, bk, nk,
+                 m_ref, l_ref, acc_ref, qq_ref, qs_ref, *, scale, bk, nk,
                  mask_mode="all", kvlen_static=None):
     """VPU-lean form (see flash_attention._flash_body): scale*log2e folds
     into the per-row q scale so softmax runs in the exp2 domain; the kv
@@ -55,7 +61,15 @@ def _sage_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref,
         sc = jnp.maximum(absmax, 1e-6) * (1.0 / 127.0)
         return jnp.clip(jnp.round(xf / sc), -127, 127).astype(jnp.int8), sc
 
-    q, qs = quant_rows(q_ref[0])   # (bq, d) int8, (bq, 1) f32
+    # q is constant over the kv sweep: quantize once into scratch at
+    # k_idx==0 (qq int8; its scale rides in the first lane column of qs_ref)
+    @pl.when(k_idx == 0)
+    def _():
+        qi, qsc = quant_rows(q_ref[0])
+        qq_ref[:] = qi
+        qs_ref[:] = jnp.broadcast_to(qsc, qs_ref.shape)
+
+    q, qs = qq_ref[:], qs_ref[:, 0:1]
     k, ks = quant_rows(k_ref[0])   # (bk, d) int8, (bk, 1) f32
     v = v_ref[0]   # (bk, d) bf16
 
@@ -155,6 +169,8 @@ def sage_attention(
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.int8),      # cached quantized q
+            pltpu.VMEM((bq, 128), jnp.float32),  # cached q row scales
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
