@@ -83,6 +83,14 @@ def _mm_w8a8(params: Dict, x: jnp.ndarray, kind: str, act: Optional[str] = None)
     n, k = params["w"].shape[-2:]
     if jax.default_backend() == "tpu" and min(n, k) >= 4096:
         try:
+            if k % 128 == 0 and k <= 8192:
+                # full-K form: one quantize per s-block + one dot per
+                # n-block (the k-blocked kernel re-quantizes per (n, k)
+                # step and measured VPU-bound at ~48 TOPS on 14B qkvo)
+                from .pallas.w8a8_matmul import w8a8_matmul_fullk
+
+                return w8a8_matmul_fullk(x, params["w"], params["w_scale"],
+                                         params.get("b"), kind=kind, act=act)
             from .pallas.w8a8_matmul import w8a8_matmul
 
             return w8a8_matmul(x, params["w"], params["w_scale"], params.get("b"),

@@ -144,6 +144,101 @@ def w8a8_matmul(
     return out.reshape(*lead, N)
 
 
+def _w8a8_fullk_kernel(x_ref, w_ref, ws_ref, b_ref, o_ref, xq_ref, xs_ref,
+                       *, kind, out_dtype, act=None):
+    """Full-K w8a8: quantize the x tile ONCE into VMEM scratch, then one
+    (bm, K) x (bn, K) dot per n-block — no k loop, no accumulator, no
+    per-step requantize. The k-blocked kernel above re-quantizes the x
+    tile for every (n, k) grid step, which left it VPU-bound at ~48 TOPS
+    on the 14B qkvo shape; this form runs the MXU's int8 rate with one
+    quantize per (s-block) and a single (bm, bn) rescale per step."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        x = x_ref[0].astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+        if kind == "int8":
+            s = jnp.maximum(absmax, 1e-8) * (1.0 / 127.0)
+            xq_ref[:] = jnp.clip(jnp.round(x / s), -127, 127).astype(xq_ref.dtype)
+        else:
+            s = jnp.maximum(absmax, 1e-8) * (1.0 / 448.0)
+            xq_ref[:] = (x / s).astype(xq_ref.dtype)
+        xs_ref[:] = jnp.broadcast_to(s, xs_ref.shape)
+
+    if kind == "int8":
+        acc = jax.lax.dot_general(xq_ref[:], w_ref[...], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.int32).astype(jnp.float32)
+    else:
+        acc = jax.lax.dot_general(xq_ref[:], w_ref[...], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    y = acc * xs_ref[:, :1] * ws_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    if act == "gelu":
+        y = 0.5 * y * (1.0 + jnp.tanh(0.7978845608028654 * (y + 0.044715 * y * y * y)))
+    o_ref[0] = y.astype(out_dtype)
+
+
+def w8a8_matmul_fullk(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    w_scale: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    kind: str = "int8",
+    bm: int = 512,
+    bn: int = 1024,
+    act: Optional[str] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Full-K variant of w8a8_matmul (per-token scales over the WHOLE K —
+    the jnp path's exact granularity). Requires K % 128 == 0 and a K that
+    fits VMEM alongside the weight block (use the k-blocked kernel for
+    K > ~8k)."""
+    *lead, K = x.shape
+    N = w.shape[0]
+    out_dtype = x.dtype
+    if len(lead) == 1:
+        B, S = 1, lead[0]
+        x3 = x[None]
+    else:
+        B, S = int(math.prod(lead[:-1])), lead[-1]
+        x3 = x.reshape(B, S, K)
+    if K % 128:
+        raise ValueError(f"w8a8_matmul_fullk needs K%128==0, got {K}")
+    bm = min(bm, max(8, 1 << (S - 1).bit_length()))
+    bn = min(bn, max(128, 1 << (N - 1).bit_length()))
+    qdt = jnp.int8 if kind == "int8" else jnp.float8_e4m3fn
+    b = (bias if bias is not None else jnp.zeros((N,), jnp.float32)).astype(jnp.float32)
+
+    grid = (B, -(-S // bm), -(-N // bn))
+    out = pl.pallas_call(
+        functools.partial(_w8a8_fullk_kernel, kind=kind, out_dtype=out_dtype, act=act),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bm, K), lambda bb, i, j: (bb, i, 0)),
+            pl.BlockSpec((bn, K), lambda bb, i, j: (j, 0)),
+            pl.BlockSpec((1, bn), lambda bb, i, j: (0, j)),
+            pl.BlockSpec((1, bn), lambda bb, i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, bm, bn), lambda bb, i, j: (bb, i, j)),
+        out_shape=jax.ShapeDtypeStruct((B, S, N), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm, K), qdt),
+            pltpu.VMEM((bm, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * S * N * K,
+            bytes_accessed=2 * B * S * K + N * K + 2 * B * S * N,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x3, w, w_scale.reshape(1, -1).astype(jnp.float32), b.reshape(1, -1))
+    return out.reshape(*lead, N)
+
+
 def _ffn_w8a8_kernel(x_ref, w0_ref, s0_ref, b0_ref, w2_ref, s2_ref, b2_ref,
                      o_ref, acc_ref, xq_ref, xs_ref, *, nh, kind, out_dtype):
     """Whole FFN (x @ w0 -> gelu -> @ w2) in one kernel.

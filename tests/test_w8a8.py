@@ -293,3 +293,45 @@ def test_fused_ffn_w4a8_float_oracle():
                               bm=64, interpret=True), np.float32)
     rel = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-9)
     assert rel < 2e-2, f"rel err {rel}"
+
+
+@pytest.mark.parametrize("kind", ["int8", "fp8"])
+def test_fullk_matches_jnp_path_exactly(kind):
+    """w8a8_matmul_fullk uses per-token scales over the whole K — the
+    jnp path's exact quantization, so agreement is bit-class tight."""
+    from lightx2v_tpu.ops.linear import quantize_per_token_fp8, quantize_per_token_int8
+    from lightx2v_tpu.ops.pallas.w8a8_matmul import w8a8_matmul_fullk
+
+    x, w, ws, b, _ = _case(m=130, n=192, k=256, seed=51, kind=kind)
+    # numpy oracle mirroring the kernel's reciprocal-mul scale (the jnp
+    # helpers DIVIDE by 127/448, which rounds ties one ulp differently)
+    xf = np.asarray(x, np.float32)
+    absmax = np.maximum(np.abs(xf).max(axis=1, keepdims=True), 1e-8)
+    if kind == "int8":
+        xs = absmax * np.float32(1.0 / 127.0)
+        q = np.clip(np.round(xf / xs), -127, 127)
+        acc = q @ np.asarray(w, np.float32).T
+    else:
+        import ml_dtypes
+
+        xs = absmax * np.float32(1.0 / 448.0)
+        q = (xf / xs).astype(ml_dtypes.float8_e4m3fn).astype(np.float32)
+        acc = q @ np.asarray(w, np.float32).T
+    ref = acc * xs * np.asarray(ws)[None] + np.asarray(b)
+    out = np.asarray(w8a8_matmul_fullk(x, w, ws, b, kind=kind, bm=128, bn=128,
+                                       interpret=True), np.float32)
+    np.testing.assert_allclose(out, ref, rtol=3e-3, atol=3e-3)
+
+
+def test_fullk_gelu_and_batched():
+    import jax
+
+    from lightx2v_tpu.ops.pallas.w8a8_matmul import w8a8_matmul_fullk
+
+    x, w, ws, b, _ = _case(m=128, n=128, k=384, seed=53)
+    base = w8a8_matmul_fullk(x.reshape(2, 64, 384), w, ws, b, bm=64, bn=128, interpret=True)
+    ref = jax.nn.gelu(np.asarray(base, np.float32), approximate=True)
+    out = np.asarray(w8a8_matmul_fullk(x.reshape(2, 64, 384), w, ws, b, bm=64, bn=128,
+                                       act="gelu", interpret=True), np.float32)
+    assert out.shape == (2, 64, 128)
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
