@@ -507,6 +507,41 @@ def ffn_w4a8(
     return out.reshape(*lead, N)
 
 
+def _w4a8_fullk_kernel(x_ref, w_ref, ws_ref, b_ref, o_ref, xq_ref, xs_ref,
+                       *, g0, group, out_dtype, act=None):
+    """Full-K w4a8: per-(token, group) int8 act quant ONCE into scratch at
+    j==0, then per n-block one pass over the g0 weight groups with
+    per-group rescaled partials (scales vary along K, so a single
+    output-side rescale would be wrong — same structure as
+    _ffn_w4a8_kernel's first GEMM). Replaces the (B, S/bm, N/bn, G) grid
+    whose every step re-quantized its x slice."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        x = x_ref[0].astype(jnp.float32).reshape(x_ref.shape[1], g0, group)
+        absmax = jnp.max(jnp.abs(x), axis=2, keepdims=True)
+        s = jnp.maximum(absmax, 1e-8) * (1.0 / 127.0)
+        q = jnp.clip(jnp.round(x / s), -127, 127)
+        xq_ref[:] = q.reshape(xq_ref.shape).astype(jnp.int8)
+        pad_w = xs_ref.shape[1] - g0
+        xs_ref[:] = jnp.concatenate(
+            [s[:, :, 0], jnp.zeros((s.shape[0], pad_w), jnp.float32)], axis=1)
+
+    y = jnp.zeros((xq_ref.shape[0], w_ref.shape[0]), jnp.float32)
+    for g in range(g0):
+        wp = w_ref[:, g * (group // 2):(g + 1) * (group // 2)].astype(jnp.int32)
+        w8 = _unpack_nibbles(wp)  # (bn, group)
+        part = jax.lax.dot_general(
+            xq_ref[:, g * group:(g + 1) * group], w8, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        y = y + part * xs_ref[:, g:g + 1] * ws_ref[0][:, g][None, :]
+    y = y + b_ref[...].astype(jnp.float32)
+    if act == "gelu":
+        y = 0.5 * y * (1.0 + jnp.tanh(0.7978845608028654 * (y + 0.044715 * y * y * y)))
+    o_ref[0] = y.astype(out_dtype)
+
+
 def _w4a8_kernel(x_ref, w_ref, ws_ref, b_ref, o_ref, acc_ref, *, nk, half, out_dtype, act=None):
     """int4-weight x int8-activation: nibbles unpack to int8 IN-KERNEL and
     the dot runs on the int8 MXU path (2x bf16 throughput) — the
@@ -575,6 +610,39 @@ def w4a8_matmul(
     bm = min(bm, max(8, 1 << (S - 1).bit_length()))
     bn = min(bn, max(128, 1 << (N - 1).bit_length()))
     b = bias.astype(jnp.float32) if bias is not None else jnp.zeros((N,), jnp.float32)
+
+    if K <= 8192 and groups <= 128:
+        # full-K form: quantize once per s-block (see _w4a8_fullk_kernel)
+        grid = (B, -(-S // bm), -(-N // bn))
+        out = pl.pallas_call(
+            functools.partial(_w4a8_fullk_kernel, g0=groups, group=bk,
+                              out_dtype=out_dtype, act=act),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bm, K), lambda bb, i, j: (bb, i, 0)),
+                pl.BlockSpec((bn, K // 2), lambda bb, i, j: (j, 0)),
+                pl.BlockSpec((1, bn, groups), lambda bb, i, j: (0, j, 0)),
+                pl.BlockSpec((1, bn), lambda bb, i, j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((1, bm, bn), lambda bb, i, j: (bb, i, j)),
+            out_shape=jax.ShapeDtypeStruct((B, S, N), out_dtype),
+            scratch_shapes=[
+                pltpu.VMEM((bm, K), jnp.int8),
+                pltpu.VMEM((bm, 128), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * B * S * N * K,
+                bytes_accessed=2 * B * S * K + N * K // 2 + 2 * B * S * N,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(x3, packed, w_scale.reshape(1, N, groups).astype(jnp.float32),
+          b.reshape(1, -1))
+        return out.reshape(*lead, N)
 
     grid = (B, -(-S // bm), -(-N // bn), groups)
     out = pl.pallas_call(
