@@ -34,14 +34,18 @@ def main():
     from lightx2v_tpu.schedulers.unipc import WanUniPCScheduler
     from lightx2v_tpu.utils.config import ConfigDict
 
-    arch = WanArch(**PRESETS["wan2.1_1.3b"], in_dim=16, out_dim=16,
+    preset = os.environ.get("BENCH_ARCH_PRESET", "wan2.1_1.3b")
+    arch = WanArch(**PRESETS[preset], in_dim=16, out_dim=16,
                    freq_dim=256, text_len=512, text_dim=4096)
     target = (16, int(os.environ.get("BENCH_FRAMES", 21)),
               int(os.environ.get("BENCH_H", 60)), int(os.environ.get("BENCH_W", 104)))
     steps = int(os.environ.get("BENCH_INFER_STEPS", 50))
     repeats = int(os.environ.get("BENCH_REPEATS", 1))
 
-    params = init_random_params_on_device(arch, scheme="bf16", seed=0)
+    # 14B bf16 exceeds one v5e; BENCH_SCHEME=int4 (+ the matching
+    # BENCH_MM_TYPE) runs the capacity config with CFG B=2 resident
+    scheme = os.environ.get("BENCH_SCHEME", "bf16")
+    params = init_random_params_on_device(arch, scheme=scheme, seed=0)
     jax.block_until_ready(params)
     rng = np.random.default_rng(0)
     ctx = jnp.asarray(rng.standard_normal((1, arch.text_len, arch.text_dim)) * 0.1, jnp.bfloat16)
@@ -117,9 +121,10 @@ def main():
                          use_ret_steps=False)
         sched = WanUniPCScheduler(cfg)
         state0 = sched.prepare(shape, seed=42)
+        mm_type = os.environ.get("BENCH_MM_TYPE", "Default")
         denoise = make_denoise_fn(
             arch, sched, shape, enable_cfg=True, guide_scale=5.0,
-            mm_type="Default", self_attn_type="flash_attn3",
+            mm_type=mm_type, self_attn_type="flash_attn3",
             cross_attn_type="flash_attn3", feature_caching=mode, caching_config=cfg,
         )
 
@@ -154,7 +159,7 @@ def main():
             # reduced-shape mode: time its own NoCaching baseline so the
             # speedup compares like against like
             nb = make_denoise_fn(arch, sched, shape, enable_cfg=True, guide_scale=5.0,
-                                 mm_type="Default", self_attn_type="flash_attn3",
+                                 mm_type=mm_type, self_attn_type="flash_attn3",
                                  cross_attn_type="flash_attn3")
             nb_step = jax.jit(nb.one_step)
 
