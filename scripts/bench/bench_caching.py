@@ -69,7 +69,13 @@ def main():
         # one jitted call for the whole series (eager per-step ops would be
         # 50 compile RPCs through the tunnel)
         ts = jnp.asarray(np.asarray(sched0.timesteps, np.float32))
-        e_all, e0_all = jax.jit(lambda tt: time_embeddings(params, tt, arch, None))(ts)
+        # pass ONLY the time-embedding subtree as jit ARGUMENTS — closing
+        # over the full params tree turns every weight into a program
+        # constant, which the tunnel then tries to serialize (observed
+        # broken-pipe at 14B)
+        sub = {"time_embedding": params["time_embedding"],
+               "time_projection": params["time_projection"]}
+        e_all, e0_all = jax.jit(lambda pp, tt: time_embeddings(pp, tt, arch, None))(sub, ts)
         e_all = np.asarray(e_all, np.float32)    # (steps, D)
         # numpy mirror of tea_decide (caching/teacache.py:67-86) — the
         # decision is deterministic in the embed series, so the whole
