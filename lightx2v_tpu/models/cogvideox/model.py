@@ -84,12 +84,13 @@ def cog_patchify(x: jnp.ndarray, p: int, p_t: int) -> jnp.ndarray:
 
 
 def cog_unpatchify(x: jnp.ndarray, grid, p: int, p_t: int, c: int) -> jnp.ndarray:
-    """(B, S, p_t*c*p*p) -> (B, C, F, H, W) (post_infer.py:23-26 layout:
-    output dim order (pt, c, ph, pw))."""
+    """(B, S, c*p_t*p*p) -> (B, C, F, H, W). The reference head output is
+    CHANNEL-major per token: reshape (f,h,w,-1,p_t,p,p) puts C before
+    (p_t,ph,pw) (post_infer.py:24-26), mirroring the patchify layout."""
     b = x.shape[0]
     f, h, w = grid
-    x = x.reshape(b, f, h, w, p_t, c, p, p)
-    x = x.transpose(0, 5, 1, 4, 2, 6, 3, 7)  # (B, c, f, pt, h, ph, w, pw)
+    x = x.reshape(b, f, h, w, c, p_t, p, p)
+    x = x.transpose(0, 4, 1, 5, 2, 6, 3, 7)  # (B, c, f, pt, h, ph, w, pw)
     return x.reshape(b, c, f * p_t, h * p, w * p)
 
 
@@ -113,9 +114,12 @@ def cog_block(block: Params, x, enc, temb, rope_cos, rope_sin, arch: CogArch, mm
     q = mm_fn(block["to_q"], h).reshape(b, -1, n, hd)
     k = mm_fn(block["to_k"], h).reshape(b, -1, n, hd)
     v = mm_fn(block["to_v"], h).reshape(b, -1, n, hd)
-    # QK LayerNorm over head_dim (reference attn1_norm_q/k are LN eps 1e-5)
-    q = layer_norm(q, block["norm_q"]["w"], block["norm_q"]["b"], eps=1e-5)
-    k = layer_norm(k, block["norm_k"]["w"], block["norm_k"]["b"], eps=1e-5)
+    # QK LayerNorm over head_dim. The reference's CogVideoXBlock leaves the
+    # LN eps at the registry default 1e-6 for norm_q/k
+    # (cogvideox/weights/transformers_weights.py:48-49 passes no eps;
+    # layer_norm_weight.py:8 defaults 1e-6) — unlike norm1/norm2 (1e-5).
+    q = layer_norm(q, block["norm_q"]["w"], block["norm_q"]["b"], eps=1e-6)
+    k = layer_norm(k, block["norm_k"]["w"], block["norm_k"]["b"], eps=1e-6)
     # rope on video tokens only
     qv = apply_rope(q[:, lt:], rope_cos, rope_sin)
     kv_ = apply_rope(k[:, lt:], rope_cos, rope_sin)

@@ -70,7 +70,9 @@ class CogvideoxXDPMScheduler(SchedulerBase):
             "rng": jax.random.PRNGKey(seed + 3),
         }
 
-    def step_post(self, state: State, noise_pred: jnp.ndarray) -> State:
+    def step_post(self, state: State, noise_pred: jnp.ndarray, noise=None) -> State:
+        """``noise`` overrides the carried-PRNG sample (equivalence tests
+        inject the reference's torch generator stream)."""
         i = state["step_index"]
         ac = jnp.asarray(self.alphas_cumprod, jnp.float32)
         ts = jnp.asarray(self._ts_int, jnp.int32)
@@ -104,7 +106,10 @@ class CogvideoxXDPMScheduler(SchedulerBase):
         mult_noise = jnp.sqrt(1 - a_prev) * jnp.sqrt(1 - jnp.exp(-2 * h))
 
         rng, k1 = jax.random.split(state["rng"])
-        noise = jax.random.normal(k1, sample.shape, jnp.float32)
+        if noise is None:
+            noise = jax.random.normal(k1, sample.shape, jnp.float32)
+        else:
+            noise = noise.astype(jnp.float32)
         first_order = mult1 * sample - mult2 * x0 + mult_noise * noise
         denoised_d = mult3 * x0 - mult4 * state["old_pred_x0"]
         second_order = mult1 * sample - mult2 * denoised_d + mult_noise * noise

@@ -80,6 +80,50 @@ def install():
 
         torch.empty = _empty_no_pin
 
+        # Reference code creates tensors with device="cuda" unconditionally
+        # (e.g. hunyuan pre_infer.py:50, cog scheduler.py:133); coerce the
+        # device kwarg in torch factory fns + Generator so the same lines
+        # run on CPU. (Harness shim, not a behavior change.)
+        def _cpu_dev(kw):
+            d = kw.get("device")
+            if d is not None and "cuda" in str(d):
+                kw["device"] = "cpu"
+            return kw
+
+        for _name in ("zeros", "ones", "tensor", "arange", "full", "randn",
+                      "linspace", "empty"):
+            _orig = getattr(torch, _name)
+
+            def _wrap(*a, __orig=_orig, **kw):
+                return __orig(*a, **_cpu_dev(kw))
+
+            setattr(torch, _name, _wrap)
+
+        _OrigGen = torch.Generator
+
+        class _CpuGenerator(_OrigGen):
+            def __new__(cls, device="cpu"):
+                if "cuda" in str(device):
+                    device = "cpu"
+                return _OrigGen.__new__(cls, device)
+
+        torch.Generator = _CpuGenerator
+
+        _orig_to = torch.Tensor.to
+
+        def _to_cpu(self, *a, **kw):
+            a = tuple("cpu" if (isinstance(x, (str, torch.device)) and "cuda" in str(x)) else x for x in a)
+            kw = _cpu_dev(kw)
+            return _orig_to(self, *a, **kw)
+
+        torch.Tensor.to = _to_cpu
+
+    # reference hunyuan/cog/audio modules import diffusers (not installed
+    # here); register the faithful public-API stand-in first
+    import _diffusers_stub
+
+    _diffusers_stub.install()
+
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
 
@@ -212,3 +256,128 @@ def reference_i2v_inputs(cfg: Cfg, seed: int = 13):
     _, f, h, w = cfg["target_shape"]
     y = rng.standard_normal((cfg["in_dim"] - 16, f, h, w), dtype=np.float32)
     return clip, y
+
+
+# --------------------------------------------------------------- torch bridge
+
+def to_torch_sd(sd):
+    """numpy (incl. ml_dtypes bf16) state dict -> torch tensors (bf16 for
+    float weights, matching the reference's load-time cast)."""
+    import ml_dtypes
+    import torch
+
+    out = {}
+    for k, v in sd.items():
+        v = np.asarray(v)
+        if v.dtype == np.dtype(ml_dtypes.bfloat16):
+            out[k] = torch.from_numpy(v.astype(np.float32)).to(torch.bfloat16)
+        elif np.issubdtype(v.dtype, np.floating):
+            # the reference loads whole checkpoints as bf16 (hunyuan
+            # model.py:60, cog model.py:36)
+            out[k] = torch.from_numpy(np.ascontiguousarray(v)).to(torch.bfloat16)
+        else:
+            out[k] = torch.from_numpy(v)
+    return out
+
+
+class RecordingDict(dict):
+    """weight_dict wrapper that records which keys the reference's weight
+    classes actually consume (for two-sided key-coverage tests)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.requested = set()
+
+    def __getitem__(self, k):
+        self.requested.add(k)
+        return super().__getitem__(k)
+
+
+# ------------------------------------------------------------ hunyuan (tiny)
+
+def tiny_hunyuan_cfg(task: str = "t2v") -> Cfg:
+    return Cfg(
+        task=task,
+        attention_type="torch_sdpa",
+        do_mm_calib=False,
+        mm_config=Cfg(),
+        cpu_offload=False,
+        feature_caching="NoCaching",
+        parallel_attn_type=None,
+    )
+
+
+def build_reference_hunyuan(cfg: Cfg, sd, arch):
+    """Reference Hunyuan weight+infer objects at a tiny arch.
+
+    The reference hardcodes the production sizes as instance attributes
+    (transformer_infer.py:13-17, pre_infer.py:8, transformer_weights.py:9-10);
+    the compute methods read them off ``self``, so shrinking the arch is an
+    attribute override on the reference's own objects — no logic is changed."""
+    install()
+
+    from lightx2v.common.modules.weight_module import WeightModule, WeightModuleList
+    from lightx2v.models.networks.hunyuan.infer.post_infer import HunyuanPostInfer
+    from lightx2v.models.networks.hunyuan.infer.pre_infer import HunyuanPreInfer
+    from lightx2v.models.networks.hunyuan.infer.transformer_infer import HunyuanTransformerInfer
+    from lightx2v.models.networks.hunyuan.weights.post_weights import HunyuanPostWeights
+    from lightx2v.models.networks.hunyuan.weights.pre_weights import HunyuanPreWeights
+    from lightx2v.models.networks.hunyuan.weights.transformer_weights import (
+        HunyuanTransformerDoubleBlock, HunyuanTransformerSingleBlock)
+
+    class _TinyTransformerWeights(WeightModule):
+        def __init__(self, config):
+            super().__init__()
+            self.config = config
+            self.add_module("double_blocks", WeightModuleList(
+                [HunyuanTransformerDoubleBlock(i, config) for i in range(arch.double_blocks)]))
+            self.add_module("single_blocks", WeightModuleList(
+                [HunyuanTransformerSingleBlock(i, config) for i in range(arch.single_blocks)]))
+
+    pre_w = HunyuanPreWeights(cfg)
+    post_w = HunyuanPostWeights(cfg)
+    tr_w = _TinyTransformerWeights(cfg)
+    pre_w.load(sd)
+    post_w.load(sd)
+    tr_w.load(sd)
+
+    # The reference refiner calls its attention op with batched (B,L,H,D)
+    # tensors (pre_infer.py:108-109), a layout only the flash_attn GPU ops
+    # accept — TorchSDPAWeight assumes unbatched (L,H,D) and crashes on
+    # CPU. Shim exactly this one op with plain masked SDPA (the reference's
+    # own F.scaled_dot_product_attention semantics); projections/gates
+    # around it stay reference code.
+    import torch as _torch
+    import torch.nn.functional as _F
+
+    class _BatchedSDPA:
+        def apply(self, q, k, v, attn_mask=None, **kw):
+            x = _F.scaled_dot_product_attention(
+                q.transpose(1, 2), k.transpose(1, 2), v.transpose(1, 2),
+                attn_mask=attn_mask)
+            b, h, L, d = x.shape
+            return x.transpose(1, 2).reshape(b, L, h * d)
+
+    pre_w.txt_in_attn_1 = _BatchedSDPA()
+
+    pre_i = HunyuanPreInfer(cfg)
+    pre_i.heads_num = arch.heads_num
+    tr_i = HunyuanTransformerInfer(cfg)
+    tr_i.double_blocks_num = arch.double_blocks
+    tr_i.single_blocks_num = arch.single_blocks
+    tr_i.heads_num = arch.heads_num
+    tr_i.hidden_size = arch.hidden_size
+    tr_i.mlp_hidden_dim = arch.mlp_hidden_dim
+    post_i = HunyuanPostInfer(cfg)
+    return (pre_w, tr_w, post_w), (pre_i, tr_i, post_i)
+
+
+def reference_hunyuan_rope(arch, f: int, h: int, w: int):
+    """Reference get_nd_rotary_pos_embed (hunyuan scheduler.py:111-180) at
+    the tiny arch's rope_dim_list. Returns torch (cos, sin), (S, head_dim)."""
+    install()
+    from lightx2v.models.schedulers.hunyuan.scheduler import get_nd_rotary_pos_embed
+
+    return get_nd_rotary_pos_embed(list(arch.rope_dim_list), [f, h, w],
+                                   theta=arch.rope_theta, use_real=True,
+                                   theta_rescale_factor=1)
