@@ -68,6 +68,15 @@ def install():
 
     import torch
 
+    # transformers' import chain registers torch.library ops and trips over
+    # the factory-fn wrappers below if imported afterwards; import it first
+    try:
+        # resolve the lazy submodules the reference touches NOW, while
+        # torch is still pristine
+        from transformers import AutoModel, AutoTokenizer  # noqa: F401
+    except Exception:
+        pass
+
     if not torch.cuda.is_available():
         torch.cuda.get_device_capability = lambda *a, **kw: (0, 0)
         torch.Tensor.cuda = lambda self, *a, **kw: self
@@ -117,6 +126,58 @@ def install():
             return _orig_to(self, *a, **kw)
 
         torch.Tensor.to = _to_cpu
+
+        # t5/model.py evaluates torch.cuda.current_device() in a default
+        # arg at import time (:518); xlm_roberta/model.py imports
+        # torchvision.transforms (not installed) only for CLIPModel's
+        # image preprocessing, which these tests don't touch.
+        torch.cuda.current_device = lambda: "cpu"
+        import importlib.machinery as _mach
+        import importlib.util as _iutil
+
+        def _stub_module(name):
+            """Register an empty stub module (with a real spec so
+            importlib/transformers introspection works). Returns it, or
+            None if the real package exists."""
+            if name in sys.modules:
+                return None
+            try:
+                if _iutil.find_spec(name) is not None:
+                    return None
+            except (ImportError, ValueError):
+                pass
+            m = types.ModuleType(name)
+            m.__spec__ = _mach.ModuleSpec(name, None)
+            sys.modules[name] = m
+            return m
+
+        # q_linear.py imports vllm unconditionally (:3); the quantized
+        # encoder classes are never exercised on CPU — any actual use of a
+        # vllm op raises loudly
+        vllm_mod = _stub_module("vllm")
+        if vllm_mod is not None:
+            class _NoVllm(types.ModuleType):
+                def __getattr__(self, name):
+                    def _raise(*a, **kw):
+                        raise NotImplementedError(f"vllm stub: {name} not available on CPU")
+
+                    return _raise
+
+            ops_mod = _NoVllm("vllm._custom_ops")
+            ops_mod.__spec__ = _mach.ModuleSpec("vllm._custom_ops", None)
+            vllm_mod._custom_ops = ops_mod
+            sys.modules["vllm._custom_ops"] = ops_mod
+        # t5/tokenizer.py imports ftfy for text canonicalization (:5,13);
+        # these tests never tokenize, so identity is fine
+        ftfy_mod = _stub_module("ftfy")
+        if ftfy_mod is not None:
+            ftfy_mod.fix_text = lambda s, *a, **kw: s
+        # xlm_roberta/model.py imports torchvision.transforms (:9) only
+        # for CLIPModel's image preprocessing
+        tv = _stub_module("torchvision")
+        if tv is not None:
+            tvt = _stub_module("torchvision.transforms")
+            tv.transforms = tvt
 
     # reference hunyuan/cog/audio modules import diffusers (not installed
     # here); register the faithful public-API stand-in first
