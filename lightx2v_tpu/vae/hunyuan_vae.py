@@ -68,16 +68,18 @@ class HunyuanVAEConfig:
 # ---------------------------------------------------------------- primitives
 
 def causal_conv3d(p: Params, x: jnp.ndarray, stride=(1, 1, 1)) -> jnp.ndarray:
-    """Causal conv with REPLICATE temporal left pad (reference
-    unet_causal_3d_blocks.py:65-91). x (B,T,H,W,C); w (kt,kh,kw,I,O)."""
+    """Causal conv with REPLICATE padding on every dim — spatial k//2 each
+    side plus temporal k-1 on the left (reference unet_causal_3d_blocks.py
+    CausalConv3d: ``F.pad(x, (kw//2, kw//2, kh//2, kh//2, kt-1, 0),
+    mode="replicate")``). x (B,T,H,W,C); w (kt,kh,kw,I,O)."""
     w = p["w"]
     kt, kh, kw = w.shape[0], w.shape[1], w.shape[2]
-    if kt > 1:
-        first = jnp.repeat(x[:, :1], kt - 1, axis=1)
-        x = jnp.concatenate([first, x], axis=1)
+    if kt > 1 or kh > 1 or kw > 1:
+        x = jnp.pad(x, ((0, 0), (kt - 1, 0), (kh // 2, kh // 2),
+                        (kw // 2, kw // 2), (0, 0)), mode="edge")
     out = jax.lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=stride,
-        padding=((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)),
+        padding="VALID",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
     )
     if p.get("b") is not None:

@@ -125,10 +125,12 @@ def _upsample2x(x):
 
 
 def tiny_decode(params, latents, cfg: TinyVAEConfig = TinyVAEConfig()):
-    """latents (N, T, H, W, 16) ~N(0,1) -> RGB (N, 4T-3, 8H, 8W, 3) in [-1, 1].
+    """latents (N, T, H, W, 16) ~N(0,1) -> RGB (N, 4T-3, 8H, 8W, 3) in [0, 1].
 
-    Mirrors WanVAE_tiny.decode (vae_tiny.py:23-27): raw latents in,
-    `*2 - 1` range map on the way out."""
+    Mirrors TAEHV.decode_video (tae.py:248-259): raw latents in, ~[0,1]
+    frames out; the Wan `*2 - 1` range map lives in the
+    `tiny_decode_wan_latents` adapter (as in WanVAE_tiny.decode,
+    vae_tiny.py:23-27)."""
     d = params["decoder"]
     x = jnp.tanh(latents / 3.0) * 3.0  # Clamp (tae.py:19-21)
     x, n, t = _frames(x)
@@ -147,8 +149,7 @@ def tiny_decode(params, latents, cfg: TinyVAEConfig = TinyVAEConfig()):
             x = jax.nn.relu(x)
     x = _conv2d(x, d["out_w"], d["out_b"])
     x = _unframes(x, n, t)
-    x = x[:, cfg.frames_to_trim:]
-    return x * 2.0 - 1.0
+    return x[:, cfg.frames_to_trim:]
 
 
 def tiny_encode(params, video):
@@ -288,5 +289,5 @@ def tiny_decode_wan_latents(params, latents_cfhw, cfg: TinyVAEConfig = TinyVAECo
     """Adapter with the Wan VAE decoder's calling convention: (C, F, H, W)
     latent in, (F', H'*8, W'*8, 3) RGB in [-1, 1] out (vae_tiny.py:23-27)."""
     x = jnp.transpose(latents_cfhw, (1, 2, 3, 0))[None]  # (1, T, H, W, C)
-    out = tiny_decode(params, x, cfg)
+    out = tiny_decode(params, x, cfg) * 2.0 - 1.0
     return out[0]

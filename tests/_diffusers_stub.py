@@ -226,6 +226,251 @@ class _Logging:
 
 
 # --------------------------------------------------------------------------
+# outputs / distributions (diffusers.utils.BaseOutput and
+# diffusers.models.autoencoders.vae — public semantics)
+# --------------------------------------------------------------------------
+
+
+class BaseOutput:
+    """Dataclass base whose fields are attribute- and index-accessible."""
+
+    def __getitem__(self, k):
+        if isinstance(k, str):
+            return getattr(self, k)
+        import dataclasses
+
+        return dataclasses.astuple(self)[k]
+
+
+def is_torch_version(op, version):
+    from packaging.version import Version
+
+    cur = Version(torch.__version__.split("+")[0])
+    tgt = Version(version)
+    return {">=": cur >= tgt, ">": cur > tgt, "<=": cur <= tgt,
+            "<": cur < tgt, "==": cur == tgt}[op]
+
+
+class DiagonalGaussianDistribution:
+    """diffusers.models.autoencoders.vae.DiagonalGaussianDistribution."""
+
+    def __init__(self, parameters, deterministic=False):
+        self.parameters = parameters
+        self.mean, self.logvar = torch.chunk(parameters, 2, dim=1)
+        self.logvar = torch.clamp(self.logvar, -30.0, 20.0)
+        self.deterministic = deterministic
+        self.std = torch.exp(0.5 * self.logvar)
+        self.var = torch.exp(self.logvar)
+        if deterministic:
+            self.var = self.std = torch.zeros_like(self.mean)
+
+    def sample(self, generator=None):
+        noise = randn_tensor(self.mean.shape, generator=generator,
+                             dtype=self.mean.dtype)
+        return self.mean + self.std * noise
+
+    def mode(self):
+        return self.mean
+
+
+# --------------------------------------------------------------------------
+# attention_processor (deprecated-attn-block path used by the causal VAEs)
+# --------------------------------------------------------------------------
+
+
+class SpatialNorm(nn.Module):
+    """diffusers SpatialNorm: GroupNorm(f) modulated by resized zq."""
+
+    def __init__(self, f_channels, zq_channels):
+        super().__init__()
+        self.norm_layer = nn.GroupNorm(num_channels=f_channels, num_groups=32,
+                                       eps=1e-6, affine=True)
+        self.conv_y = nn.Conv2d(zq_channels, f_channels, 1)
+        self.conv_b = nn.Conv2d(zq_channels, f_channels, 1)
+
+    def forward(self, f, zq):
+        f_size = f.shape[-2:]
+        zq = nn.functional.interpolate(zq, size=f_size, mode="nearest")
+        return self.norm_layer(f) * self.conv_y(zq) + self.conv_b(zq)
+
+
+class Attention(nn.Module):
+    """diffusers.models.attention_processor.Attention, restricted to the
+    self-attention configuration the causal VAEs use (group_norm +
+    to_q/k/v + to_out.0, residual connection, SDPA with additive mask)."""
+
+    def __init__(self, query_dim, cross_attention_dim=None, heads=8,
+                 dim_head=64, dropout=0.0, bias=False, upcast_attention=False,
+                 upcast_softmax=False, norm_num_groups=None,
+                 spatial_norm_dim=None, out_bias=True, scale_qk=True,
+                 eps=1e-5, rescale_output_factor=1.0,
+                 residual_connection=False, _from_deprecated_attn_block=False,
+                 processor=None, **kwargs):
+        super().__init__()
+        inner_dim = dim_head * heads
+        self.heads = heads
+        self.rescale_output_factor = rescale_output_factor
+        self.residual_connection = residual_connection
+        self.group_norm = (nn.GroupNorm(num_channels=query_dim,
+                                        num_groups=norm_num_groups, eps=eps,
+                                        affine=True)
+                           if norm_num_groups is not None else None)
+        self.spatial_norm = (SpatialNorm(query_dim, spatial_norm_dim)
+                             if spatial_norm_dim is not None else None)
+        self.to_q = nn.Linear(query_dim, inner_dim, bias=bias)
+        self.to_k = nn.Linear(cross_attention_dim or query_dim, inner_dim, bias=bias)
+        self.to_v = nn.Linear(cross_attention_dim or query_dim, inner_dim, bias=bias)
+        self.to_out = nn.ModuleList([nn.Linear(inner_dim, query_dim, bias=out_bias),
+                                     nn.Dropout(dropout)])
+
+    def forward(self, hidden_states, encoder_hidden_states=None, temb=None,
+                attention_mask=None, **kwargs):
+        residual = hidden_states
+        b, seq, _ = hidden_states.shape
+        if attention_mask is not None:
+            # prepare_attention_mask + view to (b, heads, q, k)
+            if attention_mask.shape[0] < b * self.heads:
+                attention_mask = attention_mask.repeat_interleave(self.heads, dim=0)
+            attention_mask = attention_mask.view(b, self.heads, -1, attention_mask.shape[-1])
+        if self.group_norm is not None:
+            hidden_states = self.group_norm(hidden_states.transpose(1, 2)).transpose(1, 2)
+        ctx = hidden_states if encoder_hidden_states is None else encoder_hidden_states
+        q = self.to_q(hidden_states)
+        k = self.to_k(ctx)
+        v = self.to_v(ctx)
+        head_dim = k.shape[-1] // self.heads
+        q = q.view(b, -1, self.heads, head_dim).transpose(1, 2)
+        k = k.view(b, -1, self.heads, head_dim).transpose(1, 2)
+        v = v.view(b, -1, self.heads, head_dim).transpose(1, 2)
+        out = torch.nn.functional.scaled_dot_product_attention(
+            q, k, v, attn_mask=attention_mask, dropout_p=0.0, is_causal=False)
+        out = out.transpose(1, 2).reshape(b, -1, self.heads * head_dim).to(q.dtype)
+        out = self.to_out[0](out)
+        if self.residual_connection:
+            out = out + residual
+        return out / self.rescale_output_factor
+
+
+class AttnProcessor:
+    pass
+
+
+class AttnAddedKVProcessor:
+    pass
+
+
+ADDED_KV_ATTENTION_PROCESSORS = (AttnAddedKVProcessor,)
+CROSS_ATTENTION_PROCESSORS = (AttnProcessor,)
+
+
+# --------------------------------------------------------------------------
+# normalization (imported by unet_causal_3d_blocks; default VAE configs
+# never instantiate these, but they must exist and be faithful)
+# --------------------------------------------------------------------------
+
+
+class AdaGroupNorm(nn.Module):
+    def __init__(self, embedding_dim, out_dim, num_groups, act_fn=None, eps=1e-5):
+        super().__init__()
+        self.num_groups = num_groups
+        self.eps = eps
+        self.act = get_activation(act_fn) if act_fn else None
+        self.linear = nn.Linear(embedding_dim, out_dim * 2)
+
+    def forward(self, x, emb):
+        if self.act:
+            emb = self.act(emb)
+        emb = self.linear(emb)[:, :, None, None]
+        scale, shift = emb.chunk(2, dim=1)
+        x = nn.functional.group_norm(x, self.num_groups, eps=self.eps)
+        return x * (1 + scale) + shift
+
+
+class RMSNorm(nn.Module):
+    def __init__(self, dim, eps, elementwise_affine=True):
+        super().__init__()
+        self.eps = eps
+        self.weight = nn.Parameter(torch.ones(dim)) if elementwise_affine else None
+
+    def forward(self, hidden_states):
+        input_dtype = hidden_states.dtype
+        variance = hidden_states.to(torch.float32).pow(2).mean(-1, keepdim=True)
+        hidden_states = hidden_states.to(torch.float32) * torch.rsqrt(variance + self.eps)
+        if self.weight is not None:
+            if self.weight.dtype in [torch.float16, torch.bfloat16]:
+                hidden_states = hidden_states.to(self.weight.dtype)
+            hidden_states = hidden_states * self.weight
+        else:
+            hidden_states = hidden_states.to(input_dtype)
+        return hidden_states
+
+
+# --------------------------------------------------------------------------
+# CogVideoX up/downsampling (public diffusers modules used by the Cog VAE)
+# --------------------------------------------------------------------------
+
+
+class CogVideoXDownsample3D(nn.Module):
+    """Optional first-frame-preserving temporal avg-pool, then stride-2
+    2D conv with (0,1,0,1) asymmetric pad. NCTHW."""
+
+    def __init__(self, in_channels, out_channels, kernel_size=3, stride=2,
+                 padding=0, compress_time=False):
+        super().__init__()
+        self.conv = nn.Conv2d(in_channels, out_channels, kernel_size,
+                              stride=stride, padding=padding)
+        self.compress_time = compress_time
+
+    def forward(self, x):
+        if self.compress_time:
+            b, c, t, h, w = x.shape
+            if t % 2 == 1 and t > 1:
+                first, rest = x[:, :, :1], x[:, :, 1:]
+                rest = (rest[:, :, 0::2] + rest[:, :, 1::2]) * 0.5
+                x = torch.cat([first, rest], dim=2)
+            elif t > 1:
+                x = (x[:, :, 0::2] + x[:, :, 1::2]) * 0.5
+        x = torch.nn.functional.pad(x, (0, 1, 0, 1), mode="constant", value=0)
+        b, c, t, h, w = x.shape
+        xf = x.permute(0, 2, 1, 3, 4).reshape(b * t, c, h, w)
+        out = self.conv(xf)
+        return out.reshape(b, t, *out.shape[1:]).permute(0, 2, 1, 3, 4)
+
+
+class CogVideoXUpsample3D(nn.Module):
+    """Nearest 2x upsampling (first-frame spatial-only split for odd T in
+    compress_time mode), then 3x3 2D conv. NCTHW."""
+
+    def __init__(self, in_channels, out_channels, kernel_size=3, stride=1,
+                 padding=1, compress_time=False):
+        super().__init__()
+        self.conv = nn.Conv2d(in_channels, out_channels, kernel_size,
+                              stride=stride, padding=padding)
+        self.compress_time = compress_time
+
+    def forward(self, x):
+        up2 = lambda v, dims: torch.repeat_interleave(
+            torch.repeat_interleave(v, 2, dim=dims[0]), 2, dim=dims[1])
+        if self.compress_time:
+            t = x.shape[2]
+            if t > 1 and t % 2 == 1:
+                first, rest = x[:, :, :1], x[:, :, 1:]
+                first = up2(first, (3, 4))
+                rest = torch.repeat_interleave(up2(rest, (3, 4)), 2, dim=2)
+                x = torch.cat([first, rest], dim=2)
+            elif t > 1:
+                x = torch.repeat_interleave(up2(x, (3, 4)), 2, dim=2)
+            else:
+                x = up2(x, (3, 4))
+        else:
+            x = up2(x, (3, 4))
+        b, c, t, h, w = x.shape
+        xf = x.permute(0, 2, 1, 3, 4).reshape(b * t, c, h, w)
+        out = self.conv(xf)
+        return out.reshape(b, t, *out.shape[1:]).permute(0, 2, 1, 3, 4)
+
+
+# --------------------------------------------------------------------------
 # module installation
 # --------------------------------------------------------------------------
 
@@ -253,6 +498,8 @@ def install():
 
     utils = sub("diffusers.utils")
     utils.logging = _Logging()
+    utils.BaseOutput = BaseOutput
+    utils.is_torch_version = is_torch_version
     torch_utils = sub("diffusers.utils.torch_utils")
     torch_utils.randn_tensor = randn_tensor
     accel = sub("diffusers.utils.accelerate_utils")
@@ -282,6 +529,35 @@ def install():
     mo.AutoencoderKLOutput = AutoencoderKLOutput
     act = sub("diffusers.models.activations")
     act.get_activation = get_activation
+
+    ap = sub("diffusers.models.attention_processor")
+    ap.SpatialNorm = SpatialNorm
+    ap.Attention = Attention
+    ap.AttnProcessor = AttnProcessor
+    ap.AttnAddedKVProcessor = AttnAddedKVProcessor
+    ap.AttentionProcessor = AttnProcessor  # typing alias in real diffusers
+    ap.ADDED_KV_ATTENTION_PROCESSORS = ADDED_KV_ATTENTION_PROCESSORS
+    ap.CROSS_ATTENTION_PROCESSORS = CROSS_ATTENTION_PROCESSORS
+
+    norm = sub("diffusers.models.normalization")
+    norm.AdaGroupNorm = AdaGroupNorm
+    norm.RMSNorm = RMSNorm
+
+    ups = sub("diffusers.models.upsampling")
+    ups.CogVideoXUpsample3D = CogVideoXUpsample3D
+    downs = sub("diffusers.models.downsampling")
+    downs.CogVideoXDownsample3D = CogVideoXDownsample3D
+
+    av = sub("diffusers.models.autoencoders")
+    avv = sub("diffusers.models.autoencoders.vae")
+
+    class _DecoderOutput(BaseOutput):
+        def __init__(self, sample, commit_loss=None):
+            self.sample = sample
+            self.commit_loss = commit_loss
+
+    avv.DecoderOutput = _DecoderOutput
+    avv.DiagonalGaussianDistribution = DiagonalGaussianDistribution
 
     loaders = sub("diffusers.loaders")
     sfm = sub("diffusers.loaders.single_file_model")

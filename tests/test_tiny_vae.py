@@ -68,7 +68,8 @@ def _oracle_decode(params, lat_nthwc, cfg=TinyVAEConfig()):
             x = F.relu(x)
     x = _conv(x, d, "out_w", "out_b")
     x = x.reshape(n, t, *x.shape[1:])[:, cfg.frames_to_trim:]
-    return (x * 2 - 1).permute(0, 1, 3, 4, 2).numpy()
+    # decode_video semantics: ~[0,1] out; the Wan *2-1 map lives in the adapter
+    return x.permute(0, 1, 3, 4, 2).numpy()
 
 
 def _oracle_encode(params, vid_nthwc):
