@@ -178,6 +178,33 @@ def install():
         if tv is not None:
             tvt = _stub_module("torchvision.transforms")
             tv.transforms = tvt
+        # wan/audio_adapter.py calls flash_attn.flash_attn_varlen_func in
+        # PerceiverAttentionCA.forward (:129-142); provide the public varlen
+        # API semantics (per-segment SDPA) so the reference module runs on CPU
+        fa = _stub_module("flash_attn")
+        if fa is not None:
+            import torch.nn.functional as _F
+
+            def flash_attn_varlen_func(q, k, v, cu_seqlens_q, cu_seqlens_k,
+                                       max_seqlen_q=None, max_seqlen_k=None,
+                                       dropout_p=0.0, softmax_scale=None,
+                                       causal=False, window_size=(-1, -1),
+                                       deterministic=False, **kw):
+                assert not causal and dropout_p == 0.0
+                out = torch.empty_like(q)
+                nseg = cu_seqlens_q.shape[0] - 1
+                for s in range(nseg):
+                    q0, q1 = int(cu_seqlens_q[s]), int(cu_seqlens_q[s + 1])
+                    k0, k1 = int(cu_seqlens_k[s]), int(cu_seqlens_k[s + 1])
+                    # (L, H, C) -> (1, H, L, C)
+                    qs = q[q0:q1].transpose(0, 1).unsqueeze(0)
+                    ks = k[k0:k1].transpose(0, 1).unsqueeze(0)
+                    vs = v[k0:k1].transpose(0, 1).unsqueeze(0)
+                    o = _F.scaled_dot_product_attention(qs, ks, vs, scale=softmax_scale)
+                    out[q0:q1] = o.squeeze(0).transpose(0, 1)
+                return out
+
+            fa.flash_attn_varlen_func = flash_attn_varlen_func
 
     # reference hunyuan/cog/audio modules import diffusers (not installed
     # here); register the faithful public-API stand-in first
