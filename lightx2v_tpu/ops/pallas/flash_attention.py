@@ -319,7 +319,10 @@ def _mask_mode_for(kv_len, sk_orig: int, padded_sk: int, bk: int):
             return "none", None
         if kv == sk_orig:
             return "phantom", kv
-        return "all", None
+        # static boundary below the caller's key count (real rows beyond it,
+        # e.g. sp pad tokens): blocks fully before the boundary need no mask,
+        # only blocks containing/past it pay the (bq, bk) mask add
+        return "last", kv
     return "all", None
 
 

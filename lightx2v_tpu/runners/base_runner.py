@@ -18,10 +18,15 @@ from ..utils.media import cache_video, seed_all
 from ..utils.profiler import ProfilingContext
 
 
+class TaskStopped(Exception):
+    """A task-stop request interrupted the pipeline between stages."""
+
+
 class BaseRunner:
     def __init__(self, config):
         self.config = config
         self.progress_callback = None
+        self.stop_event = None  # per-task threading.Event set by the service
         self.inputs: Dict[str, Any] = {}
 
     # -- component loading (overridden per model family) --
@@ -51,6 +56,13 @@ class BaseRunner:
         — the server feeds tasks through here (reference default_runner)."""
         req_mm = inputs.pop("mm_type", None)
         loaded = getattr(self, "mm_type", None)
+        if req_mm and loaded is None:
+            # runners without a quantized-GEMM notion (or pre-load) can't
+            # honor a per-task mm_type; say so instead of dropping it
+            logger.warning(
+                f"task requested mm_type {req_mm!r} but this runner has no "
+                "mm_type (request ignored; quantization is a load-time "
+                "property of the server config)")
         if req_mm and loaded and req_mm != loaded:
             # quantization is a LOAD-time property (weights are quantized
             # when the runner starts); silently accepting a different
@@ -103,11 +115,21 @@ class DefaultRunner(BaseRunner):
         cache_video(frames, save_path, fps=int(self.config.get("fps", 16)))
         logger.info(f"saved video to {save_path}")
 
+    def check_stop(self):
+        """Raise TaskStopped when this runner's task was asked to stop.
+        Called between pipeline stages (the denoise scan itself is one
+        compiled program; stop granularity is the stage boundary)."""
+        ev = getattr(self, "stop_event", None)
+        if ev is not None and ev.is_set():
+            raise TaskStopped("task stop requested")
+
     def run_pipeline(self, save_video: bool = True) -> Optional[np.ndarray]:
         with ProfilingContext("Run Encoders"):
             encoder_out = self.run_input_encoder()
+        self.check_stop()
         with ProfilingContext("Run DiT"):
             latents = self.run_dit(encoder_out)
+        self.check_stop()
         with ProfilingContext("Run VAE Decoder"):
             frames = self.run_vae_decoder(latents)
         if save_video:

@@ -145,6 +145,9 @@ def make_handler(service: VideoGenerationService, output_root: str = "."):
         def do_DELETE(self):
             if self.path == "/v1/tasks/running":
                 return self._json(200, service.stop_running())
+            m = re.match(r"^/v1/tasks/([\w-]+)$", self.path)
+            if m:  # stop one specific task (per-task stop event)
+                return self._json(200, service.stop_running(m.group(1)))
             return self._json(404, {"detail": "not found"})
 
     return Handler

@@ -18,6 +18,7 @@ import time
 import traceback
 from typing import Any, Dict, Optional
 
+from ..runners.base_runner import TaskStopped
 from ..utils.logging_utils import logger
 from .schema import TaskRequest
 
@@ -35,6 +36,7 @@ class TaskRecord:
         self.error: Optional[str] = None
         self.save_video_path = req.save_video_path
         self.created = time.time()
+        self.stop_event = threading.Event()  # per-task stop signal
 
 
 class VideoGenerationService:
@@ -58,7 +60,6 @@ class VideoGenerationService:
         self._queue: "queue.Queue[str]" = queue.Queue()
         self._tasks: Dict[str, TaskRecord] = {}
         self._lock = threading.Lock()
-        self._stop_flag = threading.Event()
         self._shutdown = threading.Event()
         self.num_replicas = max(1, int(num_replicas))
         self._runners: Dict[int, Any] = {}
@@ -116,12 +117,27 @@ class VideoGenerationService:
                 out["replicas"] = {str(i): t for i, t in self._current.items()}
             return out
 
-    def stop_running(self) -> Dict[str, Any]:
+    def stop_running(self, task_id: Optional[str] = None) -> Dict[str, Any]:
+        """Request a stop. With ``task_id``, only that task's event is set;
+        otherwise every currently running task is targeted. Each task has
+        its OWN event, so a replica finishing an unrelated task can neither
+        absorb nor clear another task's stop request."""
         with self._lock:
-            if all(t is None for t in self._current.values()):
+            running = [t for t in self._current.values() if t is not None]
+            if task_id is not None:
+                rec = self._tasks.get(task_id)
+                if rec is None:
+                    return {"stop_status": "do_nothing", "reason": "task not found"}
+                if task_id not in running and rec.status not in ("pending", "processing"):
+                    return {"stop_status": "do_nothing", "reason": f"task status: {rec.status}"}
+                rec.stop_event.set()
+                return {"stop_status": "requested", "reason": None, "task_id": task_id}
+            if not running:
                 return {"stop_status": "do_nothing", "reason": "no running task"}
-            self._stop_flag.set()
-            return {"stop_status": "requested", "reason": None}
+            for tid in running:
+                self._tasks[tid].stop_event.set()
+            return {"stop_status": "requested", "reason": None,
+                    "task_id": running[0] if len(running) == 1 else running}
 
     def shutdown(self):
         self._shutdown.set()
@@ -195,8 +211,17 @@ class VideoGenerationService:
                     inputs.update(inputs.pop("options", None) or {})
                     inputs = {k: v for k, v in inputs.items() if v not in (None, "")}
                     runner.set_inputs(inputs)
-                    runner.run_pipeline()
+                    runner.stop_event = rec.stop_event
+                    try:
+                        if rec.stop_event.is_set():
+                            raise TaskStopped("stopped before start")
+                        runner.run_pipeline()
+                    finally:
+                        runner.stop_event = None
                 rec.status = "completed"
+            except TaskStopped:
+                logger.info(f"task {task_id} stopped on request")
+                rec.status = "stopped"
             except Exception as e:  # pragma: no cover
                 logger.error(f"task {task_id} failed: {e}\n{traceback.format_exc()}")
                 rec.status = "failed"
@@ -204,4 +229,3 @@ class VideoGenerationService:
             finally:
                 with self._lock:
                     self._current[replica] = None
-                self._stop_flag.clear()

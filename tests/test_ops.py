@@ -33,6 +33,19 @@ class TestNorms:
         expected = xn / np.sqrt((xn**2).mean(-1, keepdims=True) + 1e-6) * np.asarray(w, np.float64)
         np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-5)
 
+    def test_rms_norm_bf16_scale_rounding_bounded(self):
+        """The bf16 input path applies inv-rms and weight in bf16 (keeps
+        the fp32 intermediate out of HBM — see rms_norm docstring). Pin
+        the cost of that double rounding: > 40 dB SNR vs the fp32-multiply
+        oracle, i.e. well under the bf16 noise the attention consumes."""
+        x = rand(64, 128, key=3, dtype=jnp.bfloat16)
+        w = rand(128, key=4) * 0.1 + 1.0
+        out = np.asarray(norms.rms_norm(x, w, eps=1e-6), np.float64)
+        xf = np.asarray(x, np.float64)
+        ref = xf / np.sqrt((xf**2).mean(-1, keepdims=True) + 1e-6) * np.asarray(w, np.float64)
+        snr = 10 * np.log10((ref**2).sum() / ((ref - out) ** 2).sum())
+        assert snr > 40.0, f"bf16 rms_norm SNR {snr:.1f} dB"
+
     def test_layer_norm_no_affine(self):
         x = rand(3, 8)
         out = norms.layer_norm(x, eps=1e-6)

@@ -123,6 +123,56 @@ def test_stop_when_idle(server):
     assert body["stop_status"] in ("do_nothing", "requested")
 
 
+def test_per_task_stop_interrupts_between_stages(tmp_path):
+    """Each task owns its stop event (service.py stop_running): stopping a
+    specific task interrupts its pipeline at the next stage boundary and
+    marks it 'stopped', without a shared flag another task could absorb."""
+    import threading
+
+    from lightx2v_tpu.runners.base_runner import DefaultRunner
+
+    started = threading.Event()
+    release = threading.Event()
+
+    class SlowRunner(DefaultRunner):
+        def __init__(self):
+            super().__init__({"save_video_path": str(tmp_path / "x.mp4")})
+
+        def init_modules(self):
+            pass  # no models needed; pipeline is stubbed below
+
+        def set_inputs(self, inputs):
+            pass
+
+        def run_input_encoder(self):
+            started.set()
+            assert release.wait(timeout=30)
+            return {}
+
+        def run_dit(self, encoder_out):  # must never be reached
+            raise AssertionError("stop did not interrupt before DiT")
+
+    svc = VideoGenerationService(SlowRunner, output_root=str(tmp_path))
+    try:
+        rec = svc.submit(TaskRequest(prompt="p"))
+        assert started.wait(timeout=30)
+        out = svc.stop_running(rec.request.task_id)
+        assert out["stop_status"] == "requested"
+        assert out["task_id"] == rec.request.task_id
+        release.set()
+        for _ in range(300):
+            if rec.status == "stopped":
+                break
+            time.sleep(0.1)
+        assert rec.status == "stopped"
+        # stopping it again is a no-op with a reason
+        out = svc.stop_running(rec.request.task_id)
+        assert out["stop_status"] == "do_nothing"
+    finally:
+        release.set()
+        svc.shutdown()
+
+
 def test_save_path_traversal_contained(tmp_path):
     """Client-supplied save_video_path must resolve under output_root
     (write-side mirror of the download traversal guard)."""
