@@ -10,6 +10,18 @@ is async — the transfer and the running block pipeline naturally, the
 role of the reference's prefetch/compute streams). HBM holds exactly two
 blocks plus activations.
 
+Feature composition (reference combines offload with caching and sparse
+attention freely):
+
+* TeaCache — pass ``tea`` to ``forward``: the decision runs host-side
+  per step (the host loop already syncs per block), and a skipped step
+  streams ZERO blocks — the whole-stack residual (staged in host RAM,
+  the analog of the reference's residual-to-CPU move under cpu_offload,
+  feature_caching/transformer_infer.py:50-51,134-139) is applied to the
+  pre_infer output and post_infer runs directly.
+* sparge / any attention op — ``self_attn_kwargs`` threads through to
+  the per-block attention call, including per-layer l1 budgets.
+
 The whole-loop ``lax.scan`` path stays the default; streaming activates
 with ``weight_streaming: true`` for over-HBM deployments.
 """
@@ -21,6 +33,7 @@ from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...ops.attention import attention
 from ...ops.linear import resolve_mm
@@ -33,8 +46,6 @@ Params = Dict[str, Any]
 def split_blocks_to_host(params: Params) -> Params:
     """Stacked (L, ...) block pytree -> list of per-block host (numpy)
     pytrees; the rest of the params stay on device."""
-    import numpy as np
-
     blocks = params["blocks"]
     num_layers = jax.tree_util.tree_leaves(blocks)[0].shape[0]
     host_blocks: List[Params] = []
@@ -47,11 +58,18 @@ def split_blocks_to_host(params: Params) -> Params:
 
 def make_streamed_forward(arch: WanArch, mm_type: str = "Default",
                           self_attn_type: str = "flash_attn3",
-                          cross_attn_type: str = "flash_attn3"):
+                          cross_attn_type: str = "flash_attn3",
+                          self_attn_kwargs: Optional[dict] = None):
     """Returns fn(params_with_host_blocks, latents, t, context, rope_cos,
-    rope_sin, **kw) -> noise prediction, streaming block weights."""
+    rope_sin, **kw) -> noise prediction, streaming block weights.
+
+    ``tea`` (optional dict {cfg: TeaCacheConfig, state, step, skipped})
+    enables whole-stack TeaCache under streaming; on a skipped step no
+    block is fetched. The caller owns the dict across steps."""
     mm_fn = resolve_mm(mm_type)
-    self_fn = partial(attention, self_attn_type)
+    kw = dict(self_attn_kwargs or {})
+    l1_per_layer = kw.pop("l1_per_layer", None)
+    self_fn = partial(attention, self_attn_type, **kw)
     cross_fn = partial(attention, cross_attn_type)
 
     @jax.jit
@@ -65,14 +83,48 @@ def make_streamed_forward(arch: WanArch, mm_type: str = "Default",
         return wan_block(block, x, embed0, ctx, ctx_img, rope_cos, rope_sin,
                          arch, mm_fn, self_fn, cross_fn)
 
+    @partial(jax.jit, donate_argnums=(1,))
+    def block_step_l1(block, x, embed0, ctx, ctx_img, rope_cos, rope_sin, l1):
+        return wan_block(block, x, embed0, ctx, ctx_img, rope_cos, rope_sin,
+                         arch, mm_fn, partial(self_fn, l1=l1), cross_fn)
+
     @partial(jax.jit, static_argnums=(3, 4))
     def post(params_small, x, embed, grid, s_tokens):
         return wan_post_process(params_small, x, embed, grid, s_tokens, arch)
 
+    def _tea_should_calc(tea, embed, embed0) -> bool:
+        """Host-side per-step decision with the resident path's exact
+        semantics (caching/teacache.py tea_decide: per-side accumulators,
+        conservative joint decision)."""
+        from ...caching.teacache import init_tea_state, tea_decide
+
+        if tea["state"] is None:
+            mod = (embed0 if tea["cfg"].use_ret_steps else embed)
+            # x-shaped residual slot is host-staged, not part of this state
+            tea["state"] = {"prev_mod": jnp.zeros_like(mod, dtype=jnp.float32),
+                            "accum": jnp.zeros((mod.shape[0],), jnp.float32),
+                            "prev_residual": jnp.zeros((1,), jnp.bfloat16)}
+        should, tea["state"] = tea_decide(tea["state"], embed, embed0,
+                                          jnp.asarray(tea["step"]), tea["cfg"])
+        return bool(should)
+
     def forward(params, latents, t, context, rope_cos, rope_sin,
-                y=None, clip_fea=None):
+                y=None, clip_fea=None, tea=None):
         small = {k: v for k, v in params.items() if k != "blocks"}
         blocks = params["blocks"]  # list of host pytrees OR a BlockPrefetcher
+        pt, ph, pw = arch.patch_size
+        grid = (latents.shape[2] // pt, latents.shape[3] // ph, latents.shape[4] // pw)
+        s_tokens = grid[0] * grid[1] * grid[2]
+        x, embed, embed0, ctx_e, ctx_img = pre(small, latents, t, context, y=y, clip_fea=clip_fea)
+
+        if tea is not None:
+            should = _tea_should_calc(tea, embed, embed0)
+            if not should and "residual" in tea:
+                # skipped step: zero block fetches; host-staged residual
+                tea["skipped"] += 1
+                x = x + jnp.asarray(tea["residual"]).astype(x.dtype)
+                return post(small, x, embed, grid, s_tokens)
+
         if hasattr(blocks, "get"):  # disk tier: prefetcher pops blocks
             n_blocks = blocks.store.num_blocks()
             blocks.schedule(range(n_blocks))
@@ -80,16 +132,23 @@ def make_streamed_forward(arch: WanArch, mm_type: str = "Default",
         else:
             n_blocks = len(blocks)
             fetch = blocks.__getitem__
-        pt, ph, pw = arch.patch_size
-        grid = (latents.shape[2] // pt, latents.shape[3] // ph, latents.shape[4] // pw)
-        s_tokens = grid[0] * grid[1] * grid[2]
-        x, embed, embed0, ctx_e, ctx_img = pre(small, latents, t, context, y=y, clip_fea=clip_fea)
+        # separate buffer: block_step donates x's buffer on the first call
+        x_in = jnp.copy(x) if tea is not None else None
         # double-buffered streaming: put(i+1) overlaps block i compute
         dev_block = jax.device_put(fetch(0))
         for i in range(n_blocks):
             nxt = jax.device_put(fetch(i + 1)) if i + 1 < n_blocks else None
-            x = block_step(dev_block, x, embed0, ctx_e, ctx_img, rope_cos, rope_sin)
+            if l1_per_layer is not None:
+                x = block_step_l1(dev_block, x, embed0, ctx_e, ctx_img,
+                                  rope_cos, rope_sin,
+                                  jnp.float32(l1_per_layer[i]))
+            else:
+                x = block_step(dev_block, x, embed0, ctx_e, ctx_img, rope_cos, rope_sin)
             dev_block = nxt
+        if tea is not None:
+            # whole-stack residual to host RAM (reference moves it to CPU
+            # under cpu_offload)
+            tea["residual"] = np.asarray((x - x_in).astype(jnp.bfloat16))
         return post(small, x, embed, grid, s_tokens)
 
     return forward

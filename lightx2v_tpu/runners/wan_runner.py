@@ -269,14 +269,16 @@ class WanRunner(DefaultRunner):
         if self.config.get("weight_streaming") or self.config.get("cpu_offload") \
                 or self.config.get("lazy_load"):
             # reference parity: cpu_offload selects the block-offload path,
-            # lazy_load adds the disk tier (set_config.py defaults)
-            dropped = [k for k, v in (("feature_caching", self.config.get("feature_caching")),
-                                      ("mesh_shape", self.config.get("mesh_shape")),
-                                      ("sparge", self.config.get("sparge"))) if v and v != "NoCaching"]
+            # lazy_load adds the disk tier (set_config.py defaults).
+            # TeaCache and sparge compose with streaming (the reference
+            # combines them freely, feature_caching/transformer_infer.py:50-51
+            # + offload/manager.py); mesh and the Taylor-family caches still
+            # require the resident path — say so instead of silently running
+            fc = self.config.get("feature_caching", "NoCaching")
+            dropped = [k for k, v in (("mesh_shape", self.config.get("mesh_shape")),
+                                      ("feature_caching(Taylor/Ada/Custom)",
+                                       fc if fc not in ("NoCaching", "Tea") else None)) if v]
             if dropped:
-                # the reference combines offload with these freely; the
-                # streamed loop here does not implement them yet — say so
-                # instead of silently running without
                 logger.warning(f"streamed (offload) path ignores {dropped} — "
                                "these features currently require the resident path")
             return self._run_dit_streamed(encoder_out)
@@ -292,36 +294,7 @@ class WanRunner(DefaultRunner):
                               devices=self._mesh_devices())
             sp_size = dict(self.config["mesh_shape"]).get("sp", 1)
 
-        attn_default = self.config.get("attention_impl") or self.config.get("self_attn_1_type", "flash_attn3")
-        if self.config.get("sparge"):
-            # reference gates sparge per-block on config["sparge"] and loads
-            # tuned (l1, pv_l1) from sparge_ckpt (transformer_weights.py:183-190);
-            # the TPU meansim analog (ops/sparge.py) needs no checkpoint
-            attn_default = "sparge"
-        cross_attn = self.config.get("cross_attn_1_type", attn_default)
-        if cross_attn in ("radial_attn", "sparge"):
-            cross_attn = "flash_attn3"  # sparse masks apply to video self-attn only
-        self_attn_kwargs = None
-        if attn_default == "sparge":
-            self_attn_kwargs = {
-                "keep_ratio": float(self.config.get("sparge_keep_ratio", 0.3)),
-                "l1": float(self.config.get("sparge_l1", 0.07)),
-                "block_q": int(self.config.get("sparse_block_q", 2048)),
-                "block_k": int(self.config.get("sparse_block_k", 1024)),
-            }
-            # per-layer tuned budgets, the reference's sparge_ckpt analog:
-            # either an inline list or an .npz with an "l1" (L,) array
-            per_layer = self.config.get("sparge_l1_per_layer")
-            if not per_layer and self.config.get("sparge_ckpt"):
-                import numpy as _np
-
-                per_layer = _np.load(self.config["sparge_ckpt"])["l1"]
-            if per_layer is not None:
-                per_layer = list(map(float, per_layer))
-                assert len(per_layer) == self.arch.num_layers, (
-                    f"sparge l1 table has {len(per_layer)} entries, "
-                    f"model has {self.arch.num_layers} layers")
-                self_attn_kwargs["l1_per_layer"] = per_layer
+        attn_default, cross_attn, self_attn_kwargs = self._self_attn_setup()
         if attn_default == "radial_attn":
             from ..ops.radial import MaskMap
 
@@ -448,6 +421,41 @@ class WanRunner(DefaultRunner):
         save_stats(stats, out_path)
         logger.info(f"calibration stats written to {out_path}")
 
+    def _self_attn_setup(self):
+        """Resolve (self_attn_type, cross_attn_type, self_attn_kwargs) from
+        config — shared by the resident and streamed paths. The reference
+        gates sparge per-block on config["sparge"] and loads tuned
+        (l1, pv_l1) from sparge_ckpt (transformer_weights.py:183-190); the
+        TPU meansim analog (ops/sparge.py) needs no checkpoint."""
+        attn_default = self.config.get("attention_impl") or self.config.get("self_attn_1_type", "flash_attn3")
+        if self.config.get("sparge"):
+            attn_default = "sparge"
+        cross_attn = self.config.get("cross_attn_1_type", attn_default)
+        if cross_attn in ("radial_attn", "sparge"):
+            cross_attn = "flash_attn3"  # sparse masks apply to video self-attn only
+        self_attn_kwargs = None
+        if attn_default == "sparge":
+            self_attn_kwargs = {
+                "keep_ratio": float(self.config.get("sparge_keep_ratio", 0.3)),
+                "l1": float(self.config.get("sparge_l1", 0.07)),
+                "block_q": int(self.config.get("sparse_block_q", 2048)),
+                "block_k": int(self.config.get("sparse_block_k", 1024)),
+            }
+            # per-layer tuned budgets, the reference's sparge_ckpt analog:
+            # either an inline list or an .npz with an "l1" (L,) array
+            per_layer = self.config.get("sparge_l1_per_layer")
+            if not per_layer and self.config.get("sparge_ckpt"):
+                import numpy as _np
+
+                per_layer = _np.load(self.config["sparge_ckpt"])["l1"]
+            if per_layer is not None:
+                per_layer = list(map(float, per_layer))
+                assert len(per_layer) == self.arch.num_layers, (
+                    f"sparge l1 table has {len(per_layer)} entries, "
+                    f"model has {self.arch.num_layers} layers")
+                self_attn_kwargs["l1_per_layer"] = per_layer
+        return attn_default, cross_attn, self_attn_kwargs
+
     def _run_dit_streamed(self, encoder_out: Dict[str, Any]):
         """Weight streaming for over-HBM models (the reference's offload
         tiers). Two modes:
@@ -461,7 +469,14 @@ class WanRunner(DefaultRunner):
 
         CFG runs batched (cond/uncond in one pass) so the weights stream
         ONCE per step — half the disk/PCIe traffic of the reference's
-        sequential double pass."""
+        sequential double pass.
+
+        Composes with TeaCache (``feature_caching: "Tea"``) and sparge: a
+        Tea-skipped step applies the cached whole-stack residual and
+        FETCHES NO BLOCKS — the streaming analog of the reference's
+        caching x offload composition (feature_caching/transformer_infer
+        .py:50-51 under offload/manager.py). The residual is staged in
+        HOST RAM (the reference moves it to CPU under cpu_offload)."""
         from ..models.wan.pipeline import rope_for_shape
         from ..models.wan.streaming import make_streamed_forward, split_blocks_to_host
 
@@ -471,9 +486,17 @@ class WanRunner(DefaultRunner):
         self.scheduler = scheduler
         state = scheduler.prepare(target_shape, int(cfg.get("seed", 42)))
         rope_cos, rope_sin, _ = rope_for_shape(self.arch, target_shape)
-        attn = cfg.get("attention_impl") or cfg.get("self_attn_1_type", "flash_attn3")
+        attn, cross_attn, self_attn_kwargs = self._self_attn_setup()
         fwd = make_streamed_forward(self.arch, mm_type=self.mm_type,
-                                    self_attn_type=attn, cross_attn_type=attn)
+                                    self_attn_type=attn, cross_attn_type=cross_attn,
+                                    self_attn_kwargs=self_attn_kwargs)
+
+        tea = None
+        if cfg.get("feature_caching") == "Tea":
+            from ..caching.teacache import TeaCacheConfig
+
+            tea = {"cfg": TeaCacheConfig.from_config(cfg), "state": None, "skipped": 0}
+            self._tea_stats = tea  # observability (tests, profiling)
 
         prefetcher = None
         if cfg.get("lazy_load"):
@@ -504,7 +527,9 @@ class WanRunner(DefaultRunner):
         guide = float(cfg.get("sample_guide_scale", 5.0))
 
         try:
-            for _ in range(scheduler.num_steps()):
+            for step in range(scheduler.num_steps()):
+                if tea is not None:
+                    tea["step"] = step
                 lat, t = scheduler.step_pre(state)
                 lat_b, tb = lat[None], t[None].astype(jnp.float32)
                 if enable_cfg:
@@ -513,12 +538,16 @@ class WanRunner(DefaultRunner):
                     ctx2 = jnp.concatenate([teo["context"], teo["context_null"]], axis=0)
                     y2 = None if y is None else jnp.concatenate([y, y], axis=0)
                     c2 = None if clip_fea is None else jnp.concatenate([clip_fea, clip_fea], axis=0)
-                    out = fwd(host_params, lat2, t2, ctx2, rope_cos, rope_sin, y=y2, clip_fea=c2)
+                    out = fwd(host_params, lat2, t2, ctx2, rope_cos, rope_sin, y=y2, clip_fea=c2,
+                              tea=tea)
                     pred = out[1] + guide * (out[0] - out[1])
                 else:
                     pred = fwd(host_params, lat_b, tb, teo["context"], rope_cos, rope_sin,
-                               y=y, clip_fea=clip_fea)[0]
+                               y=y, clip_fea=clip_fea, tea=tea)[0]
                 state = scheduler.step_post(state, pred)
+            if tea is not None and tea["skipped"]:
+                logger.info(f"TeaCache(streamed): skipped {tea['skipped']}/"
+                            f"{scheduler.num_steps()} steps (no block fetches on skips)")
         finally:
             if prefetcher is not None:
                 prefetcher.close()

