@@ -10,9 +10,10 @@ conditioning image path follows the i2v recipe.
 Audio features come from encoders/audio.py (HF wav2vec-class model when
 ``audio_encoder_path``/``model_path`` is configured, waveform-envelope
 fallback otherwise). Multi-segment generation with previous-latent
-conditioning is implemented below (see run_dit's segment loop); the audio track is
-muxed with the video into a single RIFF-AVI container (MJPG + PCM16,
-utils/media.mux_avi_pcm — the no-ffmpeg analog of the reference's mux).
+conditioning is implemented below (see run_dit's segment loop); the audio
+track is muxed with the video into a single MP4 container (MJPEG + sowt
+PCM16, utils/media.mux_mp4_pcm — the no-ffmpeg analog of the reference's
+ffmpeg mp4 mux; RIFF-AVI fallback via ``mux_container: "avi"``).
 """
 
 from __future__ import annotations
@@ -230,8 +231,8 @@ class WanAudioRunner(WanRunner):
         """Segmented long-form generation when ``video_duration`` exceeds one
         segment (reference wan_audio_runner.py:440-583): 81-frame windows
         with a 5-frame conditioned overlap; per-segment audio windows are
-        stitched and muxed with the frames into one .avi container
-        (the reference muxes mp4+AAC with ffmpeg, not in this image)."""
+        stitched and muxed with the frames into one .mp4 container
+        (see _mux_av; the reference muxes mp4+AAC with ffmpeg)."""
         cfg = self.config
         fps = float(cfg.get("target_fps", cfg.get("fps", 16)))
         max_frames = int(cfg.get("target_video_length", 81))
@@ -245,7 +246,10 @@ class WanAudioRunner(WanRunner):
         audio_frames = int(len(waveform) / sr * fps)
         expected = min(max(1, int(float(duration) * fps)), audio_frames)
         if expected <= max_frames:
-            return super().run_pipeline(save_video)
+            frames = super().run_pipeline(save_video)
+            if save_video and frames is not None:
+                self._mux_av(frames, waveform[: round(len(frames) * sr / fps)], sr)
+            return frames
 
         prev_f = 5
         interval_num = max(int((expected - max_frames) / (max_frames - prev_f)) + 1, 1)
@@ -288,14 +292,24 @@ class WanAudioRunner(WanRunner):
         if save_video:
             save_path = cfg.get("save_video_path", "./output.mp4")
             self.save_video(video, save_path)
-            merged = np.concatenate(audio_slices)
-            # single-container a/v mux (reference uses ffmpeg -> mp4+AAC,
-            # wan_audio_runner.py:560-575; no ffmpeg here, so a pure-python
-            # RIFF-AVI with MJPG video + interleaved PCM16)
-            from ..utils.media import mux_avi_pcm
-
-            avi = os.path.splitext(save_path)[0] + ".avi"
-            mux_avi_pcm(video, merged, sr, avi,
-                        fps=int(cfg.get("target_fps", cfg.get("fps", 16))))
-            logger.info(f"saved muxed a/v container to {avi}")
+            self._mux_av(video, np.concatenate(audio_slices), sr)
         return video
+
+    def _mux_av(self, video: np.ndarray, audio: np.ndarray, sr: int) -> str:
+        """Single-container a/v mux into MP4 (deliverable parity with the
+        reference's ffmpeg mux, wan_audio_runner.py:560-575): pure-python
+        ISO BMFF with MJPEG video + sowt PCM16 audio tracks. RIFF-AVI
+        kept as a fallback knob (``mux_container: "avi"``)."""
+        from ..utils.media import mux_avi_pcm, mux_mp4_pcm
+
+        cfg = self.config
+        save_path = cfg.get("save_video_path", "./output.mp4")
+        mux_fps = int(cfg.get("target_fps", cfg.get("fps", 16)))
+        if cfg.get("mux_container", "mp4") == "avi":
+            out = mux_avi_pcm(video, audio, sr,
+                              os.path.splitext(save_path)[0] + ".avi", fps=mux_fps)
+        else:
+            out = mux_mp4_pcm(video, audio, sr,
+                              os.path.splitext(save_path)[0] + ".av.mp4", fps=mux_fps)
+        logger.info(f"saved muxed a/v container to {out}")
+        return out

@@ -310,17 +310,14 @@ def test_audio_multisegment_pipeline(tmp_path):
     assert frames.shape[0] >= 13
     assert np.isfinite(frames).all()
     assert (tmp_path / "long.mp4").is_file()
-    # a/v muxed into one RIFF-AVI container (utils/media.mux_avi_pcm)
-    raw = (tmp_path / "long.avi").read_bytes()
-    assert raw[:4] == b"RIFF" and raw[8:12] == b"AVI " and b"01wb" in raw
-    # merged audio length: walk the 01wb chunks (~>0.5s of PCM16)
+    # a/v muxed into one MP4 container (utils/media.mux_mp4_pcm): ISO BMFF
+    # with a sowt PCM16 audio track carrying > 0.5 s of audio
     import struct
 
-    movi, end = raw.index(b"movi") + 4, raw.index(b"idx1")
-    audio_bytes, i = 0, raw.index(b"movi") + 4
-    while i < end - 8:
-        cc, size = raw[i:i + 4], struct.unpack("<I", raw[i + 4:i + 8])[0]
-        if cc == b"01wb":
-            audio_bytes += size
-        i += 8 + size + (size & 1)
-    assert audio_bytes // 2 > 8000
+    raw = (tmp_path / "long.av.mp4").read_bytes()
+    assert raw[4:8] == b"ftyp" and b"moov" in raw and b"sowt" in raw
+    # the audio stsz full box (constant sample size 2) records n_samples
+    i = raw.index(b"sowt")
+    j = raw.index(b"stsz", i)
+    _ver_flags, sz, n_samples = struct.unpack(">III", raw[j + 4:j + 16])
+    assert sz == 2 and n_samples > 8000

@@ -101,3 +101,84 @@ def test_compile_cache_setup(tmp_path, monkeypatch):
         assert _os.path.isdir(d)
     finally:
         jax.config.update("jax_compilation_cache_dir", None)
+
+
+# ---------------------------------------------------------------- mp4 a/v mux
+
+
+def _walk_boxes(buf, start, end):
+    """Minimal independent ISO-BMFF box walker -> [(fourcc, payload_start,
+    payload_end)] at one nesting level."""
+    import struct
+
+    out = []
+    i = start
+    while i + 8 <= end:
+        size = struct.unpack(">I", buf[i:i + 4])[0]
+        out.append((buf[i + 4:i + 8], i + 8, i + size))
+        i += size
+    return out
+
+
+def test_mux_mp4_video_track_decodes(tmp_path):
+    """cv2 (libavformat) must demux + decode the MJPEG video track of the
+    hand-built mp4 — an independent demuxer validating the container."""
+    cv2 = pytest.importorskip("cv2")
+    from lightx2v_tpu.utils.media import mux_mp4_pcm
+
+    # smooth gradient pattern (JPEG-friendly; noise would swamp the
+    # lossy-fidelity check below)
+    yy, xx = np.mgrid[0:64, 0:96].astype(np.float32)
+    base = np.stack([xx / 95, yy / 63, (xx + yy) / 158], axis=-1) * 2 - 1
+    frames = np.stack([np.roll(base, 3 * i, axis=1) for i in range(12)])
+    sr = 8000
+    audio = np.sin(np.linspace(0, 2 * np.pi * 330 * 0.75, int(sr * 0.75))).astype(np.float32)
+    p = mux_mp4_pcm(frames, audio, sr, str(tmp_path / "av.mp4"), fps=16)
+    cap = cv2.VideoCapture(p)
+    n = 0
+    first = None
+    while True:
+        ok, fr = cap.read()
+        if not ok:
+            break
+        if first is None:
+            first = fr
+        n += 1
+    assert n == 12
+    assert first.shape == (64, 96, 3)
+    assert cap.get(cv2.CAP_PROP_FPS) == 16.0
+    # decoded JPEG ~ original frame (lossy bound)
+    want = np.clip((frames[0] + 1) / 2 * 255 + 0.5, 0, 255).astype(np.uint8)
+    got = cv2.cvtColor(first, cv2.COLOR_BGR2RGB)
+    assert np.abs(got.astype(float) - want.astype(float)).mean() < 12
+
+
+def test_mux_mp4_audio_track_recoverable(tmp_path):
+    """The sowt track's stco/stsz must index PCM bytes that round-trip
+    bit-exactly (what any demuxer does to play the audio)."""
+    import struct
+
+    from lightx2v_tpu.utils.media import mux_mp4_pcm
+
+    frames = _frames(t=4)
+    audio = ((np.arange(5000) % 512) - 256).astype(np.int16)
+    p = mux_mp4_pcm(frames, audio, 16000, str(tmp_path / "av.mp4"), fps=16)
+    raw = open(p, "rb").read()
+
+    top = {cc: (a, b) for cc, a, b in _walk_boxes(raw, 0, len(raw))}
+    assert set(top) >= {b"ftyp", b"mdat", b"moov"}
+    moov = _walk_boxes(raw, *top[b"moov"])
+    traks = [(a, b) for cc, a, b in moov if cc == b"trak"]
+    assert len(traks) == 2
+    # find the audio trak (contains 'sowt') and read its stsz/stco
+    audio_trak = next((a, b) for a, b in traks if b"sowt" in raw[a:b])
+    a, b = audio_trak
+    j = raw.index(b"stsz", a, b)
+    _vf, sz, n = struct.unpack(">III", raw[j + 4:j + 16])
+    k = raw.index(b"stco", a, b)
+    _vf2, n_chunks, off = struct.unpack(">III", raw[k + 4:k + 16])
+    assert sz == 2 and n == 5000 and n_chunks == 1
+    pcm = raw[off:off + sz * n]
+    np.testing.assert_array_equal(np.frombuffer(pcm, "<i2"), audio)
+    # PCM must live inside mdat
+    assert top[b"mdat"][0] <= off and off + sz * n <= top[b"mdat"][1]
