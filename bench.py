@@ -189,9 +189,19 @@ def run_e2e(arch, params, target, mm_type, attn, steps, preset="14b", scheme="bf
         infer_steps=4, denoising_step_list=[1000, 750, 500, 250], sample_shift=5.0)
     sched = WanStepDistillScheduler(sched_cfg)
     state0 = sched.prepare(target, seed=42)
+    cross = "flash_attn3" if attn in ("sparge", "radial_attn") else attn
+    self_attn_kwargs = None
+    if attn == "sparge":
+        self_attn_kwargs = {
+            "keep_ratio": float(os.environ.get("BENCH_SPARGE_KEEP", 0.3)),
+            "l1": 0.07,
+            "block_q": int(os.environ.get("BENCH_SPARSE_BQ", 2048)),
+            "block_k": int(os.environ.get("BENCH_SPARSE_BK", 1024)),
+        }
     denoise = make_denoise_fn(
         arch, sched, target, enable_cfg=False, mm_type=mm_type,
-        self_attn_type=attn, cross_attn_type=attn,
+        self_attn_type=attn, cross_attn_type=cross,
+        self_attn_kwargs=self_attn_kwargs,
     )
     rng = np.random.default_rng(0)
     context = jnp.asarray(rng.standard_normal((1, arch.text_len, arch.text_dim)) * 0.1, jnp.bfloat16)

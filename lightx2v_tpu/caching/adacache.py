@@ -27,7 +27,7 @@ MOREG_HYP = (0.385, 8.0, 1.0)
 MOGRAD_MUL = 10.0
 
 
-def init_ada_state(x_shape, dtype=jnp.bfloat16) -> Dict:
+def init_ada_state(x_shape, dtype=jnp.bfloat16, metric_scale: float = 1.0) -> Dict:
     return {
         "prev_residual": jnp.zeros(x_shape, dtype),
         "prev_tiny": jnp.zeros(x_shape, jnp.float32),
@@ -35,12 +35,24 @@ def init_ada_state(x_shape, dtype=jnp.bfloat16) -> Dict:
         "prev_moreg": jnp.asarray(1.0, jnp.float32),
         "skipped_len": jnp.asarray(1.0, jnp.float32),
         "skip_until": jnp.asarray(0, jnp.int32),
+        "calc_count": jnp.asarray(0, jnp.int32),  # observability/calibration
+        # carried (traced) so calibration probes re-run one compiled
+        # program with different scales instead of recompiling
+        "metric_scale": jnp.asarray(metric_scale, jnp.float32),
     }
 
 
 def ada_skip_length(state: Dict, now_tiny: jnp.ndarray, step_index, n_steps: int,
                     tokens_per_frame: int) -> Tuple[jnp.ndarray, Dict]:
-    """reference calculate_skip_step_length (:389-433). now_tiny: (B,S,D)."""
+    """reference calculate_skip_step_length (:389-433). now_tiny: (B,S,D).
+
+    ``state["metric_scale"]`` calibrates the decision metric's operating
+    point: the codebook thresholds were fit on trained-checkpoint feature
+    dynamics; on synthetic benchmark weights the raw metric collapses to
+    the longest skips, so the bench bisects a scale that reproduces the
+    reference's published calc fraction before timing
+    (scripts/bench/bench_caching.py, mirroring the TeaCache threshold
+    calibration)."""
     res = now_tiny.astype(jnp.float32)
     cache = state["prev_tiny"]
     l1 = lambda t: jnp.sum(jnp.abs(t))
@@ -54,7 +66,7 @@ def ada_skip_length(state: Dict, now_tiny: jnp.ndarray, step_index, n_steps: int
     moreg_on = (step_index >= int(0.1 * n_steps)) & (step_index <= int(0.9 * n_steps))
     moreg = jnp.where(moreg_on, ((moreg_raw / MOREG_HYP[0]) ** MOREG_HYP[1]) / MOREG_HYP[2], 1.0)
     mograd = MOGRAD_MUL * (moreg - state["prev_moreg"]) / state["skipped_len"]
-    metric = cache_diff * (moreg + jnp.abs(mograd))
+    metric = cache_diff * (moreg + jnp.abs(mograd)) * state["metric_scale"]
 
     rate = jnp.asarray(CODEBOOK_RATES[-1], jnp.float32)
     for t, r in zip(reversed(CODEBOOK_THRESH), reversed(CODEBOOK_RATES[:-1])):

@@ -59,6 +59,13 @@ def taylor_calc_step(params, x, embed0, ctx, ctx_img, rope_cos, rope_sin, arch: 
     (reference derivative_approximation)."""
     mm_fn = resolve_mm(mm_type)
 
+    def store(y, dtype):
+        # fp8 caches (full-token 480P on 16 GB HBM): saturate explicitly —
+        # XLA's convert to e4m3fn maps out-of-range to NaN, not max
+        if dtype == jnp.float8_e4m3fn:
+            y = jnp.clip(y.astype(jnp.float32), -448.0, 448.0)
+        return y.astype(dtype)
+
     def body(carry, layer):
         xc = carry
         block, c_self, c_cross, c_ffn = layer
@@ -68,7 +75,7 @@ def taylor_calc_step(params, x, embed0, ctx, ctx_img, rope_cos, rope_sin, arch: 
         new = {}
         for name, y, c in (("self_attn", y_self, c_self), ("cross_attn", y_cross, c_cross), ("ffn", y_ffn, c_ffn)):
             f1 = (y.astype(jnp.float32) - c["f0"].astype(jnp.float32)) / step_diff
-            new[name] = {"f0": y.astype(c["f0"].dtype), "f1": f1.astype(c["f1"].dtype)}
+            new[name] = {"f0": store(y, c["f0"].dtype), "f1": store(f1, c["f1"].dtype)}
         return xc, (new["self_attn"], new["cross_attn"], new["ffn"])
 
     x, (cs, cc, cf) = jax.lax.scan(

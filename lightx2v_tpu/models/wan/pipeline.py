@@ -90,6 +90,17 @@ def make_denoise_fn(
         tea_cfg = TeaCacheConfig.from_config(caching_config) if caching_config is not None else TeaCacheConfig()
     use_taylor = feature_caching == "TaylorSeer"
     use_ada = feature_caching == "Ada"
+    ada_cfg_scale = float(caching_config.get("ada_metric_scale", 1.0)) \
+        if caching_config is not None else 1.0
+    # TaylorSeer/Custom cache dtype: "fp8" quarters the 6*L*S*D cache
+    # footprint vs fp32 (and halves bf16), letting the FULL-token 480P
+    # cache fit one 16 GB v5e (the reference holds bf16 caches on an
+    # 80 GB H200, cache_source.md:49-71); e4m3 range covers module
+    # outputs, derivative entries lose <0.5% relative
+    _tdt = (caching_config.get("taylor_cache_dtype", "bf16")
+            if caching_config is not None else "bf16")
+    taylor_dtype = {"bf16": jnp.bfloat16, "fp8": jnp.float8_e4m3fn,
+                    "fp32": jnp.float32}[str(_tdt)]
     # Custom = TeaCache's rel-L1 decision + TaylorSeer's per-module
     # extrapolation on skipped steps (reference
     # WanTransformerInferCustomCaching, feature_caching/transformer_infer.py:522-620)
@@ -236,6 +247,7 @@ def make_denoise_fn(
                 c = dict(c)
                 c["prev_residual"] = (x_out - x_in).astype(c["prev_residual"].dtype)
                 _, c = ada_skip_length(c, tiny, i, n_steps_static, tokens_per_frame)
+                c["calc_count"] = c["calc_count"] + 1
                 return x_out, c
 
             def skip(op):
@@ -259,16 +271,16 @@ def make_denoise_fn(
             mod_shape = (batch, 6, d) if tea_cfg.use_ret_steps else (batch, d)
             return {
                 "tea": init_tea_state((batch, seq_len, d), mod_shape),
-                "taylor": init_taylor_cache(arch, batch, seq_len),
+                "taylor": init_taylor_cache(arch, batch, seq_len, dtype=taylor_dtype),
                 "last_calc": jnp.asarray(0, jnp.int32),
             }
         if tea_cfg is not None:
             mod_shape = (batch, 6, d) if tea_cfg.use_ret_steps else (batch, d)
             return init_tea_state((batch, seq_len, d), mod_shape)
         if use_taylor:
-            return init_taylor_cache(arch, batch, seq_len)
+            return init_taylor_cache(arch, batch, seq_len, dtype=taylor_dtype)
         if use_ada:
-            return init_ada_state((batch, seq_len, d))
+            return init_ada_state((batch, seq_len, d), metric_scale=ada_cfg_scale)
         return {}
 
     n_steps = num_steps if num_steps is not None else scheduler.num_steps()

@@ -122,15 +122,49 @@ def make_sharded_transformer(
     rope_spec = P("sp", None)
 
     def transformer_fn(blocks, x, embed0, context, context_img, cos, sin):
+        block_spec = _expand_quant_specs(blocks, rep, tp) if tp > 1 else rep
         return jax.shard_map(
             transformer,
             mesh=mesh,
-            in_specs=(rep, xspec, bspec, bspec, bspec, rope_spec, rope_spec),
+            in_specs=(block_spec, xspec, bspec, bspec, bspec, rope_spec, rope_spec),
             out_specs=xspec,
             check_vma=False,
         )(blocks, x, embed0, context, context_img, cos, sin)
 
     return transformer_fn
+
+
+def _expand_quant_specs(blocks, template, tp: int):
+    """Fill the hand-written tp spec template out to the ACTUAL block
+    pytree: quantized linears carry extra leaves (``w_scale``, smooth-quant
+    factors) the template doesn't know. Scales follow their weight's
+    sharding on matching dims — per-channel (L, out) scales take the
+    template's first two w entries; group scales (L, out, nk) take all
+    three (replicated on the group dim when tp doesn't divide nk, which is
+    exact: a group then spans shards and every shard needs its scale)."""
+
+    def rec(b, t):
+        if not isinstance(b, dict):
+            return t if isinstance(t, P) else P()
+        tdict = t if isinstance(t, dict) else {}
+        w_spec = tdict.get("w")
+        out = {}
+        for k, v in b.items():
+            if k in tdict:
+                out[k] = rec(v, tdict[k])
+            elif k == "w_scale" and isinstance(w_spec, P) and v is not None:
+                nd = getattr(v, "ndim", len(getattr(v, "shape", ())))
+                spec = tuple(w_spec)[:nd] + (None,) * max(0, nd - len(tuple(w_spec)))
+                if nd == 3 and spec[2] is not None and v.shape[2] % tp:
+                    spec = (spec[0], spec[1], None)
+                out[k] = P(*spec)
+            elif isinstance(v, dict):
+                out[k] = rec(v, {})
+            else:
+                out[k] = P()  # replicate unknown leaves (smooth factors etc.)
+        return out
+
+    return rec(blocks, template)
 
 
 def wan_forward_sharded(

@@ -35,7 +35,11 @@ BN = 256
 def _pick_bk(kin: int, bk: int = BK) -> int:
     while bk > 128 and kin % bk:
         bk //= 2
-    assert kin % bk == 0, f"in_features {kin} not divisible by any group <= {BK}"
+    if kin % bk:
+        # tiny matrices (test arches, encoder side layers): one group per
+        # row — the Pallas kernel never sees these (size-aware dispatch
+        # falls back to the jnp path below its threshold)
+        bk = kin
     return bk
 
 

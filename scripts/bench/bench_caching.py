@@ -103,33 +103,76 @@ def main():
                                               "of": steps, "target_frac": frac}}), flush=True)
         return best
 
+    def calibrate_ada_scale(step_fn, init_cache, state0, target_calc_frac=None):
+        """Bisect the Ada metric scale so the calc fraction matches the
+        reference's published operating point (2.73x I2V speedup =>
+        ~0.37 of steps compute, cache_source.md:77-100). calc_count rides
+        the cache carry, and metric_scale is a TRACED cache scalar, so
+        every probe reuses one compiled program."""
+        frac = target_calc_frac or float(os.environ.get("BENCH_ADA_CALC_FRAC", 0.37))
+
+        def calc_frac(scale):
+            st, cache = state0, init_cache()
+            cache = dict(cache)
+            cache["metric_scale"] = jnp.asarray(scale, jnp.float32)
+            for _ in range(steps):
+                st, cache = step_fn(params, st, cache, ctx, ctx_null, None, None)
+            return int(cache["calc_count"]) / steps
+
+        lo, hi = 1e-3, 1e5
+        f_lo, f_hi = calc_frac(lo), calc_frac(hi)
+        best, best_d = 1.0, 1e9
+        for _ in range(10):
+            mid = float(np.sqrt(lo * hi))
+            f_mid = calc_frac(mid)
+            d = abs(f_mid - frac)
+            if d < best_d:
+                best, best_d, best_f = mid, d, f_mid
+            if f_mid < frac:
+                lo = mid
+            else:
+                hi = mid
+            if d < 0.02:
+                break
+        print(json.dumps({"ada_calibration": {"metric_scale": round(best, 5),
+                                              "calc_frac": round(best_f, 3),
+                                              "target_frac": frac,
+                                              "frac_at_bounds": [f_lo, f_hi]}}), flush=True)
+        return best
+
     modes = sys.argv[1:] or ["NoCaching", "Tea", "TaylorSeer", "Ada", "Custom"]
     baselines = {}
     if os.environ.get("BENCH_BASE_S"):  # inject a known full-shape baseline
-        baselines[target] = float(os.environ["BENCH_BASE_S"])
+        baselines[(target, True)] = float(os.environ["BENCH_BASE_S"])
     results = {}
     tea_thresh = None
+    ada_scale = None
     for mode in modes:
         shape = target
         label = mode
-        if mode in ("TaylorSeer", "Custom"):
-            # per-module value+derivative caches are O(L * 3 * B * S * D)
-            # — ~16 GB at 1.3B/480P/CFG and still 503 MB over one v5e's
-            # 15.75 GB at quarter tokens (the reference measures these on
-            # an 80 GB H200). Measure the mechanism at eighth tokens.
-            shape = (target[0], target[1], target[2] // 2, target[3] // 4)
-            label = f"{mode}@eighth-tokens"
+        cfg_extra = {}
+        # Taylor-family caches are 6 * L * S * D values; at bf16/CFG that
+        # exceeds one v5e at full 480P tokens (reference measures on an
+        # 80 GB H200). fp8 cache entries + single-sided (B=1) denoise keep
+        # the FULL token count on 16 GB — measured against a B=1 baseline,
+        # so the speedup stays like-for-like at the real sequence length.
+        taylor_full = mode in ("TaylorSeer", "Custom") and \
+            os.environ.get("BENCH_TAYLOR_FULL", "1") != "0"
+        enable_cfg = not taylor_full
+        if taylor_full:
+            cfg_extra["taylor_cache_dtype"] = "fp8"
+            label = f"{mode}@fp8cache-b1"
         if mode in ("Tea", "Custom") and tea_thresh is None:
             env = os.environ.get("BENCH_TEA_THRESH")
             tea_thresh = float(env) if env else calibrate_tea_thresh(steps)
         cfg = ConfigDict(infer_steps=steps, sample_shift=5.0,
                          teacache_thresh=tea_thresh or 0.26,
-                         use_ret_steps=False)
+                         use_ret_steps=False, **cfg_extra)
         sched = WanUniPCScheduler(cfg)
         state0 = sched.prepare(shape, seed=42)
         mm_type = os.environ.get("BENCH_MM_TYPE", "Default")
         denoise = make_denoise_fn(
-            arch, sched, shape, enable_cfg=True, guide_scale=5.0,
+            arch, sched, shape, enable_cfg=enable_cfg, guide_scale=5.0,
             mm_type=mm_type, self_attn_type="flash_attn3",
             cross_attn_type="flash_attn3", feature_caching=mode, caching_config=cfg,
         )
@@ -140,31 +183,48 @@ def main():
         # crash); per-step dispatch overhead is ~25 ms against ~3 s steps.
         step_fn = jax.jit(denoise.one_step)
 
-        def once():
+        def once(cache_override=None):
             st, cache = state0, denoise.init_cache()
+            if cache_override:
+                cache = dict(cache, **cache_override)
             for _ in range(steps):
                 st, cache = step_fn(params, st, cache, ctx, ctx_null, None, None)
-            return float(jnp.sum(st["latents"].astype(jnp.float32)))
+            out = float(jnp.sum(st["latents"].astype(jnp.float32)))
+            return out, cache
 
         t0 = time.perf_counter()
         try:
-            once()  # compile + first run
+            _, cache_f = once()  # compile + first run
         except Exception as e:
             print(json.dumps({"mode": label, "error": str(e)[:200]}), flush=True)
             continue
         compile_s = time.perf_counter() - t0
+
+        cache_override = None
+        if mode == "Ada":
+            env = os.environ.get("BENCH_ADA_SCALE")
+            ada_scale = float(env) if env else calibrate_ada_scale(
+                step_fn, denoise.init_cache, state0)
+            cache_override = {"metric_scale": jnp.asarray(ada_scale, jnp.float32)}
+            label = f"Ada@scale{ada_scale:.3g}"
         times = []
         for _ in range(repeats):
             t0 = time.perf_counter()
-            once()
+            _, cache_f = once(cache_override)
             times.append(time.perf_counter() - t0)
         sec = float(np.median(times))
+        extra = {}
+        if mode == "Ada":
+            extra["calc_steps"] = int(cache_f["calc_count"])
+        bkey = (shape, enable_cfg)
         if mode == "NoCaching":
-            baselines[shape] = sec
-        if shape not in baselines:
-            # reduced-shape mode: time its own NoCaching baseline so the
-            # speedup compares like against like
-            nb = make_denoise_fn(arch, sched, shape, enable_cfg=True, guide_scale=5.0,
+            baselines[bkey] = sec
+            baselines[(shape, True)] = sec  # full CFG baseline key
+        if bkey not in baselines:
+            # different protocol (B=1 Taylor rows): time its own NoCaching
+            # baseline so the speedup compares like against like
+            nb = make_denoise_fn(arch, sched, shape, enable_cfg=enable_cfg,
+                                 guide_scale=5.0,
                                  mm_type=mm_type, self_attn_type="flash_attn3",
                                  cross_attn_type="flash_attn3")
             nb_step = jax.jit(nb.one_step)
@@ -178,14 +238,14 @@ def main():
             nb_once()
             t0 = time.perf_counter()
             nb_once()
-            baselines[shape] = time.perf_counter() - t0
-        base = baselines.get(shape)
+            baselines[bkey] = time.perf_counter() - t0
+        base = baselines.get(bkey)
         results[label] = sec
         print(json.dumps({
             "mode": label, "seconds": round(sec, 2),
             "compile_s": round(compile_s, 1),
             "speedup_vs_nocache": round(base / sec, 3) if base else None,
-            "steps": steps, "shape": shape,
+            "steps": steps, "shape": shape, "cfg_batched": enable_cfg, **extra,
         }), flush=True)
 
 
