@@ -44,6 +44,9 @@ H200_1P3B_480P_MS_PER_FORWARD = 580.0
 H200_14B_480P_DISTILL_E2E_S = 14.0
 # per-forward 14B 480P with CFG: LightX2V_3 (fp8) 191 s / (40 steps * 2) = 2.39 s
 H200_14B_480P_MS_PER_FORWARD = 191_000.0 / 80.0
+# 720P rows (BASELINE.md:18-22): LightX2V_3 671 s / 80 forwards; Distill 44 s e2e
+H200_14B_720P_MS_PER_FORWARD = 671_000.0 / 80.0
+H200_14B_720P_DISTILL_E2E_S = 44.0
 PEAK_RATIO = 990.0 / 197.0  # H200 bf16 peak / v5e bf16 peak
 
 MM_ALIAS = {
@@ -161,12 +164,21 @@ def main():
         times.append(time.perf_counter() - t0)
     ms = float(np.median(times) * 1000.0)
 
-    base = H200_14B_480P_MS_PER_FORWARD if preset == "14b" else H200_1P3B_480P_MS_PER_FORWARD
-    raw = base / ms
-    emit(
-        f"wan{preset}_480p_dit_forward_ms_on_v5e[{alias}] (chip-normalized vs H200; raw ratio {raw:.3f})",
-        ms, "ms", raw * PEAK_RATIO,
-    )
+    res = {(60, 104): "480p", (90, 160): "720p"}.get((h, w), f"{h}x{w}latent")
+    base = {
+        ("14b", "480p"): H200_14B_480P_MS_PER_FORWARD,
+        ("14b", "720p"): H200_14B_720P_MS_PER_FORWARD,
+        ("1.3b", "480p"): H200_1P3B_480P_MS_PER_FORWARD,
+    }.get((preset, res))
+    if base is not None:
+        raw = base / ms
+        emit(
+            f"wan{preset}_{res}_dit_forward_ms_on_v5e[{alias}] (chip-normalized vs H200; raw ratio {raw:.3f})",
+            ms, "ms", raw * PEAK_RATIO,
+        )
+    else:  # no published reference row at this shape: report time only
+        emit(f"wan{preset}_{res}_dit_forward_ms_on_v5e[{alias}] (no published H200 row)",
+             ms, "ms", 0.0)
 
 
 def run_e2e(arch, params, target, mm_type, attn, steps, preset="14b", scheme="bf16"):
@@ -257,11 +269,18 @@ def run_e2e(arch, params, target, mm_type, attn, steps, preset="14b", scheme="bf
         once()
         times.append(time.perf_counter() - t0)
     sec = float(np.median(times))
-    raw = H200_14B_480P_DISTILL_E2E_S / sec
-    emit(
-        f"wan{preset}_distill4_480p_e2e_s_on_v5e[{scheme}] (denoise+tiledVAE; chip-normalized vs 14s H200 14B; raw ratio {raw:.3f})",
-        sec, "s", raw * PEAK_RATIO,
-    )
+    res = {(60, 104): "480p", (90, 160): "720p"}.get(tuple(target[2:]), "custom")
+    base_s = {"480p": H200_14B_480P_DISTILL_E2E_S,
+              "720p": H200_14B_720P_DISTILL_E2E_S}.get(res)
+    if preset == "14b" and base_s is not None:
+        raw = base_s / sec
+        emit(
+            f"wan{preset}_distill4_{res}_e2e_s_on_v5e[{scheme}] (denoise+tiledVAE; chip-normalized vs {base_s:.0f}s H200 14B; raw ratio {raw:.3f})",
+            sec, "s", raw * PEAK_RATIO,
+        )
+    else:
+        emit(f"wan{preset}_distill4_{res}_e2e_s_on_v5e[{scheme}] (no published H200 row)",
+             sec, "s", 0.0)
 
 
 if __name__ == "__main__":

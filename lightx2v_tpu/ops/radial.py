@@ -139,6 +139,138 @@ def mask_to_indices(mask: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return idx, counts
 
 
+@lru_cache(maxsize=8)
+def _two_pass_plan(seq_len: int, video_token_num: int, num_frame: int,
+                   decay_factor: float, model_type: str, block_q: int):
+    """Host-side plan for the two-pass radial decomposition.
+
+    The radial mask is, per frame pair, a diagonal band of width w(dist)
+    (plus the frame-0 sink and dense text rows/cols). Instead of feeding a
+    block mask to a sparse kernel — whose q-direction superblock union
+    inflates density to ~dense (see coarsen_block_mask) — split it into
+    two DENSE attentions over gathered keys:
+
+    * near pass: for query frame fi, the full keys of 4 frames
+      {sink 0} + 3 consecutive frames around fi, plus the text tail —
+      contiguous slices, one (T x K_A) dense attention per frame;
+    * far pass: for every kept far pair (diag-split rule) and q tile of
+      bq rows, the band [tile_start - w, tile_start + bq + w) of fj —
+      a CONTIGUOUS slice per (pair, tile), so an (nt*bq x K_far) dense
+      attention with zero masking;
+
+    merged exactly by LSE (parallel/ring.merge_partials). Every gathered
+    set is a SUPERSET of the reference band mask (tile slack + clamping
+    widen coverage; adjacent-frame bands widen d==1's T/2 to T), so
+    quality can only improve, and both passes run at dense-flash MXU
+    efficiency. Work ~= O(F * T * (4T + sum_d w(d))) — the reference's
+    O(n log n) shape (radial_attn.py:154-196) without the union blowup.
+
+    Returns (tpf, bq, near_idx (F, K_A) int32, fars: tuple of per-frame
+    (nt, K_far_i) int32 or None, token_mask_builder)."""
+    F = num_frame
+    tpf = video_token_num // F
+    if F < 5 or tpf < 2 * BLOCK:
+        return None  # too small for the decomposition to pay; use BSR path
+    # bq: largest divisor of tpf <= block_q (tiles must cover frames evenly)
+    bq = max(d for d in range(1, min(block_q, tpf) + 1) if tpf % d == 0)
+    nt = tpf // bq
+    text_idx = np.arange(video_token_num, seq_len, dtype=np.int32)
+
+    near_rows = []
+    far_rows = []
+    for fi in range(F):
+        start = int(np.clip(fi - 1, 1, F - 3))
+        near_frames = [0, start, start + 1, start + 2]
+        near = np.concatenate(
+            [np.arange(fr * tpf, (fr + 1) * tpf, dtype=np.int32) for fr in near_frames]
+            + [text_idx])
+        near_rows.append(near)
+
+        tiles = []
+        near_set = set(near_frames)
+        for fj in range(1, F):
+            if fj in near_set:
+                continue
+            dist = abs(fi - fj)
+            w = _window_width(dist, tpf, decay_factor, model_type)
+            if not _diag_split_keep(dist, tpf) and w <= BLOCK:
+                continue  # dropped diagonal (reference split rule)
+            wd = min(int(np.ceil(w)), tpf)
+            width = min(bq + 2 * wd, tpf)
+            starts = np.clip(np.arange(nt) * bq - wd, 0, tpf - width)
+            idx = fj * tpf + starts[:, None] + np.arange(width)[None, :]
+            tiles.append(idx.astype(np.int32))
+        far_rows.append(np.concatenate(tiles, axis=1) if tiles else None)
+
+    return tpf, bq, np.stack(near_rows), tuple(far_rows)
+
+
+def two_pass_token_mask(seq_len: int, video_token_num: int, num_frame: int,
+                        decay_factor: float = 0.5, model_type: str = "wan",
+                        block_q: int = 256) -> np.ndarray:
+    """Token-level coverage of the two-pass plan (tests: must be a
+    superset of the reference band mask, and the exact oracle mask for
+    radial_two_pass outputs)."""
+    plan = _two_pass_plan(seq_len, video_token_num, num_frame,
+                          decay_factor, model_type, block_q)
+    assert plan is not None
+    tpf, bq, near_idx, fars = plan
+    mask = np.zeros((seq_len, seq_len), bool)
+    mask[video_token_num:, :] = True  # text rows dense
+    for fi in range(num_frame):
+        rows = slice(fi * tpf, (fi + 1) * tpf)
+        mask[rows, near_idx[fi]] = True
+        if fars[fi] is not None:
+            for t in range(fars[fi].shape[0]):
+                mask[fi * tpf + t * bq: fi * tpf + (t + 1) * bq, fars[fi][t]] = True
+    return mask
+
+
+def radial_two_pass(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    mask_map: MaskMap, decay_factor: float = 0.5,
+                    model_type: str = "wan", block_q: int = 256) -> Optional[jnp.ndarray]:
+    """Two-pass near/far radial attention (see _two_pass_plan). q/k/v
+    (B, S, N, D). Returns None when the shape doesn't fit the plan
+    (caller falls back to the BSR/dense path)."""
+    from ..parallel.ring import merge_partials, partial_attention
+
+    b, s, n, d = q.shape
+    plan = _two_pass_plan(s, mask_map.video_token_num, mask_map.num_frame,
+                          decay_factor, model_type, block_q)
+    if plan is None:
+        return None
+    tpf, bq, near_idx, fars = plan
+    F = mask_map.num_frame
+    nt = tpf // bq
+    near_dev = jnp.asarray(near_idx)
+
+    outs = []
+    for fi in range(F):
+        qf = jax.lax.dynamic_slice_in_dim(q, fi * tpf, tpf, axis=1)
+        ka = jnp.take(k, near_dev[fi], axis=1)
+        va = jnp.take(v, near_dev[fi], axis=1)
+        out_a, lse_a = partial_attention(qf, ka, va)
+        if fars[fi] is not None:
+            fidx = jnp.asarray(fars[fi])  # (nt, K_far)
+            kf = jnp.take(k, fidx.reshape(-1), axis=1).reshape(b, nt, -1, n, d)
+            vf = jnp.take(v, fidx.reshape(-1), axis=1).reshape(b, nt, -1, n, d)
+            qt = qf.reshape(b, nt, bq, n, d)
+            out_f, lse_f = partial_attention(
+                qt.reshape(b * nt, bq, n, d),
+                kf.reshape(b * nt, -1, n, d),
+                vf.reshape(b * nt, -1, n, d))
+            out_f = out_f.reshape(b, tpf, n, d)
+            lse_f = lse_f.reshape(b, tpf, n)
+            out_a, _ = merge_partials(out_a, lse_a, out_f, lse_f)
+        outs.append(out_a)
+    video_out = jnp.concatenate(outs, axis=1)
+    if s > F * tpf:  # dense text rows over all keys
+        qt = q[:, F * tpf:]
+        out_t, _ = partial_attention(qt, k, v)
+        video_out = jnp.concatenate([video_out, out_t], axis=1)
+    return video_out.astype(q.dtype)
+
+
 def radial_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -161,6 +293,14 @@ def radial_attention(
         from .attention import attention
 
         return attention("flash_attn3", q, k, v)
+    if sparsity_type != "bsr":
+        # two-pass near/far decomposition: dense-tile MXU efficiency at
+        # ~0.36x dense work at 720P (see _two_pass_plan); declines small
+        # shapes where the window floors dominate
+        out = radial_two_pass(q, k, v, mask_map, decay_factor, model_type,
+                              block_q=min(block_q, 256))
+        if out is not None:
+            return out
     mask = mask_map.query_mask(s, decay_factor, model_type)
     if jax.default_backend() == "tpu":
         try:
