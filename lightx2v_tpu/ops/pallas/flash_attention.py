@@ -459,6 +459,9 @@ def flash_attention_with_lse(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # same raise as the dense kernel: default 28M scoped vmem OOMs
+            # at the big-tile configs (radial near pass hit 55.6M)
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(kvlen_arr, qf, kf, vf)

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.kernel_dispatch import kernel_fallback
+from ..utils.logging_utils import logger
 import numpy as np
 
 BLOCK = 128
@@ -151,22 +152,24 @@ def _two_pass_plan(seq_len: int, video_token_num: int, num_frame: int,
     two DENSE attentions over gathered keys:
 
     * near pass: for query frame fi, the full keys of 4 frames
-      {sink 0} + 3 consecutive frames around fi, plus the text tail —
-      contiguous slices, one (T x K_A) dense attention per frame;
+      {sink 0} + 3 consecutive frames around fi, plus the text tail;
     * far pass: for every kept far pair (diag-split rule) and q tile of
-      bq rows, the band [tile_start - w, tile_start + bq + w) of fj —
-      a CONTIGUOUS slice per (pair, tile), so an (nt*bq x K_far) dense
-      attention with zero masking;
+      bq rows, a window of bq-sized key BLOCKS covering the band
+      [tile_start - w, tile_start + bq + w) of fj;
 
-    merged exactly by LSE (parallel/ring.merge_partials). Every gathered
-    set is a SUPERSET of the reference band mask (tile slack + clamping
-    widen coverage; adjacent-frame bands widen d==1's T/2 to T), so
-    quality can only improve, and both passes run at dense-flash MXU
-    efficiency. Work ~= O(F * T * (4T + sum_d w(d))) — the reference's
-    O(n log n) shape (radial_attn.py:154-196) without the union blowup.
+    merged exactly by LSE (parallel/ring.merge_partials). All gathers are
+    COARSE — whole frames for the near pass, bq-row blocks for the far
+    pass — because XLA token-row gathers run at ~1/40 of HBM bandwidth
+    on TPU (measured 20 GB/s) while big-row gathers stream at full rate.
+    Every gathered set is a SUPERSET of the reference band mask (block
+    rounding + clamping widen coverage; adjacent-frame bands widen
+    d==1's T/2 to T), so quality can only improve, and both passes run
+    at dense-flash MXU efficiency. Work ~= O(F * T * (4T + sum_d w(d)))
+    — the reference's O(n log n) shape (radial_attn.py:154-196) without
+    the superblock-union blowup.
 
-    Returns (tpf, bq, near_idx (F, K_A) int32, fars: tuple of per-frame
-    (nt, K_far_i) int32 or None, token_mask_builder)."""
+    Returns (tpf, bq, near_frames (F, 4) int32 frame ids,
+    far_blocks (F, nt, NWIN) int32 into the F*nt block axis)."""
     F = num_frame
     tpf = video_token_num // F
     if F < 5 or tpf < 2 * BLOCK:
@@ -174,20 +177,16 @@ def _two_pass_plan(seq_len: int, video_token_num: int, num_frame: int,
     # bq: largest divisor of tpf <= block_q (tiles must cover frames evenly)
     bq = max(d for d in range(1, min(block_q, tpf) + 1) if tpf % d == 0)
     nt = tpf // bq
-    text_idx = np.arange(video_token_num, seq_len, dtype=np.int32)
 
-    near_rows = []
-    far_rows = []
+    near_frames = []
+    far_specs = []  # per frame: list of (fj, nwin_blocks)
     for fi in range(F):
         start = int(np.clip(fi - 1, 1, F - 3))
-        near_frames = [0, start, start + 1, start + 2]
-        near = np.concatenate(
-            [np.arange(fr * tpf, (fr + 1) * tpf, dtype=np.int32) for fr in near_frames]
-            + [text_idx])
-        near_rows.append(near)
+        nf = [0, start, start + 1, start + 2]
+        near_frames.append(nf)
 
-        tiles = []
-        near_set = set(near_frames)
+        spec = []
+        near_set = set(nf)
         for fj in range(1, F):
             if fj in near_set:
                 continue
@@ -195,14 +194,39 @@ def _two_pass_plan(seq_len: int, video_token_num: int, num_frame: int,
             w = _window_width(dist, tpf, decay_factor, model_type)
             if not _diag_split_keep(dist, tpf) and w <= BLOCK:
                 continue  # dropped diagonal (reference split rule)
-            wd = min(int(np.ceil(w)), tpf)
-            width = min(bq + 2 * wd, tpf)
-            starts = np.clip(np.arange(nt) * bq - wd, 0, tpf - width)
-            idx = fj * tpf + starts[:, None] + np.arange(width)[None, :]
-            tiles.append(idx.astype(np.int32))
-        far_rows.append(np.concatenate(tiles, axis=1) if tiles else None)
+            h = int(np.ceil(w / bq))  # band half-width in blocks
+            spec.append([fj, min(2 * h + 1, nt)])
+        far_specs.append(spec)
 
-    return tpf, bq, np.stack(near_rows), tuple(far_rows)
+    if any(not s for s in far_specs):
+        return None  # a frame with no far pairs: near pass would miss keys
+
+    # uniform window-block count across frames (ONE compiled far step):
+    # growing a window by whole blocks is a superset
+    nwin = max(sum(nw for _, nw in s) for s in far_specs)
+    if any(len(s) * nt < nwin for s in far_specs):
+        return None  # can't uniformize (toy shapes: bands ~ whole frames)
+
+    far_rows = []
+    for spec in far_specs:
+        nws = [nw for _, nw in spec]
+        deficit = nwin - sum(nws)
+        for i_ in range(len(nws)):
+            if deficit <= 0:
+                break
+            grow = min(deficit, nt - nws[i_])
+            nws[i_] += grow
+            deficit -= grow
+        assert deficit == 0
+        tiles = []
+        for (fj, _), nw in zip(spec, nws):
+            h = (nw - 1) // 2
+            starts = np.clip(np.arange(nt) - h, 0, nt - nw)
+            idx = fj * nt + starts[:, None] + np.arange(nw)[None, :]
+            tiles.append(idx.astype(np.int32))
+        far_rows.append(np.concatenate(tiles, axis=1))  # (nt, nwin)
+
+    return tpf, bq, np.asarray(near_frames, np.int32), np.stack(far_rows)
 
 
 def two_pass_token_mask(seq_len: int, video_token_num: int, num_frame: int,
@@ -214,15 +238,19 @@ def two_pass_token_mask(seq_len: int, video_token_num: int, num_frame: int,
     plan = _two_pass_plan(seq_len, video_token_num, num_frame,
                           decay_factor, model_type, block_q)
     assert plan is not None
-    tpf, bq, near_idx, fars = plan
+    tpf, bq, near_frames, far_blocks = plan
+    nt = tpf // bq
     mask = np.zeros((seq_len, seq_len), bool)
     mask[video_token_num:, :] = True  # text rows dense
+    mask[:, video_token_num:] = True  # text cols in the near key set
     for fi in range(num_frame):
         rows = slice(fi * tpf, (fi + 1) * tpf)
-        mask[rows, near_idx[fi]] = True
-        if fars[fi] is not None:
-            for t in range(fars[fi].shape[0]):
-                mask[fi * tpf + t * bq: fi * tpf + (t + 1) * bq, fars[fi][t]] = True
+        for fr in near_frames[fi]:
+            mask[rows, fr * tpf:(fr + 1) * tpf] = True
+        for t in range(nt):
+            r = slice(fi * tpf + t * bq, fi * tpf + (t + 1) * bq)
+            for blk in far_blocks[fi, t]:
+                mask[r, blk * bq:(blk + 1) * bq] = True
     return mask
 
 
@@ -239,34 +267,55 @@ def radial_two_pass(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           decay_factor, model_type, block_q)
     if plan is None:
         return None
-    tpf, bq, near_idx, fars = plan
+    tpf, bq, near_frames, far_blocks = plan
     F = mask_map.num_frame
     nt = tpf // bq
-    near_dev = jnp.asarray(near_idx)
+    nwin = far_blocks.shape[2]
+    video = F * tpf
 
-    outs = []
-    for fi in range(F):
-        qf = jax.lax.dynamic_slice_in_dim(q, fi * tpf, tpf, axis=1)
-        ka = jnp.take(k, near_dev[fi], axis=1)
-        va = jnp.take(v, near_dev[fi], axis=1)
-        out_a, lse_a = partial_attention(qf, ka, va)
-        if fars[fi] is not None:
-            fidx = jnp.asarray(fars[fi])  # (nt, K_far)
-            kf = jnp.take(k, fidx.reshape(-1), axis=1).reshape(b, nt, -1, n, d)
-            vf = jnp.take(v, fidx.reshape(-1), axis=1).reshape(b, nt, -1, n, d)
-            qt = qf.reshape(b, nt, bq, n, d)
-            out_f, lse_f = partial_attention(
-                qt.reshape(b * nt, bq, n, d),
-                kf.reshape(b * nt, -1, n, d),
-                vf.reshape(b * nt, -1, n, d))
-            out_f = out_f.reshape(b, tpf, n, d)
-            lse_f = lse_f.reshape(b, tpf, n)
-            out_a, _ = merge_partials(out_a, lse_a, out_f, lse_f)
-        outs.append(out_a)
-    video_out = jnp.concatenate(outs, axis=1)
-    if s > F * tpf:  # dense text rows over all keys
-        qt = q[:, F * tpf:]
-        out_t, _ = partial_attention(qt, k, v)
+    # near pass: frame-granular gather (84 rows of tpf*n*d — streams at
+    # full HBM bandwidth, unlike token-row gathers) + text tail
+    kfr = k[:, :video].reshape(b, F, tpf, n, d)
+    vfr = v[:, :video].reshape(b, F, tpf, n, d)
+    nearf = jnp.asarray(near_frames.reshape(-1))
+    ka = jnp.take(kfr, nearf, axis=1).reshape(b, F, 4 * tpf, n, d)
+    va = jnp.take(vfr, nearf, axis=1).reshape(b, F, 4 * tpf, n, d)
+    if s > video:  # text keys replicated into every frame's near set
+        kt = jnp.broadcast_to(k[:, None, video:], (b, F, s - video, n, d))
+        vt = jnp.broadcast_to(v[:, None, video:], (b, F, s - video, n, d))
+        ka = jnp.concatenate([ka, kt], axis=2)
+        va = jnp.concatenate([va, vt], axis=2)
+    k_a = ka.shape[2]
+    qv = q[:, :video].reshape(b, F, tpf, n, d)
+    out_a, lse_a = partial_attention(
+        qv.reshape(b * F, tpf, n, d),
+        ka.reshape(b * F, k_a, n, d), va.reshape(b * F, k_a, n, d))
+
+    # far pass: bq-block-granular windows, lax.scan over frames (a single
+    # batched gather would materialize F*nt*nwin*bq keys at once)
+    kb = k[:, :video].reshape(b, F * nt, bq, n, d)
+    vb = v[:, :video].reshape(b, F * nt, bq, n, d)
+    fidx_all = jnp.asarray(far_blocks.reshape(F, nt * nwin))
+    q_frames = qv.transpose(1, 0, 2, 3, 4)
+
+    def far_body(_, xs):
+        fidx, qf = xs  # (nt*nwin,), (b, tpf, n, d)
+        kf = jnp.take(kb, fidx, axis=1).reshape(b, nt, nwin * bq, n, d)
+        vf = jnp.take(vb, fidx, axis=1).reshape(b, nt, nwin * bq, n, d)
+        o, l = partial_attention(
+            qf.reshape(b * nt, bq, n, d),
+            kf.reshape(b * nt, nwin * bq, n, d),
+            vf.reshape(b * nt, nwin * bq, n, d))
+        return None, (o.reshape(b, tpf, n, d), l.reshape(b, tpf, n))
+
+    _, (out_f, lse_f) = jax.lax.scan(far_body, None, (fidx_all, q_frames))
+    out_f = out_f.transpose(1, 0, 2, 3, 4).reshape(b * F, tpf, n, d)
+    lse_f = lse_f.transpose(1, 0, 2, 3).reshape(b * F, tpf, n)
+
+    out, _ = merge_partials(out_a, lse_a, out_f, lse_f)
+    video_out = out.reshape(b, video, n, d)
+    if s > video:  # dense text rows over all keys
+        out_t, _ = partial_attention(q[:, video:], k, v)
         video_out = jnp.concatenate([video_out, out_t], axis=1)
     return video_out.astype(q.dtype)
 
@@ -284,23 +333,38 @@ def radial_attention(
 ) -> jnp.ndarray:
     """q/k/v (B, S, N, D). Falls back to dense when no mask_map is given.
 
-    The mask is generated at the reference's 128-token granularity
-    (radial_attn.py:154-196 parity) and union-pooled to (block_q, block_k)
-    superblocks for execution — identical coverage guarantees, dense-tile
-    MXU efficiency."""
+    TPU execution policy (measured anti-win, documented): on real TPU the
+    radial mask is served by DENSE flash attention. Dense is a strict
+    superset of every radial mask (same or better quality) and it beat
+    every sparse execution tried at the 720P operating point on v5e:
+    coarsened-BSR superblocks ran at 0.95x dense speed (q-direction
+    union inflation, see coarsen_block_mask), the gather-based two-pass
+    near/far decomposition at 0.64x, and its block-granular-gather
+    rewrite at 0.33x — the 0.36x work reduction exists on paper
+    (_two_pass_plan) but XLA gather throughput (~20 GB/s for token rows)
+    and sub-dense kernel efficiency at banded shapes eat it. The
+    reference's O(n log n) win is CUDA-economics (flashinfer BSR),
+    not TPU-economics; sparge is the sparse path that pays here
+    (1.99x dense at 720P). Opt into the experimental executions with
+    sparsity_type="two_pass" or "bsr"."""
     s = q.shape[1]
     if mask_map is None:
         from .attention import attention
 
         return attention("flash_attn3", q, k, v)
-    if sparsity_type != "bsr":
-        # two-pass near/far decomposition: dense-tile MXU efficiency at
-        # ~0.36x dense work at 720P (see _two_pass_plan); declines small
-        # shapes where the window floors dominate
+    if sparsity_type == "two_pass":
         out = radial_two_pass(q, k, v, mask_map, decay_factor, model_type,
                               block_q=min(block_q, 256))
         if out is not None:
             return out
+    if jax.default_backend() == "tpu" and sparsity_type not in ("two_pass", "bsr"):
+        from .attention import attention
+
+        logger.info("radial_attn on TPU: serving the radial mask with dense "
+                    "flash (a strict mask superset; every measured sparse "
+                    "execution was slower at this scale — see radial_attention "
+                    "docstring). Opt in via sparsity_type='two_pass'/'bsr'.")
+        return attention("flash_attn3", q, k, v)
     mask = mask_map.query_mask(s, decay_factor, model_type)
     if jax.default_backend() == "tpu":
         try:

@@ -142,7 +142,7 @@ class TestSuperblockRadial:
 class TestRadialTwoPass:
     """Two-pass near/far decomposition (ops/radial.py radial_two_pass)."""
 
-    F, TPF, TEXT = 12, 256, 64
+    F, TPF, TEXT = 12, 1024, 64
 
     def _cfg(self):
         video = self.F * self.TPF
