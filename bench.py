@@ -244,23 +244,37 @@ def run_e2e(arch, params, target, mm_type, attn, steps, preset="14b", scheme="bf
         vae_params, is_leaf=lambda x: isinstance(x, str))
     arr_idx = [i for i, l in enumerate(flat) if hasattr(l, "shape")]
 
+    vae_mode = os.environ.get("BENCH_VAE", "tiled")  # tiled | full
+    vae_chunk = int(os.environ.get("BENCH_VAE_CHUNK", 4))
+
     @jax.jit
     def decode(z, *arrs):
         leaves = list(flat)
         for i, a in zip(arr_idx, arrs):
             leaves[i] = a
         p = jax.tree_util.tree_unflatten(treedef, leaves)
-        return vae_decode_tiled(p, z, vae_cfg, dtype=jnp.bfloat16)
+        if vae_mode == "full":
+            from lightx2v_tpu.vae.wan_vae import vae_decode
+            return vae_decode(p, z, vae_cfg, dtype=jnp.bfloat16, chunk=vae_chunk)
+        return vae_decode_tiled(p, z, vae_cfg, dtype=jnp.bfloat16, chunk=vae_chunk)
 
     vae_arrs = [flat[i] for i in arr_idx]
+
+    split = os.environ.get("BENCH_E2E_SPLIT") == "1"
 
     def once():
         st, cache = state0, denoise.init_cache()
         for _ in range(sched_cfg["infer_steps"]):
             st, cache = step_fn(params, st, cache, context, context, None, None)
         z = jnp.transpose(st["latents"], (1, 2, 3, 0))[None]  # (1,T,h,w,C)
+        if split:  # sync so the denoise/decode attribution is real
+            t_mid = (time.perf_counter(), float(jnp.sum(z.astype(jnp.float32))))
         frames = decode(z, *vae_arrs)
-        return float(jnp.sum(frames.astype(jnp.float32)))
+        out = float(jnp.sum(frames.astype(jnp.float32)))
+        if split:
+            print(json.dumps({"split_decode_s": round(time.perf_counter() - t_mid[0], 2)}),
+                  flush=True)
+        return out
 
     once()  # compile
     times = []

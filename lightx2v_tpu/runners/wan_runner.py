@@ -582,12 +582,13 @@ class WanRunner(DefaultRunner):
         else:
             # one compiled program for the whole decode (eager decode
             # dispatches every conv separately and loses cross-op fusion)
-            key = ("_jit_decode", bool(self.config.get("use_tiling_vae")), scale)
+            chunk = int(self.config.get("vae_decode_chunk", 4))
+            key = ("_jit_decode", bool(self.config.get("use_tiling_vae")), scale, chunk)
             if getattr(self, "_jit_decode_key", None) != key:
                 from ..vae.wan_vae import make_jitted_decode
 
                 self._jit_decode = make_jitted_decode(
-                    self.vae, self.vae_cfg, tiled=key[1], scale=scale)
+                    self.vae, self.vae_cfg, tiled=key[1], scale=scale, chunk=chunk)
                 self._jit_decode_key = key
             frames = self._jit_decode(z)
         return self._crop_to_request(np.clip(np.asarray(frames[0], np.float32), -1.0, 1.0))

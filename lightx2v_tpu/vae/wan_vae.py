@@ -281,10 +281,18 @@ def decoder_chunk(params: Dict, cfg: WanVAEConfig, x: jnp.ndarray, tape: CacheTa
 # --------------------------------------------------------------------------
 
 def vae_decode(params: Dict, z: jnp.ndarray, cfg: WanVAEConfig = WanVAEConfig(),
-               scale: bool = True, dtype=jnp.float32) -> jnp.ndarray:
+               scale: bool = True, dtype=jnp.float32, chunk: int = 4) -> jnp.ndarray:
     """z: (B, T, h, w, z_dim) normalized latents -> (B, (T-1)*4+1, 8h, 8w, 3).
 
     reference decode loop: vae.py:715-739 (per-frame with feat cache).
+
+    ``chunk`` latent frames decode per scan step (the largest divisor of
+    T-1 that is <= chunk is used). Every causal conv's window only sees
+    frames i-2..i, so feeding k frames with the same 2-frame cache chain
+    computes bit-identical windows to the per-frame stream — but the
+    convs run k x larger N*T batches on the MXU and the sequential scan
+    is k x shorter. Memory grows ~k x in activations; chunk=4 keeps the
+    full-resolution intermediates of a 480P untiled decode under ~2 GB.
     """
     if scale:
         mean = jnp.asarray(WAN_LATENT_MEAN, jnp.float32)
@@ -300,17 +308,20 @@ def vae_decode(params: Dict, z: jnp.ndarray, cfg: WanVAEConfig = WanVAEConfig(),
     if z.shape[1] == 1:
         return out0.astype(jnp.float32)
 
-    def body(cache, zt):
+    t1 = z.shape[1] - 1
+    k = max(d for d in range(1, max(1, min(chunk, t1)) + 1) if t1 % d == 0)
+
+    def body(cache, zc):
         tape = CacheTape(cache)
-        out = decoder_chunk(params["decoder"], cfg, zt[:, None], tape, first=False)
+        out = decoder_chunk(params["decoder"], cfg, zc, tape, first=False)
         return tape.new, out
 
-    # scan over remaining latent frames; zs: (T-1, B, h, w, z)
-    zs = z[:, 1:].transpose(1, 0, 2, 3, 4)
+    # scan over remaining latent frames in chunks; zs: (T-1)/k, B, k, h, w, z)
+    bsz = z.shape[0]
+    zs = z[:, 1:].reshape(bsz, t1 // k, k, *z.shape[2:]).transpose(1, 0, 2, 3, 4, 5)
     _, outs = jax.lax.scan(body, cache0, zs)
-    # outs: (T-1, B, 4, H, W, 3)
-    t1 = outs.shape[0]
-    rest = outs.transpose(1, 0, 2, 3, 4, 5).reshape(out0.shape[0], t1 * 4, *out0.shape[2:])
+    # outs: ((T-1)/k, B, 4k, H, W, 3)
+    rest = outs.transpose(1, 0, 2, 3, 4, 5).reshape(bsz, t1 * 4, *out0.shape[2:])
     return jnp.concatenate([out0, rest], axis=1).astype(jnp.float32)
 
 
@@ -594,7 +605,8 @@ def _blend_v(a: jnp.ndarray, b: jnp.ndarray, extent: int) -> jnp.ndarray:
 
 def vae_decode_tiled(params: Dict, z: jnp.ndarray, cfg: WanVAEConfig = WanVAEConfig(),
                      scale: bool = True, dtype=jnp.float32,
-                     tile_latent: int = 32, stride_latent: int = 24) -> jnp.ndarray:
+                     tile_latent: int = 32, stride_latent: int = 24,
+                     chunk: int = 4) -> jnp.ndarray:
     """Tiled decode: 256px tiles with 192px stride by default (reference
     tile_sample_min/stride, vae.py:530-535). z: (B, T, h, w, C)."""
     b, t, h, w, c = z.shape
@@ -604,7 +616,7 @@ def vae_decode_tiled(params: Dict, z: jnp.ndarray, cfg: WanVAEConfig = WanVAECon
         row = []
         for j in range(0, w, stride_latent):
             tile = z[:, :, i : i + tile_latent, j : j + tile_latent]
-            row.append(vae_decode(params, tile, cfg, scale=scale, dtype=dtype))
+            row.append(vae_decode(params, tile, cfg, scale=scale, dtype=dtype, chunk=chunk))
         rows.append(row)
     out_rows = []
     for i, row in enumerate(rows):
@@ -649,7 +661,7 @@ def vae_encode_tiled(params: Dict, x: jnp.ndarray, cfg: WanVAEConfig = WanVAECon
 
 
 def make_jitted_decode(params: Dict, cfg: WanVAEConfig, tiled: bool = False,
-                       scale: bool = True, dtype=None):
+                       scale: bool = True, dtype=None, chunk: int = 4):
     """One COMPILED program for the whole decode (the TRT-engine analog).
 
     Calling vae_decode eagerly runs every conv as its own XLA program —
@@ -670,7 +682,8 @@ def make_jitted_decode(params: Dict, cfg: WanVAEConfig, tiled: bool = False,
             leaves[i] = a
         p = jax.tree_util.tree_unflatten(treedef, leaves)
         if tiled:
-            return vae_decode_tiled(p, z, cfg, scale=scale, **({"dtype": dtype} if dtype else {}))
-        return vae_decode(p, z, cfg, scale=scale)
+            return vae_decode_tiled(p, z, cfg, scale=scale, chunk=chunk,
+                                    **({"dtype": dtype} if dtype else {}))
+        return vae_decode(p, z, cfg, scale=scale, chunk=chunk)
 
     return lambda z: _decode(z, *arrs)

@@ -63,6 +63,23 @@ class TestDecode:
         prefix = vae_decode(params, z[:, :3], TINY, scale=False)
         np.testing.assert_allclose(np.asarray(prefix), np.asarray(full)[:, :9], rtol=1e-4, atol=1e-4)
 
+    def test_chunked_equals_per_frame(self, params):
+        # k frames per scan step sees the exact same causal-conv windows as
+        # the per-frame stream (cconv3d cache is the last 2 frames either
+        # way) — outputs must match to float tolerance for every k
+        rng = np.random.default_rng(8)
+        z = jnp.asarray(rng.standard_normal((1, 7, 4, 4, 4)), jnp.float32)  # t1=6
+        ref = np.asarray(vae_decode(params, z, TINY, scale=False, chunk=1))
+        for k in (2, 3, 6):
+            out = np.asarray(vae_decode(params, z, TINY, scale=False, chunk=k))
+            np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4, err_msg=f"chunk={k}")
+
+    def test_chunk_picks_divisor(self, params):
+        # chunk=4 with t1=6 must fall back to k=3 (largest divisor <= 4)
+        z = jnp.asarray(np.random.default_rng(9).standard_normal((1, 7, 4, 4, 4)), jnp.float32)
+        out = vae_decode(params, z, TINY, scale=False, chunk=4)
+        assert out.shape == (1, 25, 32, 32, 3)
+
     def test_causality(self, params):
         rng = np.random.default_rng(3)
         z = np.asarray(rng.standard_normal((1, 5, 4, 4, 4)), np.float32)
