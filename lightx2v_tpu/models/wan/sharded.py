@@ -63,12 +63,22 @@ def make_sharded_transformer(
     online-softmax merge, reference ring/attn.py:96-162)."""
     sp = mesh_axis_size(mesh, "sp")
     tp = mesh_axis_size(mesh, "tp")
-    if arch.rope_fused:
-        # the fused-rope flash kernel is wired single-chip only; under a
-        # mesh the rotation falls back to the XLA half-split rope pass on
-        # the token-sharded q/k (same permuted weight layout, same math)
-        logger.warning("rope_fused + mesh: applying RoPE as an XLA pass "
-                       "(in-kernel fusion is single-chip only)")
+    # fused rope under a mesh: with ulysses, q/k travel the all_to_all
+    # UN-rotated and the dense flash kernel rotates the full-sequence
+    # head slice with the replicated tables (positions line up — the
+    # all_to_all concatenates contiguous sp chunks in device order);
+    # tp-only heads see the full sequence, so the kernel fuses directly.
+    # Ring must pre-rotate each device's K chunk before it starts
+    # traveling the ring, so it keeps the XLA half-split pass.
+    rope_fused_in_attn = (
+        arch.rope_fused
+        and self_attn_type in ("flash_attn2", "flash_attn3")
+        and not (sp > 1 and parallel_attn_type == "ring")
+    )
+    if arch.rope_fused and not rope_fused_in_attn:
+        logger.warning("rope_fused + %s: applying RoPE as an XLA half-split "
+                       "pass (in-kernel fusion needs flash + ulysses)",
+                       parallel_attn_type or self_attn_type)
     mm_fn = resolve_mm(mm_type)
     dense_self = partial(attention, self_attn_type)
     dense_cross = partial(attention, cross_attn_type)
@@ -81,19 +91,31 @@ def make_sharded_transformer(
         # single-device forward's kv_len masking. None when S divides sp.
         if sp > 1:
             if parallel_attn_type == "ring":
-                sp_attn = lambda q, k, v: ring_attention(
+                sp_attn = lambda q, k, v, **rkw: ring_attention(
                     q, k, v, axis="sp",
                     pad_tail=0 if kv_tokens is None else _ring_pad(kv_tokens, sp, k.shape[1]))
             else:
-                sp_attn = lambda q, k, v: ulysses_attention(dense_self, q, k, v, axis="sp",
-                                                            kv_len=kv_tokens)
+                def sp_attn(q, k, v, **rkw):
+                    # rkw carries rope tables on the fused path; they ride
+                    # into the dense kernel AFTER the seq->head all_to_all
+                    fn = (dense_self if not rkw
+                          else (lambda qh, kh, vh, **kw: dense_self(qh, kh, vh, **rkw, **kw)))
+                    return ulysses_attention(fn, q, k, v, axis="sp", kv_len=kv_tokens)
         else:
-            sp_attn = partial(dense_self, kv_len=kv_tokens) if kv_tokens is not None else dense_self
+            def sp_attn(q, k, v, **rkw):
+                if kv_tokens is not None:
+                    rkw["kv_len"] = kv_tokens
+                return dense_self(q, k, v, **rkw)
 
         def self_fn(q, k, v, rope_cos=None, rope_sin=None):
-            if rope_cos is not None:  # arch.rope_fused: q/k arrive un-rotated
+            if rope_cos is not None and not rope_fused_in_attn:
+                # arch.rope_fused but the attention path can't fuse:
+                # rotate here (half-split layout matches permuted weights)
                 q = apply_rope_half(q, rope_cos, rope_sin)
                 k = apply_rope_half(k, rope_cos, rope_sin)
+                rope_cos = rope_sin = None
+            if rope_cos is not None:
+                return sp_attn(q, k, v, rope_cos=rope_cos, rope_sin=rope_sin)
             return sp_attn(q, k, v)
 
         if tp > 1:
@@ -119,7 +141,10 @@ def make_sharded_transformer(
     rep = tp_block_specs(arch.task) if tp > 1 else P()
     xspec = P("dp", "sp", None)
     bspec = P("dp")
-    rope_spec = P("sp", None)
+    # fused-ulysses rotates the FULL sequence inside the kernel after the
+    # all_to_all, so the tables replicate; the local half-rope pass (ring /
+    # non-flash / unfused) wants the device's own token slice
+    rope_spec = P() if (rope_fused_in_attn and sp > 1) else P("sp", None)
 
     def transformer_fn(blocks, x, embed0, context, context_img, cos, sin):
         block_spec = _expand_quant_specs(blocks, rep, tp) if tp > 1 else rep

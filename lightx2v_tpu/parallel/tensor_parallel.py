@@ -106,9 +106,16 @@ def wan_block_tp(
     q = _rms_tp(_mm(sa["q"], norm1, mm_fn), sa["norm_q"], d, tp_axis).reshape(b, s, n_loc, hd)
     k = _rms_tp(_mm(sa["k"], norm1, mm_fn), sa["norm_k"], d, tp_axis).reshape(b, s, n_loc, hd)
     v = _mm(sa["v"], norm1, mm_fn).reshape(b, s, n_loc, hd)
-    q = apply_rope(q, rope_cos, rope_sin)
-    k = apply_rope(k, rope_cos, rope_sin)
-    attn_out = attn_fn(q, k, v).reshape(b, s, d_loc)
+    if arch.rope_fused:
+        # q/k weights are half-split-permuted (permute_qk_half): the
+        # rotation belongs to attn_fn (fused in-kernel, or the half-split
+        # XLA pass) — plain apply_rope on permuted projections would
+        # silently corrupt every frame (model.py:178-184 same branch)
+        attn_out = attn_fn(q, k, v, rope_cos=rope_cos, rope_sin=rope_sin).reshape(b, s, d_loc)
+    else:
+        q = apply_rope(q, rope_cos, rope_sin)
+        k = apply_rope(k, rope_cos, rope_sin)
+        attn_out = attn_fn(q, k, v).reshape(b, s, d_loc)
     y = _row_mm(sa["o"], attn_out, mm_fn, tp_axis)
     x = (x.astype(jnp.float32) + y.astype(jnp.float32) * gate_msa.astype(jnp.float32)).astype(x.dtype)
 

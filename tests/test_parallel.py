@@ -236,6 +236,48 @@ def test_rope_fused_mesh_falls_back_to_xla_rope():
     np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=0.02, atol=0.02)
 
 
+@pytest.mark.parametrize("mesh_shape,algo", [
+    ({"dp": 2, "sp": 4}, "ulysses"),  # fused dataflow: tables replicated, rotation after all_to_all
+    ({"dp": 2, "sp": 4}, "ring"),     # ring pre-rotates locally (half-split XLA pass)
+    ({"sp": 2, "tp": 2}, "ulysses"),  # wan_block_tp rope_fused branch + ulysses
+    ({"dp": 2, "tp": 4}, "ulysses"),  # tp-only heads: kernel-direct full-seq rotation
+])
+def test_rope_fused_mesh_matches_unfused(mesh_shape, algo):
+    """arch.rope_fused under every mesh/algo combination must equal the
+    unfused single-device forward. flash_attn3 routes the rope tables into
+    the attention dispatch (in-kernel on TPU; the CPU fallback applies the
+    identical half-split rotation at the same point in the dataflow), so
+    this pins the table sharding (replicated vs sp-sliced), the
+    post-all_to_all rotation positions, and the wan_block_tp branch that
+    used to apply plain apply_rope to half-split-permuted projections."""
+    import dataclasses
+
+    from lightx2v_tpu.models.wan.weights import permute_qk_half
+
+    arch = WanArch(dim=64, ffn_dim=96, num_heads=4, num_layers=2, in_dim=4, out_dim=4,
+                   freq_dim=32, text_len=8, text_dim=16)
+    wd = init_random_weight_dict(arch, seed=0, scale=0.05)
+    params = load_wan_params(wd, arch)
+    rng = np.random.default_rng(1)
+    latents = jnp.asarray(rng.standard_normal((2, 4, 2, 4, 8)), jnp.float32)
+    t = jnp.asarray([500.0, 500.0], jnp.float32)
+    context = jnp.asarray(rng.standard_normal((2, 8, 16)), jnp.float32)
+    cos, sin = build_wan_rope_grid(arch.head_dim, 2, 2, 4)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+
+    ref = wan_forward(params, latents, t, context, cos, sin, arch,
+                      self_attn_type="xla", cross_attn_type="xla")
+
+    arch_f = dataclasses.replace(arch, rope_fused=True)
+    params_f = permute_qk_half(params, arch_f)
+    mesh = build_mesh(mesh_shape)
+    out = wan_forward_sharded(params_f, latents, t, context, cos, sin, arch_f, mesh,
+                              self_attn_type="flash_attn3", cross_attn_type="xla",
+                              parallel_attn_type=algo)
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref, np.float32),
+                               rtol=0.02, atol=0.02)
+
+
 def test_taylor_caching_with_mesh_matches_single_device():
     """TaylorSeer caching under a dp x sp mesh (GSPMD-sharded path — round 1
     raised NotImplementedError here) == the single-device cached run."""
