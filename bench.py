@@ -79,6 +79,10 @@ def main():
     from lightx2v_tpu.models.wan.pipeline import rope_for_shape
     from lightx2v_tpu.models.wan.weights import init_random_params_on_device
 
+    if os.environ.get("BENCH_MODEL") == "hunyuan":
+        run_hunyuan()
+        return
+
     preset = os.environ.get("BENCH_PRESET", "1.3b")
     mode = os.environ.get("BENCH_MODE", "forward")
     if preset == "tiny":
@@ -186,6 +190,64 @@ def main():
     else:  # no published reference row at this shape: report time only
         emit(f"wan{preset}_{res}_dit_forward_ms_on_v5e[{alias}] (no published H200 row)",
              ms, "ms", 0.0)
+
+
+def run_hunyuan():
+    """HunyuanVideo MMDiT forward at 480P-equivalent token counts
+    (BASELINE config 4's model family; the reference publishes no H200
+    per-forward number for Hunyuan, so the row reports time only).
+    Full arch is ~12.7B params — bf16 exceeds one v5e, so the default
+    scheme is int8 (every double/single block linear w8a8, like the Wan
+    14B capacity configs). Weights synthesize on device."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightx2v_tpu.models.hunyuan.config import HunyuanArch
+    from lightx2v_tpu.models.hunyuan.model import build_hunyuan_rope, hunyuan_forward
+    from lightx2v_tpu.models.hunyuan.weights import init_random_hunyuan_params_on_device
+
+    if jax.default_backend() == "tpu":
+        os.environ.setdefault("LIGHTX2V_STRICT_KERNELS", "1")
+
+    arch = HunyuanArch()
+    scheme = os.environ.get("BENCH_MM", "int8")
+    mm_type = MM_ALIAS.get(scheme, "Default" if scheme in ("bf16", "Default") else scheme)
+    attn = os.environ.get("BENCH_ATTN", "flash_attn3")
+    steps = int(os.environ.get("BENCH_STEPS", 3))
+    f = int(os.environ.get("BENCH_FRAMES", 21))
+    h = int(os.environ.get("BENCH_H", 60))
+    w = int(os.environ.get("BENCH_W", 104))
+    text_len = int(os.environ.get("BENCH_TEXT_LEN", 256))
+
+    params = init_random_hunyuan_params_on_device(arch, scheme=scheme, seed=0)
+    jax.block_until_ready(params)
+    rng = np.random.default_rng(0)
+    latents = jnp.asarray(rng.standard_normal((1, arch.in_channels, f, h, w)) * 0.5, jnp.bfloat16)
+    ts = jnp.asarray(rng.standard_normal((1, text_len, arch.text_states_dim)) * 0.1, jnp.bfloat16)
+    mask = jnp.ones((1, text_len), jnp.int32)
+    ts2 = jnp.asarray(rng.standard_normal((1, arch.text_states_dim_2)) * 0.1, jnp.bfloat16)
+    pt, ph, pw = arch.patch_size
+    cos, sin = build_hunyuan_rope(arch, f // pt, h // ph, w // pw)
+    t = jnp.asarray([500.0], jnp.float32)
+    g = jnp.asarray([6000.0], jnp.float32)
+
+    fwd = jax.jit(lambda p, l, tt: hunyuan_forward(
+        p, l, tt, ts, mask, ts2, cos, sin, arch, guidance=g,
+        mm_type=mm_type, attn_type=attn))
+
+    def run_sync():
+        return float(jnp.sum(fwd(params, latents, t).astype(jnp.float32)))
+
+    run_sync()
+    times = []
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        run_sync()
+        times.append(time.perf_counter() - t0)
+    ms = float(np.median(times) * 1000.0)
+    res = {(60, 104): "480p", (90, 160): "720p"}.get((h, w), f"{h}x{w}latent")
+    emit(f"hunyuan_{res}_dit_forward_ms_on_v5e[{scheme}] (no published H200 row)",
+         ms, "ms", 0.0)
 
 
 def run_e2e(arch, params, target, mm_type, attn, steps, preset="14b", scheme="bf16"):

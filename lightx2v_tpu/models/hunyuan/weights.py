@@ -189,3 +189,97 @@ def init_random_hunyuan_state_dict(arch: HunyuanArch, seed: int = 0, scale: floa
     lin("final_layer.linear", d, arch.out_channels * pt * ph * pw)
     lin("final_layer.adaLN_modulation.1", d, 2 * d)
     return sd
+
+
+def init_random_hunyuan_params_on_device(arch: HunyuanArch, scheme: str = "bf16",
+                                         seed: int = 0, scale: float = 0.02) -> Params:
+    """Synthesize the full Hunyuan params pytree DIRECTLY on the accelerator
+    (same rationale as wan.weights.init_random_params_on_device: the
+    tunneled bench chip moves host->device at single-digit MB/s, and the
+    ~13 GB full model could never ship from host). Layouts match
+    ``load_hunyuan_params``; scheme "int8"/"fp8" gives every double/single
+    block linear (incl. the mod projections — all of them run through
+    mm_fn, model.py:195-252) quantized ``w`` + per-channel ``w_scale``
+    while the pre/post weights stay bf16/fp32."""
+    import itertools
+
+    import jax.random as jr
+
+    d = arch.hidden_size
+    mlp = arch.mlp_hidden_dim
+    cnt = itertools.count()
+
+    def build(base):
+        def nrm(shape, dtype=jnp.bfloat16, std=scale):
+            return jr.normal(jr.fold_in(base, next(cnt)), shape, dtype) * jnp.asarray(std, dtype)
+
+        def bf16lin(out, kin, wdt=jnp.bfloat16):
+            return {"w": nrm((out, kin), wdt), "b": nrm((out,), jnp.float32)}
+
+        def qlin(out, kin, L):
+            sh, bsh = (L, out, kin), (L, out)
+            key = jr.fold_in(base, next(cnt))
+            lin: Params = {"b": jr.normal(jr.fold_in(base, next(cnt)), bsh, jnp.float32) * scale}
+            if scheme == "int8":
+                lin["w"] = jr.randint(key, sh, -127, 128, jnp.int8)
+                lin["w_scale"] = jnp.full(bsh, scale / 127.0, jnp.float32)
+            elif scheme == "fp8":
+                lin["w"] = (jr.normal(key, sh, jnp.bfloat16) * 100.0).astype(jnp.float8_e4m3fn)
+                lin["w_scale"] = jnp.full(bsh, scale / 100.0, jnp.float32)
+            else:
+                lin["w"] = jr.normal(key, sh, jnp.bfloat16) * scale
+            return lin
+
+        ones_hd = lambda L: jnp.ones((L, arch.head_dim), jnp.float32)
+
+        def refiner():
+            return {
+                "norm1": {"w": jnp.ones((d,), jnp.float32), "b": jnp.zeros((d,), jnp.float32)},
+                "qkv": bf16lin(3 * d, d),
+                "proj": bf16lin(d, d),
+                "norm2": {"w": jnp.ones((d,), jnp.float32), "b": jnp.zeros((d,), jnp.float32)},
+                "mlp_fc1": bf16lin(4 * d, d),
+                "mlp_fc2": bf16lin(d, 4 * d),
+                "adaLN": bf16lin(2 * d, d),
+            }
+
+        Ld, Ls = arch.double_blocks, arch.single_blocks
+        pt, ph, pw = arch.patch_size
+        params: Params = {
+            "img_in": {"w": nrm((d, arch.in_channels * pt * ph * pw)),
+                       "b": nrm((d,), jnp.float32)},
+            "time_in": {"0": bf16lin(d, 256), "2": bf16lin(d, d)},
+            "vector_in": {"0": bf16lin(d, arch.text_states_dim_2), "2": bf16lin(d, d)},
+            "txt_in": {
+                "input_embedder": bf16lin(d, arch.text_states_dim),
+                "t_embedder": {"0": bf16lin(d, 256), "2": bf16lin(d, d)},
+                "c_embedder_1": bf16lin(d, arch.text_states_dim),
+                "c_embedder_2": bf16lin(d, d),
+                "refiner": [refiner(), refiner()],
+            },
+            "double_blocks": {
+                **{f"{s}_mod": qlin(6 * d, d, Ld) for s in ("img", "txt")},
+                **{f"{s}_attn_qkv": qlin(3 * d, d, Ld) for s in ("img", "txt")},
+                **{f"{s}_attn_q_norm": ones_hd(Ld) for s in ("img", "txt")},
+                **{f"{s}_attn_k_norm": ones_hd(Ld) for s in ("img", "txt")},
+                **{f"{s}_attn_proj": qlin(d, d, Ld) for s in ("img", "txt")},
+                **{f"{s}_mlp_fc1": qlin(mlp, d, Ld) for s in ("img", "txt")},
+                **{f"{s}_mlp_fc2": qlin(d, mlp, Ld) for s in ("img", "txt")},
+            },
+            "single_blocks": {
+                "linear1": qlin(3 * d + mlp, d, Ls),
+                "linear2": qlin(d, d + mlp, Ls),
+                "q_norm": ones_hd(Ls),
+                "k_norm": ones_hd(Ls),
+                "modulation": qlin(3 * d, d, Ls),
+            },
+            "final_layer": {
+                "linear": bf16lin(arch.out_channels * pt * ph * pw, d, jnp.float32),
+                "adaLN": bf16lin(2 * d, d),
+            },
+        }
+        if arch.guidance_embed:
+            params["guidance_in"] = {"0": bf16lin(d, 256), "2": bf16lin(d, d)}
+        return params
+
+    return jax.jit(build)(jax.random.PRNGKey(seed))
