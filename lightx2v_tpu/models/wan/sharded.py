@@ -91,9 +91,11 @@ def make_sharded_transformer(
         # single-device forward's kv_len masking. None when S divides sp.
         if sp > 1:
             if parallel_attn_type == "ring":
-                sp_attn = lambda q, k, v, **rkw: ring_attention(
-                    q, k, v, axis="sp",
-                    pad_tail=0 if kv_tokens is None else _ring_pad(kv_tokens, sp, k.shape[1]))
+                def sp_attn(q, k, v, **rkw):
+                    assert not rkw, "ring pre-rotates; rope kwargs must not reach it"
+                    return ring_attention(
+                        q, k, v, axis="sp",
+                        pad_tail=0 if kv_tokens is None else _ring_pad(kv_tokens, sp, k.shape[1]))
             else:
                 def sp_attn(q, k, v, **rkw):
                     # rkw carries rope tables on the fused path; they ride

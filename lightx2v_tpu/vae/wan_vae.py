@@ -120,15 +120,26 @@ def rms_norm_ch(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def spatial_attention(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
-    """Single-head per-frame spatial self-attention (reference vae.py:231-273)."""
+    """Single-head per-frame spatial self-attention (reference vae.py:231-273).
+
+    Tiled decode tokens (32x32 latent = 1024) materialize the logits
+    directly; the UNTILED 480P/720P mid-block is 6-14k tokens whose
+    (HW)^2 fp32 logits cost hundreds of MB x chunk frames — those route
+    through the online-softmax chunked path (same math, O(S*chunk))."""
     b, t, h, w, c = x.shape
     identity = x
     xn = rms_norm_ch(p["norm"], x)
     qkv = conv2d(p["to_qkv"], xn)  # (B,T,H,W,3C)
     q, k, v = jnp.split(qkv.reshape(b * t, h * w, 3 * c), 3, axis=-1)
-    logits = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32) / np.sqrt(c)
-    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bqk,bkc->bqc", probs, v).reshape(b, t, h, w, c)
+    if h * w > 4096:
+        from ..ops.attention import attn_xla_chunked
+
+        out = attn_xla_chunked(q[:, :, None], k[:, :, None], v[:, :, None])
+        out = out[:, :, 0].reshape(b, t, h, w, c)
+    else:
+        logits = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32) / np.sqrt(c)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bqk,bkc->bqc", probs, v).reshape(b, t, h, w, c)
     out = conv2d(p["proj"], out)
     return identity + out
 

@@ -92,6 +92,32 @@ class TestDecode:
         assert np.abs(out1[:, 9:] - out2[:, 9:]).max() > 1e-6
 
 
+def test_spatial_attention_chunked_path_matches_direct(params):
+    # h*w > 4096 routes through the online-softmax chunked attention;
+    # must equal the materialized-logits einsum to float tolerance
+    from lightx2v_tpu.vae import wan_vae as wv
+
+    c = 8
+    p = {"norm": {"g": jnp.ones((c,), jnp.float32)},
+         "to_qkv": {"w": jnp.asarray(np.random.default_rng(0).standard_normal((1, 1, c, 3 * c)),
+                                     jnp.float32) * 0.1, "b": None},
+         "proj": {"w": jnp.asarray(np.random.default_rng(1).standard_normal((1, 1, c, c)),
+                                   jnp.float32) * 0.1, "b": None}}
+    rng = np.random.default_rng(2)
+    x_big = jnp.asarray(rng.standard_normal((1, 2, 66, 64, c)), jnp.float32)  # 4224 > 4096
+    got = np.asarray(wv.spatial_attention(p, x_big))
+
+    b, t, h, w, _ = x_big.shape
+    xn = wv.rms_norm_ch(p["norm"], x_big)
+    qkv = wv.conv2d(p["to_qkv"], xn)
+    q, k, v = jnp.split(qkv.reshape(b * t, h * w, 3 * c), 3, axis=-1)
+    logits = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32) / np.sqrt(c)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bqk,bkc->bqc", probs, v).reshape(b, t, h, w, c)
+    ref = np.asarray(x_big + wv.conv2d(p["proj"], out))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
 class TestEncode:
     def test_shapes(self, params):
         x = jnp.asarray(np.random.default_rng(4).standard_normal((1, 9, 32, 32, 3)), jnp.float32)
