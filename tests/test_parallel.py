@@ -336,3 +336,18 @@ def test_sharded_forward_masks_sp_pad_tokens(algo):
                               seq_len=seq_len, parallel_attn_type=algo)
     np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref, np.float32),
                                rtol=0.02, atol=0.02)
+
+    if algo == "ulysses":
+        # fused-rope + pad: kv_len must mask the tail with the rotation
+        # happening post-all_to_all at padded-table positions
+        import dataclasses
+
+        from lightx2v_tpu.models.wan.weights import permute_qk_half
+
+        arch_f = dataclasses.replace(arch, rope_fused=True)
+        params_f = permute_qk_half(params, arch_f)
+        out_f = wan_forward_sharded(params_f, latents, t, context, cos, sin, arch_f, mesh,
+                                    self_attn_type="flash_attn3", cross_attn_type="xla",
+                                    seq_len=seq_len, parallel_attn_type="ulysses")
+        np.testing.assert_allclose(np.asarray(out_f, np.float32), np.asarray(ref, np.float32),
+                                   rtol=0.02, atol=0.02)
