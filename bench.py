@@ -120,6 +120,12 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", 3))
 
     target = (16, f, h, w)
+    # the reference's headline 14B rows are I2V (BASELINE.md header):
+    # BENCH_TASK=i2v adds the 20ch mask/frame concat + CLIP img cross-attn
+    # (k_img/v_img + 257 img context tokens) the i2v forward carries
+    task = os.environ.get("BENCH_TASK", "t2v")
+    if task == "i2v":
+        arch = dataclasses.replace(arch, task="i2v", in_dim=36)
     # in-kernel fused rope is numerically equivalent (shared q/k feature
     # permutation; irrelevant for synthetic weights) and ~3.4% faster e2e
     # on v5e — default on, opt out with BENCH_ROPE_FUSED=0
@@ -137,6 +143,10 @@ def main():
     latents = jnp.asarray(rng.standard_normal((1, *target)) * 0.5, jnp.bfloat16)
     t = jnp.asarray([500.0], jnp.float32)
     context = jnp.asarray(rng.standard_normal((1, arch.text_len, arch.text_dim)) * 0.1, jnp.bfloat16)
+    y = clip_fea = None
+    if task == "i2v":
+        y = jnp.asarray(rng.standard_normal((1, arch.in_dim - 16, f, h, w)) * 0.5, jnp.bfloat16)
+        clip_fea = jnp.asarray(rng.standard_normal((1, 257, arch.clip_dim)) * 0.1, jnp.bfloat16)
 
     cross = "flash_attn3" if attn in ("sparge", "radial_attn") else attn
     self_attn_kwargs = None
@@ -157,8 +167,8 @@ def main():
                             "l1": 0.07, **sparse_blocks}
     fwd = jax.jit(
         lambda p, l, tt, c: wan_forward(
-            p, l, tt, c, rope_cos, rope_sin, arch, mm_type=mm_type,
-            self_attn_type=attn, cross_attn_type=cross,
+            p, l, tt, c, rope_cos, rope_sin, arch, y=y, clip_fea=clip_fea,
+            mm_type=mm_type, self_attn_type=attn, cross_attn_type=cross,
             self_attn_kwargs=self_attn_kwargs,
         )
     )
@@ -176,6 +186,7 @@ def main():
     ms = float(np.median(times) * 1000.0)
 
     res = {(60, 104): "480p", (90, 160): "720p"}.get((h, w), f"{h}x{w}latent")
+    label = alias if task == "t2v" else f"{alias},i2v"
     base = {
         ("14b", "480p"): H200_14B_480P_MS_PER_FORWARD,
         ("14b", "720p"): H200_14B_720P_MS_PER_FORWARD,
@@ -184,11 +195,11 @@ def main():
     if base is not None:
         raw = base / ms
         emit(
-            f"wan{preset}_{res}_dit_forward_ms_on_v5e[{alias}] (chip-normalized vs H200; raw ratio {raw:.3f})",
+            f"wan{preset}_{res}_dit_forward_ms_on_v5e[{label}] (chip-normalized vs H200; raw ratio {raw:.3f})",
             ms, "ms", raw * PEAK_RATIO,
         )
     else:  # no published reference row at this shape: report time only
-        emit(f"wan{preset}_{res}_dit_forward_ms_on_v5e[{alias}] (no published H200 row)",
+        emit(f"wan{preset}_{res}_dit_forward_ms_on_v5e[{label}] (no published H200 row)",
              ms, "ms", 0.0)
 
 

@@ -34,6 +34,10 @@ run fwd_720p_14b_w4a8_sparge BENCH_PRESET=14b BENCH_MM=int4a8 BENCH_ATTN=sparge 
 run fwd_720p_14b_w4a8 BENCH_PRESET=14b BENCH_MM=int4a8 \
     BENCH_H=90 BENCH_W=160 BENCH_STEPS=2
 
+# 4b. i2v-protocol 480P forward (the reference's headline rows are I2V)
+run fwd_480p_14b_w4a8_sparge_i2v BENCH_PRESET=14b BENCH_MM=int4a8 BENCH_ATTN=sparge \
+    BENCH_TASK=i2v BENCH_STEPS=2
+
 # 5. 720P 1.3B forward (no H200 row; completes the 720P table)
 run fwd_720p_13b_bf16 BENCH_PRESET=1.3b BENCH_H=90 BENCH_W=160 BENCH_STEPS=2
 
