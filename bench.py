@@ -82,6 +82,9 @@ def main():
     if os.environ.get("BENCH_MODEL") == "hunyuan":
         run_hunyuan()
         return
+    if os.environ.get("BENCH_MODEL") == "cogvideox":
+        run_cogvideox()
+        return
 
     preset = os.environ.get("BENCH_PRESET", "1.3b")
     mode = os.environ.get("BENCH_MODE", "forward")
@@ -258,6 +261,59 @@ def run_hunyuan():
     ms = float(np.median(times) * 1000.0)
     res = {(60, 104): "480p", (90, 160): "720p"}.get((h, w), f"{h}x{w}latent")
     emit(f"hunyuan_{res}_dit_forward_ms_on_v5e[{scheme}] (no published H200 row)",
+         ms, "ms", 0.0)
+
+
+def run_cogvideox():
+    """CogVideoX1.5-5B forward at 480P-equivalent token counts (third
+    model family; the reference publishes no H200 per-forward number, so
+    the row reports time only). 5B bf16 (~10 GB) is resident on one v5e;
+    BENCH_MM=int8/fp8 quantizes the block linears. On-device weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightx2v_tpu.models.cogvideox.model import (CogArch, build_cog_rope,
+                                                     cog_forward,
+                                                     init_random_cog_params_on_device)
+
+    if jax.default_backend() == "tpu":
+        os.environ.setdefault("LIGHTX2V_STRICT_KERNELS", "1")
+
+    arch = CogArch()
+    scheme = os.environ.get("BENCH_MM", "bf16")
+    mm_type = MM_ALIAS.get(scheme, "Default" if scheme in ("bf16", "Default") else scheme)
+    attn = os.environ.get("BENCH_ATTN", "flash_attn3")
+    steps = int(os.environ.get("BENCH_STEPS", 3))
+    f = int(os.environ.get("BENCH_FRAMES", 21))
+    h = int(os.environ.get("BENCH_H", 60))
+    w = int(os.environ.get("BENCH_W", 104))
+
+    params = init_random_cog_params_on_device(arch, scheme=scheme, seed=0)
+    jax.block_until_ready(params)
+    rng = np.random.default_rng(0)
+    latents = jnp.asarray(rng.standard_normal((1, arch.in_channels, f, h, w)) * 0.5, jnp.bfloat16)
+    context = jnp.asarray(rng.standard_normal((1, arch.text_len, arch.text_dim)) * 0.1, jnp.bfloat16)
+    p, pt = arch.patch_size, arch.patch_size_t
+    fpad = f + ((-f) % pt)
+    cos, sin = build_cog_rope(arch, fpad // pt, h // p, w // p)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+    t = jnp.asarray([500.0], jnp.float32)
+
+    fwd = jax.jit(lambda pa, l, tt: cog_forward(
+        pa, l, tt, context, cos, sin, arch, mm_type=mm_type, attn_type=attn))
+
+    def run_sync():
+        return float(jnp.sum(fwd(params, latents, t).astype(jnp.float32)))
+
+    run_sync()
+    times = []
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        run_sync()
+        times.append(time.perf_counter() - t0)
+    ms = float(np.median(times) * 1000.0)
+    res = {(60, 104): "480p", (90, 160): "720p"}.get((h, w), f"{h}x{w}latent")
+    emit(f"cogvideox_{res}_dit_forward_ms_on_v5e[{scheme}] (no published H200 row)",
          ms, "ms", 0.0)
 
 

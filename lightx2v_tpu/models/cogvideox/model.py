@@ -293,3 +293,68 @@ def init_random_cog_state_dict(arch: CogArch, seed: int = 0, scale: float = 0.02
     norm("norm_out.norm", d)
     lin("proj_out", d, arch.patch_size_t * arch.out_channels * arch.patch_size**2)
     return sd
+
+
+def init_random_cog_params_on_device(arch: CogArch, scheme: str = "bf16",
+                                     seed: int = 0, scale: float = 0.02) -> Params:
+    """Synthesize the full CogVideoX params pytree ON the accelerator
+    (same rationale as wan/hunyuan: the tunneled bench chip cannot ship
+    ~10 GB from host). Layouts match ``load_cog_params``; scheme
+    "int8"/"fp8" quantizes every transformer-block linear (all of them
+    run through mm_blk, cog_block above) with per-channel ``w_scale``."""
+    import itertools
+
+    import jax.random as jr
+
+    d, ted = arch.dim, arch.time_embed_dim
+    L = arch.num_layers
+    cnt = itertools.count()
+
+    def build(base):
+        def nrm(shape, dtype=jnp.bfloat16, std=scale):
+            return jr.normal(jr.fold_in(base, next(cnt)), shape, dtype) * jnp.asarray(std, dtype)
+
+        def bf16lin(out, kin):
+            return {"w": nrm((out, kin)), "b": nrm((out,), jnp.float32)}
+
+        def qlin(out, kin):
+            sh, bsh = (L, out, kin), (L, out)
+            key = jr.fold_in(base, next(cnt))
+            lin: Params = {"b": jr.normal(jr.fold_in(base, next(cnt)), bsh, jnp.float32) * scale}
+            if scheme == "int8":
+                lin["w"] = jr.randint(key, sh, -127, 128, jnp.int8)
+                lin["w_scale"] = jnp.full(bsh, scale / 127.0, jnp.float32)
+            elif scheme == "fp8":
+                lin["w"] = (jr.normal(key, sh, jnp.bfloat16) * 100.0).astype(jnp.float8_e4m3fn)
+                lin["w_scale"] = jnp.full(bsh, scale / 100.0, jnp.float32)
+            else:
+                lin["w"] = jr.normal(key, sh, jnp.bfloat16) * scale
+            return lin
+
+        def onesn(n_):
+            return {"w": jnp.ones((L, n_), jnp.float32), "b": jnp.zeros((L, n_), jnp.float32)}
+
+        p, pt = arch.patch_size, arch.patch_size_t
+        params: Params = {
+            "patch_proj": bf16lin(d, arch.in_channels * pt * p * p),
+            "text_proj": bf16lin(d, arch.text_dim),
+            "time_embedding": {"1": bf16lin(ted, d), "2": bf16lin(ted, ted)},
+            "blocks": {
+                "norm1_linear": qlin(6 * d, ted),
+                "norm1_norm": onesn(d),
+                "to_q": qlin(d, d), "to_k": qlin(d, d), "to_v": qlin(d, d),
+                "norm_q": onesn(arch.head_dim), "norm_k": onesn(arch.head_dim),
+                "to_out": qlin(d, d),
+                "norm2_linear": qlin(6 * d, ted),
+                "norm2_norm": onesn(d),
+                "ff_0": qlin(4 * d, d),
+                "ff_2": qlin(d, 4 * d),
+            },
+            "norm_final": {"w": jnp.ones((d,), jnp.float32), "b": jnp.zeros((d,), jnp.float32)},
+            "norm_out_linear": bf16lin(2 * d, ted),
+            "norm_out_norm": {"w": jnp.ones((d,), jnp.float32), "b": jnp.zeros((d,), jnp.float32)},
+            "proj_out": bf16lin(pt * arch.out_channels * p * p, d),
+        }
+        return params
+
+    return jax.jit(build)(jax.random.PRNGKey(seed))

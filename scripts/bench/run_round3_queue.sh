@@ -44,6 +44,9 @@ run fwd_720p_13b_bf16 BENCH_PRESET=1.3b BENCH_H=90 BENCH_W=160 BENCH_STEPS=2
 # 6. HunyuanVideo MMDiT int8 forward at 480P tokens (second model family)
 run fwd_480p_hunyuan_int8 BENCH_MODEL=hunyuan BENCH_MM=int8 BENCH_STEPS=2
 
+# 7. CogVideoX1.5-5B bf16 forward at 480P tokens (third model family)
+run fwd_480p_cog_bf16 BENCH_MODEL=cogvideox BENCH_STEPS=2
+
 echo "=== caching re-measure start $(date +%H:%M:%S) ==="
 timeout 7200 python scripts/bench/bench_caching.py \
     >$L/caching.json 2>$L/caching.err
