@@ -353,6 +353,11 @@ def run_e2e(arch, params, target, mm_type, attn, steps, preset="14b", scheme="bf
     )
     rng = np.random.default_rng(0)
     context = jnp.asarray(rng.standard_normal((1, arch.text_len, arch.text_dim)) * 0.1, jnp.bfloat16)
+    y = clip_fea = None
+    if arch.task == "i2v":
+        _, f, h, w = target
+        y = jnp.asarray(rng.standard_normal((1, arch.in_dim - 16, f, h, w)) * 0.5, jnp.bfloat16)
+        clip_fea = jnp.asarray(rng.standard_normal((1, 257, arch.clip_dim)) * 0.1, jnp.bfloat16)
 
     vae_cfg = WanVAEConfig()
     import ml_dtypes
@@ -401,7 +406,7 @@ def run_e2e(arch, params, target, mm_type, attn, steps, preset="14b", scheme="bf
     def once():
         st, cache = state0, denoise.init_cache()
         for _ in range(sched_cfg["infer_steps"]):
-            st, cache = step_fn(params, st, cache, context, context, None, None)
+            st, cache = step_fn(params, st, cache, context, context, y, clip_fea)
         z = jnp.transpose(st["latents"], (1, 2, 3, 0))[None]  # (1,T,h,w,C)
         if split:  # sync so the denoise/decode attribution is real
             t_mid = (time.perf_counter(), float(jnp.sum(z.astype(jnp.float32))))
@@ -422,14 +427,16 @@ def run_e2e(arch, params, target, mm_type, attn, steps, preset="14b", scheme="bf
     res = {(60, 104): "480p", (90, 160): "720p"}.get(tuple(target[2:]), "custom")
     base_s = {"480p": H200_14B_480P_DISTILL_E2E_S,
               "720p": H200_14B_720P_DISTILL_E2E_S}.get(res)
+    label = scheme if arch.task == "t2v" else f"{scheme},i2v"
+    vae_lbl = "fullVAE" if os.environ.get("BENCH_VAE") == "full" else "tiledVAE"
     if preset == "14b" and base_s is not None:
         raw = base_s / sec
         emit(
-            f"wan{preset}_distill4_{res}_e2e_s_on_v5e[{scheme}] (denoise+tiledVAE; chip-normalized vs {base_s:.0f}s H200 14B; raw ratio {raw:.3f})",
+            f"wan{preset}_distill4_{res}_e2e_s_on_v5e[{label}] (denoise+{vae_lbl}; chip-normalized vs {base_s:.0f}s H200 14B; raw ratio {raw:.3f})",
             sec, "s", raw * PEAK_RATIO,
         )
     else:
-        emit(f"wan{preset}_distill4_{res}_e2e_s_on_v5e[{scheme}] (no published H200 row)",
+        emit(f"wan{preset}_distill4_{res}_e2e_s_on_v5e[{label}] (no published H200 row)",
              sec, "s", 0.0)
 
 
