@@ -28,7 +28,12 @@ run e2e_480p_w4a8_sparge_fullvae BENCH_MODE=e2e BENCH_PRESET=14b BENCH_MM=int4a8
 run e2e_480p_w4a8_sparge_i2v BENCH_MODE=e2e BENCH_PRESET=14b BENCH_MM=int4a8 \
     BENCH_ATTN=sparge BENCH_TASK=i2v BENCH_E2E_SPLIT=1 BENCH_STEPS=2
 
-# 3. 720P e2e distill (reference 44 s H200 row)
+# 3. 720P e2e distill (reference 44 s H200 row); try the untiled decode
+# first (1.78x less conv work; chunk=2 bounds full-res activations), fall
+# back to tiled
+run e2e_720p_w4a8_sparge_fullvae BENCH_MODE=e2e BENCH_PRESET=14b BENCH_MM=int4a8 \
+    BENCH_ATTN=sparge BENCH_E2E_SPLIT=1 BENCH_H=90 BENCH_W=160 BENCH_STEPS=2 \
+    BENCH_VAE=full BENCH_VAE_CHUNK=2
 run e2e_720p_w4a8_sparge BENCH_MODE=e2e BENCH_PRESET=14b BENCH_MM=int4a8 \
     BENCH_ATTN=sparge BENCH_E2E_SPLIT=1 BENCH_H=90 BENCH_W=160 BENCH_STEPS=2
 
