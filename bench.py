@@ -131,8 +131,11 @@ def main():
         arch = dataclasses.replace(arch, task="i2v", in_dim=36)
     # in-kernel fused rope is numerically equivalent (shared q/k feature
     # permutation; irrelevant for synthetic weights) and ~3.4% faster e2e
-    # on v5e — default on, opt out with BENCH_ROPE_FUSED=0
-    if os.environ.get("BENCH_ROPE_FUSED", "1") != "0" and scheme in ("bf16", "int8", "fp8"):
+    # on v5e — default on, opt out with BENCH_ROPE_FUSED=0. int4/w4a8 is
+    # opt-IN (=1): the permutation itself is a plain out-row gather that
+    # works on packed nibbles too, but the combination was never timed
+    rf = os.environ.get("BENCH_ROPE_FUSED", "")
+    if rf != "0" and (scheme in ("bf16", "int8", "fp8") or rf == "1"):
         arch = dataclasses.replace(arch, rope_fused=True)
     params = init_random_params_on_device(arch, scheme=scheme, seed=0)
     jax.block_until_ready(params)

@@ -24,6 +24,10 @@ run e2e_480p_w4a8_sparge BENCH_MODE=e2e BENCH_PRESET=14b BENCH_MM=int4a8 \
 run e2e_480p_w4a8_sparge_fullvae BENCH_MODE=e2e BENCH_PRESET=14b BENCH_MM=int4a8 \
     BENCH_ATTN=sparge BENCH_E2E_SPLIT=1 BENCH_VAE=full BENCH_STEPS=2
 
+# 1b. flagship e2e with fused rope forced onto the w4a8 path (opt-in)
+run e2e_480p_w4a8_sparge_ropefused BENCH_MODE=e2e BENCH_PRESET=14b BENCH_MM=int4a8 \
+    BENCH_ATTN=sparge BENCH_E2E_SPLIT=1 BENCH_ROPE_FUSED=1 BENCH_STEPS=2
+
 # 2b. i2v-protocol flagship e2e (the reference's 14 s row is I2V-14B)
 run e2e_480p_w4a8_sparge_i2v BENCH_MODE=e2e BENCH_PRESET=14b BENCH_MM=int4a8 \
     BENCH_ATTN=sparge BENCH_TASK=i2v BENCH_E2E_SPLIT=1 BENCH_STEPS=2
