@@ -200,18 +200,22 @@ def main():
             continue
         compile_s = time.perf_counter() - t0
 
-        cache_override = None
-        if mode == "Ada":
-            env = os.environ.get("BENCH_ADA_SCALE")
-            ada_scale = float(env) if env else calibrate_ada_scale(
-                step_fn, denoise.init_cache, state0)
-            cache_override = {"metric_scale": jnp.asarray(ada_scale, jnp.float32)}
-            label = f"Ada@scale{ada_scale:.3g}"
-        times = []
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            _, cache_f = once(cache_override)
-            times.append(time.perf_counter() - t0)
+        try:
+            cache_override = None
+            if mode == "Ada":
+                env = os.environ.get("BENCH_ADA_SCALE")
+                ada_scale = float(env) if env else calibrate_ada_scale(
+                    step_fn, denoise.init_cache, state0)
+                cache_override = {"metric_scale": jnp.asarray(ada_scale, jnp.float32)}
+                label = f"Ada@scale{ada_scale:.3g}"
+            times = []
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                _, cache_f = once(cache_override)
+                times.append(time.perf_counter() - t0)
+        except Exception as e:  # isolate: one mode's OOM must not kill the rest
+            print(json.dumps({"mode": label, "error": str(e)[:200]}), flush=True)
+            continue
         sec = float(np.median(times))
         extra = {}
         if mode == "Ada":
