@@ -7,6 +7,7 @@ Endpoint schema preserved:
   GET    /v1/tasks/{id}/result          result metadata
   DELETE /v1/tasks/running              stop the running task
   GET    /v1/service/status             idle/busy
+  GET    /v1/service/metrics            serving counters + last stage seconds
   GET    /v1/files/download/{path}      fetch produced video
 
 Implementation uses the stdlib ThreadingHTTPServer (FastAPI is not in the
@@ -89,6 +90,8 @@ def make_handler(service: VideoGenerationService, output_root: str = "."):
                 return
             if self.path == "/v1/service/status":
                 return self._json(200, service.status())
+            if self.path == "/v1/service/metrics":
+                return self._json(200, service.metrics())
             if self.path == "/v1/service/metadata":
                 from .autoconfig import service_metadata
 

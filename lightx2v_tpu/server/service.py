@@ -60,6 +60,11 @@ class VideoGenerationService:
         self._queue: "queue.Queue[str]" = queue.Queue()
         self._tasks: Dict[str, TaskRecord] = {}
         self._lock = threading.Lock()
+        self._metrics: Dict[str, Any] = {
+            "tasks_submitted": 0, "tasks_completed": 0,
+            "tasks_failed": 0, "tasks_stopped": 0,
+            "task_seconds_total": 0.0, "last_task_seconds": None,
+        }
         self._shutdown = threading.Event()
         self.num_replicas = max(1, int(num_replicas))
         self._runners: Dict[int, Any] = {}
@@ -78,8 +83,21 @@ class VideoGenerationService:
         rec = TaskRecord(req)
         with self._lock:
             self._tasks[task_id] = rec
+            self._metrics["tasks_submitted"] += 1
         self._queue.put(task_id)
         return rec
+
+    def metrics(self) -> Dict[str, Any]:
+        """Serving counters + the last pipeline's per-stage seconds
+        (GET /v1/service/metrics)."""
+        from ..utils.profiler import LAST_STAGES
+
+        with self._lock:
+            m = dict(self._metrics)
+            m["queue_depth"] = self._queue.qsize()
+            m["busy_replicas"] = sum(1 for v in self._current.values() if v)
+        m["last_stage_seconds"] = dict(LAST_STAGES)
+        return m
 
     def _resolve_save_path(self, requested: Optional[str], task_id: str) -> str:
         """Contain client-supplied save paths under output_root — the write-
@@ -198,6 +216,7 @@ class VideoGenerationService:
             with self._lock:
                 self._current[replica] = task_id
                 rec.status = "processing"
+            t_task = time.perf_counter()
             try:
                 if replica not in self._runners:
                     # construction pinned to the replica chip (single-chip
@@ -227,5 +246,12 @@ class VideoGenerationService:
                 rec.status = "failed"
                 rec.error = str(e)
             finally:
+                dur = time.perf_counter() - t_task
                 with self._lock:
                     self._current[replica] = None
+                    key = {"completed": "tasks_completed", "stopped": "tasks_stopped"}.get(
+                        rec.status, "tasks_failed")
+                    self._metrics[key] += 1
+                    self._metrics["task_seconds_total"] = round(
+                        self._metrics["task_seconds_total"] + dur, 3)
+                    self._metrics["last_task_seconds"] = round(dur, 3)

@@ -28,6 +28,12 @@ def _device_mem_stats() -> Optional[dict]:
         return None
 
 
+# last-completed duration per phase name (process-wide): the serving
+# layer reports these via GET /v1/service/metrics as the most recent
+# pipeline's stage breakdown
+LAST_STAGES: dict = {}
+
+
 class ProfilingContext:
     """Context manager + decorator: logs wall time and device peak memory."""
 
@@ -42,6 +48,7 @@ class ProfilingContext:
 
     def __exit__(self, exc_type, exc, tb):
         self.duration = time.perf_counter() - self.start
+        LAST_STAGES[self.name] = round(self.duration, 6)
         mem = _device_mem_stats()
         peak = f", peak_mem={mem.get('peak_bytes_in_use', 0) / 2**30:.2f}GiB" if mem else ""
         logger.info(f"[Profile] {self.name} cost {self.duration:.6f}s{peak}")

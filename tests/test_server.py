@@ -94,6 +94,22 @@ def test_full_task_lifecycle(server):
         assert len(r.read()) > 100
 
 
+def test_service_metrics_endpoint(server):
+    """Runs after the lifecycle test: counters must reflect the completed
+    task and carry the last pipeline's stage breakdown."""
+    srv, _ = server
+    code, m = _req(srv.port, "GET", "/v1/service/metrics")
+    assert code == 200
+    assert m["tasks_submitted"] >= 1
+    assert m["tasks_completed"] >= 1
+    assert m["last_task_seconds"] is not None and m["last_task_seconds"] > 0
+    assert m["task_seconds_total"] >= m["last_task_seconds"]
+    assert "queue_depth" in m and "busy_replicas" in m
+    stages = m["last_stage_seconds"]
+    assert any("DiT" in k for k in stages), stages
+    assert any("VAE" in k for k in stages), stages
+
+
 def test_web_ui_served(server):
     srv, _ = server
     url = f"http://127.0.0.1:{srv.port}/"
