@@ -337,19 +337,25 @@ def vae_decode(params: Dict, z: jnp.ndarray, cfg: WanVAEConfig = WanVAEConfig(),
 
 
 def vae_encode(params: Dict, x: jnp.ndarray, cfg: WanVAEConfig = WanVAEConfig(),
-               scale: bool = True, dtype=jnp.float32, rng: Optional[jax.Array] = None) -> jnp.ndarray:
+               scale: bool = True, dtype=jnp.float32, rng: Optional[jax.Array] = None,
+               chunk: int = 4) -> jnp.ndarray:
     """x: (B, T, H, W, 3) pixels (T = 4k+1) -> (B, (T-1)//4+1, H/8, W/8, z)
-    normalized mu (reference encode: vae.py:687-713)."""
+    normalized mu (reference encode: vae.py:687-713).
+
+    ``chunk`` latent steps (4*chunk pixel frames) encode per scan step —
+    same window-identical argument as the chunked decode: causal convs
+    keep a 2-frame cache and the stride-2 time conv's windows align
+    across any chunking of the stream."""
     x = x.astype(dtype)
     tape = CacheTape(None)
     out0 = encoder_chunk(params["encoder"], cfg, x[:, :1], tape, first=True)
     cache0 = tape.new
 
-    chunks = []
     t = x.shape[1]
     if t > 1:
         n_chunks = (t - 1) // 4
-        xs = x[:, 1:].reshape(x.shape[0], n_chunks, 4, *x.shape[2:]).transpose(1, 0, 2, 3, 4, 5)
+        k = max(d for d in range(1, max(1, min(chunk, n_chunks)) + 1) if n_chunks % d == 0)
+        xs = x[:, 1:].reshape(x.shape[0], n_chunks // k, 4 * k, *x.shape[2:]).transpose(1, 0, 2, 3, 4, 5)
 
         def body(cache, xc):
             tape = CacheTape(cache)

@@ -131,6 +131,17 @@ class TestEncode:
         prefix = vae_encode(params, x[:, :5], TINY, scale=False)
         np.testing.assert_allclose(np.asarray(prefix), np.asarray(full)[:, :2], rtol=1e-4, atol=1e-4)
 
+    def test_chunked_encode_equals_per_step(self, params):
+        # k latent steps (4k pixel frames) per scan step must equal the
+        # per-step stream: causal-conv caches and the stride-2 time conv's
+        # window parity are chunk-size independent
+        rng = np.random.default_rng(10)
+        x = jnp.asarray(rng.standard_normal((1, 25, 16, 16, 3)), jnp.float32)  # 6 latent steps
+        ref = np.asarray(vae_encode(params, x, TINY, scale=False, chunk=1))
+        for k in (2, 3, 6):
+            out = np.asarray(vae_encode(params, x, TINY, scale=False, chunk=k))
+            np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4, err_msg=f"chunk={k}")
+
     def test_latent_scale_normalization(self, params):
         cfg = WanVAEConfig(dim=8, z_dim=16, dim_mult=(1, 2, 2, 2), num_res_blocks=1,
                            temperal_downsample=(False, True, True))
