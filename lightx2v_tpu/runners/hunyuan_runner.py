@@ -197,6 +197,14 @@ class HunyuanRunner(DefaultRunner):
 
     def run_vae_decoder(self, latents) -> np.ndarray:
         z = jnp.transpose(latents, (1, 2, 3, 0))[None]
-        frames = hunyuan_vae_decode(self.vae, z, self.vae_cfg,
-                                    scale=not self.config.get("synthetic_weights"))
+        scale = not self.config.get("synthetic_weights")
+        if self.config.get("use_tiling_vae") or z.shape[1] > 16:
+            # reference AutoencoderKLCausal3D enables temporal tiling past
+            # 16 latent frames (64 output frames) and spatial past 32
+            # latent px; whole-clip 720P decode does not fit HBM
+            from ..vae.hunyuan_vae import hunyuan_vae_decode_tiled
+
+            frames = hunyuan_vae_decode_tiled(self.vae, z, self.vae_cfg, scale=scale)
+        else:
+            frames = hunyuan_vae_decode(self.vae, z, self.vae_cfg, scale=scale)
         return np.clip(np.asarray(frames[0], np.float32), -1.0, 1.0)

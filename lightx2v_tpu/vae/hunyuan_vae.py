@@ -200,6 +200,115 @@ def hunyuan_vae_decode(params: Params, z: jnp.ndarray, cfg: HunyuanVAEConfig = H
     return causal_conv3d(params["decoder"]["conv_out"], h)
 
 
+# ------------------------------------------------------- tiled decode
+# Reference AutoencoderKLCausal3D tiling (autoencoder_kl_causal_3d.py:
+# 343-520): spatial tiles of 256 px (32 latent) and temporal tiles of 64
+# output frames (16 latent), both with overlap factor 0.25 and linear
+# blending of the overlap; a temporal tile past the start carries ONE
+# extra leading latent frame whose (causal-bypass) first output frame is
+# dropped before blending.
+
+def _blend_dim(a: jnp.ndarray, b: jnp.ndarray, n: int, axis: int) -> jnp.ndarray:
+    """Linear-ramp blend of b's leading `n` slices with a's trailing `n`
+    along `axis` (reference blend_t/blend_v/blend_h)."""
+    n = min(a.shape[axis], b.shape[axis], n)
+    if n <= 0:
+        return b
+    shape = [1] * b.ndim
+    shape[axis] = n
+    w = (jnp.arange(n, dtype=jnp.float32) / n).reshape(shape)
+    a_t = jax.lax.slice_in_dim(a, a.shape[axis] - n, a.shape[axis], axis=axis).astype(jnp.float32)
+    b_h = jax.lax.slice_in_dim(b, 0, n, axis=axis).astype(jnp.float32)
+    mixed = (a_t * (1 - w) + b_h * w).astype(b.dtype)
+    rest = jax.lax.slice_in_dim(b, n, b.shape[axis], axis=axis)
+    return jnp.concatenate([mixed, rest], axis=axis)
+
+
+def hunyuan_vae_decode_spatial_tiled(params: Params, z: jnp.ndarray,
+                                     cfg: HunyuanVAEConfig = HunyuanVAEConfig(),
+                                     scale: bool = True, tile_latent: int = 32,
+                                     overlap: float = 0.25) -> jnp.ndarray:
+    """Spatial tiling (reference spatial_tiled_decode :419-453); z
+    channels-last (B, t, h, w, 16)."""
+    b, t, h, w, c = z.shape
+    step = max(1, int(tile_latent * (1 - overlap)))
+    # blend/limit derived from the step so tiles align at ANY tile size
+    # (identical to the reference's tile*8*overlap at its 32-latent tiles,
+    # where 8*step == tile*8*(1-overlap) exactly)
+    blend = (tile_latent - step) * 8
+    limit = step * 8
+    rows = []
+    for i in range(0, h, step):
+        row = []
+        for j in range(0, w, step):
+            tile = z[:, :, i : i + tile_latent, j : j + tile_latent]
+            row.append(hunyuan_vae_decode(params, tile, cfg, scale=scale))
+        rows.append(row)
+    out_rows = []
+    for i, row in enumerate(rows):
+        merged = []
+        for j, tile in enumerate(row):
+            if i > 0:
+                tile = _blend_dim(rows[i - 1][j], tile, blend, axis=2)
+            if j > 0:
+                tile = _blend_dim(row[j - 1], tile, blend, axis=3)
+            # the reference's torch blend_v/h mutate b IN PLACE, so later
+            # blends see already-blended neighbors — mirror that cascade
+            row[j] = tile
+            merged.append(tile[:, :, :limit, :limit])
+        out_rows.append(jnp.concatenate(merged, axis=3))
+    out = jnp.concatenate(out_rows, axis=2)
+    return out[:, :, : h * 8, : w * 8]
+
+
+def hunyuan_vae_decode_tiled(params: Params, z: jnp.ndarray,
+                             cfg: HunyuanVAEConfig = HunyuanVAEConfig(),
+                             scale: bool = True, t_tile_latent: int = 16,
+                             spatial_tile_latent: int = 32,
+                             overlap: float = 0.25,
+                             use_spatial: Optional[bool] = None) -> jnp.ndarray:
+    """Temporal (outer) + spatial (inner) tiled decode — the reference's
+    temporal_tiled_decode (:487-514) dispatching to spatial_tiled_decode
+    when a tile exceeds the spatial tile size."""
+    b, t, h, w, c = z.shape
+    if use_spatial is None:
+        use_spatial = max(h, w) > spatial_tile_latent
+
+    def dec(tile):
+        if use_spatial:
+            return hunyuan_vae_decode_spatial_tiled(
+                params, tile, cfg, scale=scale, tile_latent=spatial_tile_latent,
+                overlap=overlap)
+        return hunyuan_vae_decode(params, tile, cfg, scale=scale)
+
+    if t <= t_tile_latent:
+        return dec(z)
+    step = max(1, int(t_tile_latent * (1 - overlap)))
+    # step-derived blend (== the reference's int(t_sample*overlap) at its
+    # 16-latent tiles where 4*step aligns exactly): each non-first tile
+    # contributes 4*step new frames and overlaps the previous by the rest
+    blend = t_tile_latent * 4 - 4 * step
+    limit = 4 * step
+    row = []
+    for i in range(0, t, step):
+        tile = z[:, i : i + t_tile_latent + 1]
+        if i > 0 and tile.shape[1] <= 1:
+            break  # degenerate tail: only the (dropped) lead latent left
+        d = dec(tile)
+        if i > 0:
+            d = d[:, 1:]  # drop the extra leading latent frame's output
+        row.append(d)
+    merged = []
+    for i, tile in enumerate(row):
+        if i > 0:
+            tile = _blend_dim(row[i - 1], tile, blend, axis=1)
+            row[i] = tile  # reference blend_t mutates in place (cascade)
+            merged.append(tile[:, :limit])
+        else:
+            merged.append(tile[:, : limit + 1])
+    return jnp.concatenate(merged, axis=1)
+
+
 # ---------------------------------------------------------------- weights
 
 def _conv_p(sd, key, dtype=np.float32) -> Params:

@@ -643,6 +643,9 @@ def vae_decode_tiled(params: Dict, z: jnp.ndarray, cfg: WanVAEConfig = WanVAECon
                 tile = _blend_v(rows[i - 1][j], tile, blend)
             if j > 0:
                 tile = _blend_h(row[j - 1], tile, blend)
+            # reference torch blend_v/h mutate b in place, so later blends
+            # see already-blended neighbors (vae.py:556-565) — mirror it
+            row[j] = tile
             merged.append(tile[:, :, : stride_latent * 8, : stride_latent * 8])
         out_rows.append(jnp.concatenate(merged, axis=3))
     out = jnp.concatenate(out_rows, axis=2)
@@ -671,6 +674,7 @@ def vae_encode_tiled(params: Dict, x: jnp.ndarray, cfg: WanVAEConfig = WanVAECon
                 tile = _blend_v(rows[i - 1][j], tile, blend)
             if j > 0:
                 tile = _blend_h(row[j - 1], tile, blend)
+            row[j] = tile  # mirror the reference's in-place blend cascade
             merged.append(tile[:, :, :sl, :sl])
         out_rows.append(jnp.concatenate(merged, axis=3))
     out = jnp.concatenate(out_rows, axis=2)

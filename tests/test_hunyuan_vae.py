@@ -88,3 +88,49 @@ def test_roundtrip_scaling(params):
     rt = hunyuan_vae_decode(params, z, TINY, scale=True)
     assert rt.shape == x.shape
     assert np.isfinite(np.asarray(rt)).all()
+
+
+class TestTiledDecode:
+    """Structural properties of the tiled decode. (Numeric fidelity is
+    pinned against the EXECUTING reference's temporal/spatial tiled decode
+    in test_reference_equivalence_vaes.py — with random weights the tile
+    boundaries legitimately differ from the untiled decode, since each
+    tile restarts the causal context; the reference's tiling has the same
+    approximation.)"""
+
+    def test_temporal_tiled_shape_and_first_tile(self, params):
+        from lightx2v_tpu.vae.hunyuan_vae import hunyuan_vae_decode_tiled
+
+        z = jnp.asarray(np.random.default_rng(7).standard_normal((1, 7, 4, 4, 4)), jnp.float32)
+        full = np.asarray(hunyuan_vae_decode(params, z, TINY, scale=False))
+        tiled = np.asarray(hunyuan_vae_decode_tiled(params, z, TINY, scale=False,
+                                                    t_tile_latent=3, use_spatial=False))
+        assert tiled.shape == full.shape
+        # frames before the first blend region come from decode(tile0)
+        # verbatim. (No exactness vs the FULL decode: GroupNorm statistics
+        # span the whole clip's T, so the Hunyuan VAE is not temporally
+        # prefix-stable — the reference tiles for exactly that reason.)
+        step = int(3 * (1 - 0.25))
+        tile0 = np.asarray(hunyuan_vae_decode(params, z[:, : 3 + 1], TINY, scale=False))
+        np.testing.assert_allclose(tiled[:, : 4 * step + 1], tile0[:, : 4 * step + 1],
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_spatial_tiled_shape_and_exact_corner(self, params):
+        from lightx2v_tpu.vae.hunyuan_vae import hunyuan_vae_decode_spatial_tiled
+
+        z = jnp.asarray(np.random.default_rng(8).standard_normal((1, 2, 8, 12, 4)), jnp.float32)
+        full = np.asarray(hunyuan_vae_decode(params, z, TINY, scale=False))
+        tiled = np.asarray(hunyuan_vae_decode_spatial_tiled(params, z, TINY, scale=False,
+                                                            tile_latent=6))
+        assert tiled.shape == full.shape
+
+    def test_spatio_temporal_composed_shape(self, params):
+        from lightx2v_tpu.vae.hunyuan_vae import hunyuan_vae_decode_tiled
+
+        z = jnp.asarray(np.random.default_rng(9).standard_normal((1, 7, 8, 8, 4)), jnp.float32)
+        full = np.asarray(hunyuan_vae_decode(params, z, TINY, scale=False))
+        tiled = np.asarray(hunyuan_vae_decode_tiled(params, z, TINY, scale=False,
+                                                    t_tile_latent=3,
+                                                    spatial_tile_latent=6))
+        assert tiled.shape == full.shape
+        assert np.isfinite(tiled).all()

@@ -247,3 +247,58 @@ def test_tiny_vae_encode_matches_reference(tae_ref_and_ours):
     assert want.shape == got.shape
     s = snr_db(want, got)
     assert s > 35.0, f"tiny VAE encode SNR {s:.1f} dB"
+
+
+def test_hunyuan_vae_temporal_tiled_decode_matches_reference(hy_ref_and_ours):
+    """Temporal tiling vs the reference's temporal_tiled_decode at an
+    ALIGNED tile size (t_tile_latent=4: step=3, blend=4 — the step-derived
+    formulas coincide with the reference's int(t_sample*overlap) exactly,
+    as they do at the production 16-latent tiles)."""
+    import torch
+
+    from lightx2v_tpu.vae.hunyuan_vae import hunyuan_vae_decode_tiled
+
+    ref, params, cfg = hy_ref_and_ours
+    ref.tile_latent_min_tsize = 4
+    ref.tile_sample_min_tsize = 16
+    ref.enable_temporal_tiling(True)
+    try:
+        rng = np.random.default_rng(23)
+        z = rng.standard_normal((1, cfg.latent_channels, 7, 4, 4)).astype(np.float32)
+        with torch.no_grad():
+            want = ref.decode(torch.from_numpy(z)).sample.numpy()
+        got = hunyuan_vae_decode_tiled(params, np.transpose(z, (0, 2, 3, 4, 1)), cfg,
+                                       scale=False, t_tile_latent=4, use_spatial=False)
+        got = np.transpose(np.asarray(got), (0, 4, 1, 2, 3))
+        assert want.shape == got.shape, (want.shape, got.shape)
+        s = snr_db(want, got)
+        assert s > 35.0, f"Hunyuan temporal tiled decode SNR {s:.1f} dB"
+    finally:
+        ref.enable_temporal_tiling(False)
+
+
+def test_hunyuan_vae_spatial_tiled_decode_matches_reference(hy_ref_and_ours):
+    """Spatial tiling vs the reference's spatial_tiled_decode, aligned
+    tile (4 latent = 32 px: step=3, blend=8 px — coincides with the
+    reference's int(tile_px*overlap))."""
+    import torch
+
+    from lightx2v_tpu.vae.hunyuan_vae import hunyuan_vae_decode_spatial_tiled
+
+    ref, params, cfg = hy_ref_and_ours
+    ref.tile_latent_min_size = 4
+    ref.tile_sample_min_size = 32
+    ref.enable_spatial_tiling(True)
+    try:
+        rng = np.random.default_rng(24)
+        z = rng.standard_normal((1, cfg.latent_channels, 2, 7, 7)).astype(np.float32)
+        with torch.no_grad():
+            want = ref.decode(torch.from_numpy(z)).sample.numpy()
+        got = hunyuan_vae_decode_spatial_tiled(params, np.transpose(z, (0, 2, 3, 4, 1)),
+                                               cfg, scale=False, tile_latent=4)
+        got = np.transpose(np.asarray(got), (0, 4, 1, 2, 3))
+        assert want.shape == got.shape, (want.shape, got.shape)
+        s = snr_db(want, got)
+        assert s > 35.0, f"Hunyuan spatial tiled decode SNR {s:.1f} dB"
+    finally:
+        ref.enable_spatial_tiling(False)
