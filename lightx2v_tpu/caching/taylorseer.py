@@ -54,9 +54,15 @@ def init_taylor_cache(arch: WanArch, batch: int, seq_len: int, dtype=jnp.bfloat1
 
 def taylor_calc_step(params, x, embed0, ctx, ctx_img, rope_cos, rope_sin, arch: WanArch,
                      cache: Dict, step_diff, mm_type="Default",
-                     self_attn_fn=None, cross_attn_fn=None):
+                     self_attn_fn=None, cross_attn_fn=None, primed=True):
     """Full compute, recording module outputs + derivatives
-    (reference derivative_approximation)."""
+    (reference derivative_approximation).
+
+    ``primed``: False on the FIRST calc step — the reference stores only
+    f0 then (`common/transformer_infer/transformer_infer.py:30-37`:
+    `if module_name not in block_cache`), so early skips replay f0 with
+    no derivative term; a derivative against the zero-initialized cache
+    would double the residual on the first skip."""
     mm_fn = resolve_mm(mm_type)
 
     def store(y, dtype):
@@ -75,6 +81,7 @@ def taylor_calc_step(params, x, embed0, ctx, ctx_img, rope_cos, rope_sin, arch: 
         new = {}
         for name, y, c in (("self_attn", y_self, c_self), ("cross_attn", y_cross, c_cross), ("ffn", y_ffn, c_ffn)):
             f1 = (y.astype(jnp.float32) - c["f0"].astype(jnp.float32)) / step_diff
+            f1 = jnp.where(primed, f1, jnp.zeros_like(f1))
             new[name] = {"f0": store(y, c["f0"].dtype), "f1": store(f1, c["f1"].dtype)}
         return xc, (new["self_attn"], new["cross_attn"], new["ffn"])
 

@@ -176,7 +176,7 @@ def make_denoise_fn(
                 xx, c = op
                 x_out, tc = taylor_calc_step(params, xx, embed0, ctx_e, ctx_img, rope_cos,
                                              rope_sin, arch, c["taylor"], step_diff,
-                                             mm_type, self_fn, cross_fn)
+                                             mm_type, self_fn, cross_fn, primed=i > 0)
                 return x_out, {**c, "taylor": tc, "last_calc": i}
 
             def skip(op):
@@ -211,7 +211,8 @@ def make_denoise_fn(
             def calc(op):
                 xx, c = op
                 return taylor_calc_step(params, xx, embed0, ctx_e, ctx_img, rope_cos, rope_sin,
-                                        arch, c, step_diff, mm_type, self_fn, cross_fn)
+                                        arch, c, step_diff, mm_type, self_fn, cross_fn,
+                                        primed=i > 0)
 
             def skip(op):
                 xx, c = op

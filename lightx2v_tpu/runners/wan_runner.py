@@ -270,17 +270,14 @@ class WanRunner(DefaultRunner):
                 or self.config.get("lazy_load"):
             # reference parity: cpu_offload selects the block-offload path,
             # lazy_load adds the disk tier (set_config.py defaults).
-            # TeaCache and sparge compose with streaming (the reference
-            # combines them freely, feature_caching/transformer_infer.py:50-51
-            # + offload/manager.py); mesh and the Taylor-family caches still
-            # require the resident path — say so instead of silently running
-            fc = self.config.get("feature_caching", "NoCaching")
-            dropped = [k for k, v in (("mesh_shape", self.config.get("mesh_shape")),
-                                      ("feature_caching(Taylor/Ada/Custom)",
-                                       fc if fc not in ("NoCaching", "Tea") else None)) if v]
-            if dropped:
-                logger.warning(f"streamed (offload) path ignores {dropped} — "
-                               "these features currently require the resident path")
+            # Every caching mode and sparge compose with streaming (the
+            # reference combines them freely, feature_caching/
+            # transformer_infer.py + offload/manager.py); only mesh_shape
+            # still requires the resident path — say so instead of
+            # silently running
+            if self.config.get("mesh_shape"):
+                logger.warning("streamed (offload) path ignores mesh_shape — "
+                               "multi-chip sharding requires the resident path")
             return self._run_dit_streamed(encoder_out)
         target_shape = self.set_target_shape()
         scheduler = self.init_scheduler()
@@ -471,12 +468,16 @@ class WanRunner(DefaultRunner):
         ONCE per step — half the disk/PCIe traffic of the reference's
         sequential double pass.
 
-        Composes with TeaCache (``feature_caching: "Tea"``) and sparge: a
-        Tea-skipped step applies the cached whole-stack residual and
-        FETCHES NO BLOCKS — the streaming analog of the reference's
-        caching x offload composition (feature_caching/transformer_infer
-        .py:50-51 under offload/manager.py). The residual is staged in
-        HOST RAM (the reference moves it to CPU under cpu_offload)."""
+        Composes with EVERY caching mode (Tea / TaylorSeer / Ada /
+        Custom) and sparge: a skipped step applies the host-staged
+        whole-stack reconstruction and FETCHES NO BLOCKS — the streaming
+        analog of the reference's caching x offload composition
+        (feature_caching/transformer_infer.py under offload/manager.py).
+        Taylor-family modes keep a first-order (f0, f1) state of the
+        whole-stack residual rather than the reference's per-module
+        caches — streaming per-module caches would cost more transfer
+        than the weights themselves (see streaming.py module docstring
+        for the arithmetic)."""
         from ..models.wan.pipeline import rope_for_shape
         from ..models.wan.streaming import make_streamed_forward, split_blocks_to_host
 
@@ -491,12 +492,39 @@ class WanRunner(DefaultRunner):
                                     self_attn_type=attn, cross_attn_type=cross_attn,
                                     self_attn_kwargs=self_attn_kwargs)
 
-        tea = None
-        if cfg.get("feature_caching") == "Tea":
+        tea = taylor = ada = None
+        fc = cfg.get("feature_caching", "NoCaching")
+        if fc in ("Tea", "Custom"):
             from ..caching.teacache import TeaCacheConfig
 
             tea = {"cfg": TeaCacheConfig.from_config(cfg), "state": None, "skipped": 0}
             self._tea_stats = tea  # observability (tests, profiling)
+        if fc in ("TaylorSeer", "Custom"):
+            from ..caching.taylorseer import taylor_schedule
+
+            is_calc, _ = taylor_schedule(scheduler.num_steps(),
+                                         int(cfg.get("taylor_pattern", 4)))
+            dt_name = str(cfg.get("taylor_cache_dtype", "bf16")).lower()
+            taylor = {"is_calc": is_calc, "f0": None, "f1": None, "last_calc": 0,
+                      "skipped": 0, "step": 0,
+                      "dtype": {"bf16": jnp.bfloat16, "fp8": jnp.float8_e4m3fn,
+                                "fp32": jnp.float32}[dt_name]}
+            self._taylor_stats = taylor
+        if fc == "Ada":
+            from ..caching.adacache import init_ada_state
+
+            pt = self.arch.patch_size
+            grid_f = max(target_shape[1] // pt[0], 1)
+            s_tok = (grid_f * (target_shape[2] // pt[1])
+                     * (target_shape[3] // pt[2]))
+            batch = 2 if cfg.get("enable_cfg", True) else 1
+            ada = {"state": init_ada_state(
+                       (batch, s_tok, self.arch.dim),
+                       metric_scale=float(cfg.get("ada_metric_scale", 1.0))),
+                   "skip_until": 0, "skipped": 0, "step": 0,
+                   "n_steps": scheduler.num_steps(),
+                   "tokens_per_frame": s_tok // grid_f}
+            self._ada_stats = ada
 
         prefetcher = None
         if cfg.get("lazy_load"):
@@ -528,8 +556,9 @@ class WanRunner(DefaultRunner):
 
         try:
             for step in range(scheduler.num_steps()):
-                if tea is not None:
-                    tea["step"] = step
+                for c in (tea, taylor, ada):
+                    if c is not None:
+                        c["step"] = step
                 lat, t = scheduler.step_pre(state)
                 lat_b, tb = lat[None], t[None].astype(jnp.float32)
                 if enable_cfg:
@@ -539,14 +568,15 @@ class WanRunner(DefaultRunner):
                     y2 = None if y is None else jnp.concatenate([y, y], axis=0)
                     c2 = None if clip_fea is None else jnp.concatenate([clip_fea, clip_fea], axis=0)
                     out = fwd(host_params, lat2, t2, ctx2, rope_cos, rope_sin, y=y2, clip_fea=c2,
-                              tea=tea)
+                              tea=tea, taylor=taylor, ada=ada)
                     pred = out[1] + guide * (out[0] - out[1])
                 else:
                     pred = fwd(host_params, lat_b, tb, teo["context"], rope_cos, rope_sin,
-                               y=y, clip_fea=clip_fea, tea=tea)[0]
+                               y=y, clip_fea=clip_fea, tea=tea, taylor=taylor, ada=ada)[0]
                 state = scheduler.step_post(state, pred)
-            if tea is not None and tea["skipped"]:
-                logger.info(f"TeaCache(streamed): skipped {tea['skipped']}/"
+            skipped = next((c for c in (taylor, ada, tea) if c is not None and c["skipped"]), None)
+            if skipped is not None:
+                logger.info(f"{fc}(streamed): skipped {skipped['skipped']}/"
                             f"{scheduler.num_steps()} steps (no block fetches on skips)")
         finally:
             if prefetcher is not None:

@@ -242,3 +242,38 @@ def test_lazy_disk_teacache_pipeline(tmp_path):
     assert np.isfinite(frames).all()
     # 4 steps, 1 warmup calc + cutoff calc; at least one step skipped
     assert runner._tea_stats["skipped"] >= 1
+
+
+def test_lazy_disk_taylor_and_ada_pipelines(tmp_path):
+    """Offload x Taylor-family/Ada caching through the full runner: the
+    streamed path now composes with EVERY caching mode (whole-stack
+    first-order state for Taylor/Custom, codebook skips for Ada) —
+    skipped steps stream no blocks."""
+    from lightx2v_tpu.models.wan.config import WanArch
+    from lightx2v_tpu.models.wan.weights import init_random_weight_dict
+    from lightx2v_tpu.tools.convert import save_quantized
+
+    arch = WanArch(dim=384, ffn_dim=768, num_heads=6, num_layers=4,
+                   freq_dim=256, text_dim=256)
+    wd = init_random_weight_dict(arch, seed=0, scale=0.02)
+    ckpt = tmp_path / "blocks_ckpt"
+    save_quantized({k: np.asarray(v) for k, v in wd.items()}, str(ckpt), layout="blocks")
+
+    runner, _ = make_runner(tmp_path, extra={
+        "enable_cfg": False, "lazy_load": True, "model_path": str(ckpt),
+        "feature_caching": "TaylorSeer", "taylor_cache_dtype": "fp8",
+        "infer_steps": 4,
+    })
+    frames = runner.run_pipeline(save_video=False)
+    assert frames.shape == (9, 64, 96, 3)
+    assert np.isfinite(frames).all()
+    assert runner._taylor_stats["skipped"] == 3  # pattern 4: calc step 0 only
+
+    runner, _ = make_runner(tmp_path, extra={
+        "enable_cfg": False, "lazy_load": True, "model_path": str(ckpt),
+        "feature_caching": "Ada", "infer_steps": 6,
+    })
+    frames = runner.run_pipeline(save_video=False)
+    assert frames.shape == (9, 64, 96, 3)
+    assert np.isfinite(frames).all()
+    assert runner._ada_stats["skipped"] >= 1  # the codebook actually skipped

@@ -208,3 +208,151 @@ def test_streamed_sparge_kwargs_thread_through():
         host_params, latents, t, ctx, cos, sin)
     np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref, np.float32),
                                rtol=5e-2, atol=5e-2)
+
+
+def test_streamed_taylor_whole_stack_skips_and_extrapolates():
+    """TaylorSeer x streaming (closes the last offload-composition hole):
+    skip steps fetch ZERO blocks and reconstruct with the whole-stack
+    first-order state. First-calc semantics follow the reference (f0
+    only, no derivative — common/transformer_infer/transformer_infer.py
+    :30-37), so the FIRST skip replays f0 exactly; after a second calc a
+    skip applies f0 + f1*dt."""
+    from lightx2v_tpu.caching.taylorseer import taylor_schedule
+
+    params = load_wan_params(init_random_weight_dict(ARCH, seed=0, scale=0.05), ARCH)
+    rng = np.random.default_rng(7)
+    latents = jnp.asarray(rng.standard_normal((1, 4, 2, 4, 8)), jnp.float32)
+    t = jnp.asarray([500.0], jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, 16)), jnp.float32)
+    cos, sin = build_wan_rope_grid(ARCH.head_dim, 2, 2, 4)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+
+    host_params = split_blocks_to_host(params)
+    fetches = []
+    real_blocks = host_params["blocks"]
+
+    class CountingBlocks(list):
+        def __getitem__(self, i):
+            fetches.append(i)
+            return real_blocks[i]
+
+    host_params["blocks"] = CountingBlocks([None] * len(real_blocks))
+    fwd = make_streamed_forward(ARCH, self_attn_type="xla", cross_attn_type="xla")
+
+    is_calc, _ = taylor_schedule(6, pattern=2)  # calc at 0, 2, 4
+    taylor = {"is_calc": is_calc, "f0": None, "f1": None, "last_calc": 0,
+              "skipped": 0, "step": 0, "dtype": jnp.float32}
+
+    # step 0: calc — streams all blocks, stages f0, f1 == 0
+    out0 = fwd(host_params, latents, t, ctx, cos, sin, taylor=taylor)
+    assert len(fetches) == len(real_blocks)
+    assert np.allclose(np.asarray(taylor["f1"]), 0.0)  # reference first-calc
+
+    # step 1: skip — zero fetches; with f1 == 0 the reconstruction is the
+    # f0 replay, which at an unchanged (latents, t) equals the calc output
+    taylor["step"] = 1
+    out1 = fwd(host_params, latents, t, ctx, cos, sin, taylor=taylor)
+    assert len(fetches) == len(real_blocks)
+    assert taylor["skipped"] == 1
+    np.testing.assert_allclose(np.asarray(out1, np.float32), np.asarray(out0, np.float32),
+                               rtol=1e-4, atol=1e-4)
+
+    # step 2: calc at a different t — f1 becomes (r2 - r0) / 2
+    taylor["step"] = 2
+    fwd(host_params, latents, t * 0.5, ctx, cos, sin, taylor=taylor)
+    assert len(fetches) == 2 * len(real_blocks)
+    assert not np.allclose(np.asarray(taylor["f1"]), 0.0)
+    assert taylor["last_calc"] == 2
+
+    # step 3: skip — f0 + f1 * 1, no fetches, finite
+    taylor["step"] = 3
+    out3 = fwd(host_params, latents, t * 0.5, ctx, cos, sin, taylor=taylor)
+    assert len(fetches) == 2 * len(real_blocks)
+    assert np.isfinite(np.asarray(out3, np.float32)).all()
+
+
+def test_streamed_ada_matches_resident():
+    """AdaCache x streaming == the resident Ada scan exactly: same
+    decision tensor (mid-block gated self-attn), same codebook, same
+    whole-stack residual replay — so a full denoise trajectory must
+    match the resident pipeline's."""
+    from lightx2v_tpu.models.wan.pipeline import make_denoise_fn, rope_for_shape
+    from lightx2v_tpu.caching.adacache import init_ada_state
+    from lightx2v_tpu.schedulers.unipc import WanUniPCScheduler
+    from lightx2v_tpu.utils.config import ConfigDict
+
+    target = (4, 2, 4, 8)
+    n_steps = 6
+    cfg = ConfigDict({"infer_steps": n_steps, "sample_shift": 5.0})
+    params = load_wan_params(init_random_weight_dict(ARCH, seed=0, scale=0.05), ARCH)
+    ctx = jnp.asarray(np.random.default_rng(8).standard_normal((1, 8, 16)), jnp.float32)
+
+    sched = WanUniPCScheduler(cfg)
+    state = sched.prepare(target, seed=4)
+    denoise = make_denoise_fn(ARCH, sched, target, enable_cfg=False,
+                              self_attn_type="xla", cross_attn_type="xla",
+                              feature_caching="Ada", caching_config=cfg)
+    want = np.asarray(denoise(params, state, ctx, ctx)["latents"], np.float32)
+
+    sched2 = WanUniPCScheduler(cfg)
+    state2 = sched2.prepare(target, seed=4)
+    rope_cos, rope_sin, _ = rope_for_shape(ARCH, target)
+    host_params = split_blocks_to_host(params)
+    fwd = make_streamed_forward(ARCH, self_attn_type="xla", cross_attn_type="xla")
+    pt = ARCH.patch_size
+    grid_f = target[1] // pt[0]
+    s_tok = grid_f * (target[2] // pt[1]) * (target[3] // pt[2])
+    ada = {"state": init_ada_state((1, s_tok, ARCH.dim)),
+           "skip_until": 0, "skipped": 0, "step": 0, "n_steps": n_steps,
+           "tokens_per_frame": s_tok // grid_f}
+    for step in range(n_steps):
+        ada["step"] = step
+        lat, t = sched2.step_pre(state2)
+        pred = fwd(host_params, lat[None], t[None].astype(jnp.float32), ctx,
+                   rope_cos, rope_sin, ada=ada)[0]
+        state2 = sched2.step_post(state2, pred)
+    got = np.asarray(state2["latents"], np.float32)
+
+    assert ada["skipped"] > 0  # the codebook actually skipped something
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_streamed_custom_tea_decision_taylor_recon():
+    """Custom x streaming: Tea's rel-L1 decision picks the skips, the
+    whole-stack Taylor state reconstructs them; skipped steps fetch
+    ZERO blocks."""
+    from lightx2v_tpu.caching.teacache import TeaCacheConfig
+
+    params = load_wan_params(init_random_weight_dict(ARCH, seed=0, scale=0.05), ARCH)
+    rng = np.random.default_rng(9)
+    latents = jnp.asarray(rng.standard_normal((1, 4, 2, 4, 8)), jnp.float32)
+    t = jnp.asarray([500.0], jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, 16)), jnp.float32)
+    cos, sin = build_wan_rope_grid(ARCH.head_dim, 2, 2, 4)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+
+    host_params = split_blocks_to_host(params)
+    fetches = []
+    real_blocks = host_params["blocks"]
+
+    class CountingBlocks(list):
+        def __getitem__(self, i):
+            fetches.append(i)
+            return real_blocks[i]
+
+    host_params["blocks"] = CountingBlocks([None] * len(real_blocks))
+    fwd = make_streamed_forward(ARCH, self_attn_type="xla", cross_attn_type="xla")
+
+    tea = {"cfg": TeaCacheConfig(thresh=1e9, ret_steps=1, cutoff_steps=10**9),
+           "state": None, "skipped": 0, "step": 0}
+    taylor = {"f0": None, "f1": None, "last_calc": 0, "skipped": 0, "step": 0,
+              "dtype": jnp.bfloat16}  # no is_calc: tea decides
+
+    out0 = fwd(host_params, latents, t, ctx, cos, sin, tea=tea, taylor=taylor)
+    assert len(fetches) == len(real_blocks)
+    tea["step"] = taylor["step"] = 1
+    out1 = fwd(host_params, latents, t * 0.9, ctx, cos, sin, tea=tea, taylor=taylor)
+    assert len(fetches) == len(real_blocks)  # skipped: zero fetches
+    assert taylor["skipped"] == 1
+    assert np.isfinite(np.asarray(out1, np.float32)).all()
+    assert np.isfinite(np.asarray(out0, np.float32)).all()
