@@ -411,8 +411,9 @@ def run_e2e(arch, params, target, mm_type, attn, steps, preset="14b", scheme="bf
         for _ in range(sched_cfg["infer_steps"]):
             st, cache = step_fn(params, st, cache, context, context, y, clip_fea)
         z = jnp.transpose(st["latents"], (1, 2, 3, 0))[None]  # (1,T,h,w,C)
-        if split:  # sync so the denoise/decode attribution is real
-            t_mid = (time.perf_counter(), float(jnp.sum(z.astype(jnp.float32))))
+        if split:  # sync BEFORE reading the clock so attribution is real
+            denoise_sum = float(jnp.sum(z.astype(jnp.float32)))
+            t_mid = (time.perf_counter(), denoise_sum)
         frames = decode(z, *vae_arrs)
         out = float(jnp.sum(frames.astype(jnp.float32)))
         if split:
