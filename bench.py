@@ -1,9 +1,9 @@
 """Benchmark driver. Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 Default (no BENCH_* env): the flagship row — Wan2.1-14B 4-step distill
-e2e at 480P (w4a8 + sparge + fused rope + chunk-4 tiled VAE decode) vs
-the reference's 14 s H200 distill e2e. The earlier rounds' default
-(1.3B bf16 DiT forward) is BENCH_PRESET=1.3b BENCH_MODE=forward.
+e2e at 480P (w4a8 + sparge + fused rope + decode-after-release untiled
+VAE) vs the reference's 14 s H200 distill e2e. The earlier rounds'
+default (1.3B bf16 DiT forward) is BENCH_PRESET=1.3b BENCH_MODE=forward.
 
 Baseline: the reference's Wan2.1-T2V-1.3B 480P run takes 58 s for 50 UniPC
 steps with CFG (100 DiT forwards) on an H200 => 580 ms per DiT forward
@@ -101,6 +101,7 @@ def main():
         os.environ.setdefault("BENCH_MM", "int4a8")
         os.environ.setdefault("BENCH_ATTN", "sparge")
         os.environ.setdefault("BENCH_ROPE_FUSED", "1")
+        os.environ.setdefault("BENCH_VAE", "full")  # untiled fits after release
         os.environ.setdefault("BENCH_STEPS", "2")
 
     preset = os.environ.get("BENCH_PRESET", "1.3b")

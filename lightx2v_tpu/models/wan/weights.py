@@ -85,14 +85,16 @@ def permute_qk_half(params: Params, arch) -> Params:
         lin = dict(sa[name])
         assert not isinstance(lin["w"], dict) or "w_scale" not in lin or lin["w"].ndim == 3, \
             "permute_qk_half runs on unquantized or per-channel-quantized weights"
-        lin["w"] = jnp.asarray(np.asarray(lin["w"])[:, perm, :])  # (L, out, in)
+        # plain advanced indexing works on numpy AND jax arrays — device
+        # trees (synthetic benches) must not round-trip through the host
+        lin["w"] = jnp.asarray(lin["w"][:, perm, :])  # (L, out, in)
         if lin.get("b") is not None:
-            lin["b"] = jnp.asarray(np.asarray(lin["b"])[:, perm])
+            lin["b"] = jnp.asarray(lin["b"][:, perm])
         if "w_scale" in lin:
-            lin["w_scale"] = jnp.asarray(np.asarray(lin["w_scale"])[:, perm])
+            lin["w_scale"] = jnp.asarray(lin["w_scale"][:, perm])
         sa[name] = lin
-    sa["norm_q"] = jnp.asarray(np.asarray(sa["norm_q"])[:, perm])
-    sa["norm_k"] = jnp.asarray(np.asarray(sa["norm_k"])[:, perm])
+    sa["norm_q"] = jnp.asarray(sa["norm_q"][:, perm])
+    sa["norm_k"] = jnp.asarray(sa["norm_k"][:, perm])
     blocks["self_attn"] = sa
     out = dict(params)
     out["blocks"] = blocks
@@ -374,3 +376,57 @@ def init_random_params_on_device(arch: WanArch, scheme: str = "bf16", seed: int 
         return params
 
     return jax.jit(build)(jr.PRNGKey(seed))
+
+
+def quantize_params_on_device(params: Params, scheme: str) -> Params:
+    """Quantize a bf16 params tree to ``scheme`` ON DEVICE, preserving the
+    loader layouts (same as ``tools/convert.quantize_model`` per-channel /
+    per-group math, reference tools/convert/converter.py:294-341). Unlike
+    ``init_random_params_on_device(scheme=...)`` — whose quantized leaves
+    are independent random draws — this derives every scheme from the SAME
+    master weights, which is what a quality/fidelity comparison between
+    schemes requires. Only the stacked block linears (w.ndim == 3,
+    bf16) are quantized; pre/post weights keep the converter's
+    _SKIP_QUANT rule."""
+    import jax
+
+    from ...ops.pallas.int4_matmul import _pick_bk
+
+    def quant_lin(lin: Params) -> Params:
+        w = lin["w"].astype(jnp.float32)  # (L, out, in)
+        out: Params = {"b": lin["b"]}
+        if scheme == "int8":
+            s = jnp.maximum(jnp.max(jnp.abs(w), axis=-1), 1e-8) / 127.0
+            out["w"] = jnp.clip(jnp.round(w / s[..., None]), -127, 127).astype(jnp.int8)
+            out["w_scale"] = s
+        elif scheme == "fp8":
+            s = jnp.maximum(jnp.max(jnp.abs(w), axis=-1), 1e-8) / 448.0
+            out["w"] = (w / s[..., None]).astype(jnp.float8_e4m3fn)
+            out["w_scale"] = s
+        elif scheme == "int4":
+            L_, o, kin = w.shape
+            bk = _pick_bk(kin)
+            wb = w.reshape(L_, o, kin // bk, bk)
+            s = jnp.maximum(jnp.max(jnp.abs(wb), axis=-1), 1e-8) / 7.0
+            q = jnp.clip(jnp.round(wb / s[..., None]), -7, 7).astype(jnp.int32)
+            lo = (q[..., : bk // 2] + 8).astype(jnp.uint8)
+            hi = (q[..., bk // 2 :] + 8).astype(jnp.uint8)
+            out["w"] = (lo | (hi << 4)).reshape(L_, o, kin // 2)
+            out["w_scale"] = s
+        else:
+            raise ValueError(f"unknown quant scheme {scheme!r}")
+        return out
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "w" in node and hasattr(node["w"], "ndim") and node["w"].ndim == 3 \
+                    and node["w"].dtype == jnp.bfloat16:
+                return quant_lin(node)
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    if scheme in ("bf16", "Default"):
+        return params
+    out = dict(params)
+    out["blocks"] = jax.jit(walk)(params["blocks"])
+    return out

@@ -54,13 +54,20 @@ class HunyuanRunner(DefaultRunner):
         return load_hunyuan_from_path(ckpt, self.arch)
 
     def load_text_encoder(self):
-        if self.config.get("synthetic_weights"):
-            return None  # synthetic states generated in run_input_encoder
+        # text_encoder_path overrides even in synthetic mode (tiny-HF e2e
+        # tests drive the REAL encoder path against a synthetic DiT/VAE)
+        base = self.config.get("text_encoder_path")
+        if base is None:
+            if self.config.get("synthetic_weights"):
+                return None  # synthetic states generated in run_input_encoder
+            base = self.config["model_path"]
         from ..encoders.hf_text import TextEncoderHFLlamaModel, TextEncoderHFClipModel
 
-        base = self.config["model_path"]
+        kw = {}
+        if self.config.get("text_encoder_crop_start") is not None:
+            kw["crop_start"] = int(self.config["text_encoder_crop_start"])
         return {
-            "llama": TextEncoderHFLlamaModel(os.path.join(base, "text_encoder"), "cpu"),
+            "llama": TextEncoderHFLlamaModel(os.path.join(base, "text_encoder"), "cpu", **kw),
             "clip": TextEncoderHFClipModel(os.path.join(base, "text_encoder_2"), "cpu"),
         }
 
@@ -90,7 +97,7 @@ class HunyuanRunner(DefaultRunner):
 
     def run_input_encoder(self) -> Dict[str, Any]:
         prompt = self.config.get("prompt", "")
-        if self.config.get("synthetic_weights"):
+        if self.config.get("synthetic_weights") and self.text_encoder is None:
             rng = np.random.default_rng(abs(hash(prompt)) % 2**31)
             Lt = int(self.config.get("text_len", 32))
             states = jnp.asarray(rng.standard_normal((1, Lt, self.arch.text_states_dim)) * 0.2, jnp.float32)
