@@ -244,15 +244,22 @@ def run_hunyuan():
     if jax.default_backend() == "tpu":
         os.environ.setdefault("LIGHTX2V_STRICT_KERNELS", "1")
 
-    arch = HunyuanArch()
-    scheme = os.environ.get("BENCH_MM", "int8")
+    tiny = os.environ.get("BENCH_PRESET") == "tiny"  # CPU smoke of the paths
+    if tiny:
+        arch = HunyuanArch(hidden_size=96, heads_num=4, double_blocks=2,
+                           single_blocks=2, mlp_hidden_dim=192, in_channels=16,
+                           out_channels=16, text_states_dim=32,
+                           text_states_dim_2=16, rope_dim_list=(4, 10, 10))
+    else:
+        arch = HunyuanArch()
+    scheme = os.environ.get("BENCH_MM", "bf16" if tiny else "int8")
     mm_type = MM_ALIAS.get(scheme, "Default" if scheme in ("bf16", "Default") else scheme)
-    attn = os.environ.get("BENCH_ATTN", "flash_attn3")
+    attn = os.environ.get("BENCH_ATTN", "xla" if tiny else "flash_attn3")
     steps = int(os.environ.get("BENCH_STEPS", 3))
-    f = int(os.environ.get("BENCH_FRAMES", 21))
-    h = int(os.environ.get("BENCH_H", 60))
-    w = int(os.environ.get("BENCH_W", 104))
-    text_len = int(os.environ.get("BENCH_TEXT_LEN", 256))
+    f = int(os.environ.get("BENCH_FRAMES", 3 if tiny else 21))
+    h = int(os.environ.get("BENCH_H", 8 if tiny else 60))
+    w = int(os.environ.get("BENCH_W", 8 if tiny else 104))
+    text_len = int(os.environ.get("BENCH_TEXT_LEN", 16 if tiny else 256))
 
     params = init_random_hunyuan_params_on_device(arch, scheme=scheme, seed=0)
     jax.block_until_ready(params)
@@ -265,6 +272,62 @@ def run_hunyuan():
     cos, sin = build_hunyuan_rope(arch, f // pt, h // ph, w // pw)
     t = jnp.asarray([500.0], jnp.float32)
     g = jnp.asarray([6000.0], jnp.float32)
+
+    res = {(60, 104): "480p", (90, 160): "720p"}.get((h, w), f"{h}x{w}latent")
+
+    if os.environ.get("BENCH_MODE") == "e2e":
+        # capability row (no published H200 analog): n-step flow-match
+        # Euler denoise + the Hunyuan tiled causal-VAE decode, DiT weights
+        # released from HBM before decode like the Wan flagship protocol
+        from lightx2v_tpu.schedulers.euler import FlowMatchEulerScheduler
+        from lightx2v_tpu.utils.config import ConfigDict
+        from lightx2v_tpu.utils.synth import device_randn_like
+        from lightx2v_tpu.vae.hunyuan_vae import (HunyuanVAEConfig,
+                                                  hunyuan_vae_decode_tiled,
+                                                  init_random_hunyuan_vae_state_dict,
+                                                  load_hunyuan_vae_params)
+
+        infer_steps = int(os.environ.get("BENCH_INFER_STEPS", 4))
+        sched = FlowMatchEulerScheduler(ConfigDict(infer_steps=infer_steps, sample_shift=7.0))
+        state0 = sched.prepare((arch.in_channels, f, h, w), seed=42)
+        vae_cfg = HunyuanVAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
+                                   latent_channels=16, norm_num_groups=4) if tiny \
+            else HunyuanVAEConfig()
+        vae_params = device_randn_like(load_hunyuan_vae_params(
+            init_random_hunyuan_vae_state_dict(vae_cfg, seed=0), vae_cfg), seed=0)
+
+        def one_step(p, st):
+            lat_b, tt = sched.step_pre(st)
+            pred = hunyuan_forward(p, lat_b[None], tt[None].astype(jnp.float32),
+                                   ts, mask, ts2, cos, sin, arch, guidance=g,
+                                   mm_type=mm_type, attn_type=attn)
+            return sched.step_post(st, pred[0])
+
+        step_fn = jax.jit(one_step)
+        decode = jax.jit(lambda vp, z: hunyuan_vae_decode_tiled(vp, z, vae_cfg, scale=False))
+
+        def once(p):
+            st = state0
+            for _ in range(infer_steps):
+                st = step_fn(p, st)
+            z = jnp.transpose(st["latents"], (1, 2, 3, 0))[None]
+            float(jnp.sum(z.astype(jnp.float32)))  # sync before release
+            for leaf in jax.tree_util.tree_leaves(p):
+                if hasattr(leaf, "delete"):
+                    leaf.delete()
+            return float(jnp.sum(decode(vae_params, z).astype(jnp.float32)))
+
+        once(params)
+        times = []
+        for _ in range(steps):
+            params = init_random_hunyuan_params_on_device(arch, scheme=scheme, seed=0)
+            float(jnp.sum(jax.tree_util.tree_leaves(params)[0].astype(jnp.float32)))
+            t0 = time.perf_counter()
+            once(params)
+            times.append(time.perf_counter() - t0)
+        emit(f"hunyuan_{res}_e2e{infer_steps}step_s_on_v5e[{scheme}] (denoise+tiledVAE+release; capability row, no published H200 analog)",
+             float(np.median(times)), "s", 0.0)
+        return
 
     fwd = jax.jit(lambda p, l, tt: hunyuan_forward(
         p, l, tt, ts, mask, ts2, cos, sin, arch, guidance=g,
@@ -280,7 +343,6 @@ def run_hunyuan():
         run_sync()
         times.append(time.perf_counter() - t0)
     ms = float(np.median(times) * 1000.0)
-    res = {(60, 104): "480p", (90, 160): "720p"}.get((h, w), f"{h}x{w}latent")
     emit(f"hunyuan_{res}_dit_forward_ms_on_v5e[{scheme}] (no published H200 row)",
          ms, "ms", 0.0)
 
@@ -300,14 +362,19 @@ def run_cogvideox():
     if jax.default_backend() == "tpu":
         os.environ.setdefault("LIGHTX2V_STRICT_KERNELS", "1")
 
-    arch = CogArch()
+    tiny = os.environ.get("BENCH_PRESET") == "tiny"  # CPU smoke of the paths
+    if tiny:
+        arch = CogArch(num_layers=2, num_heads=4, head_dim=16, text_len=16,
+                       text_dim=32)
+    else:
+        arch = CogArch()
     scheme = os.environ.get("BENCH_MM", "bf16")
     mm_type = MM_ALIAS.get(scheme, "Default" if scheme in ("bf16", "Default") else scheme)
-    attn = os.environ.get("BENCH_ATTN", "flash_attn3")
+    attn = os.environ.get("BENCH_ATTN", "xla" if tiny else "flash_attn3")
     steps = int(os.environ.get("BENCH_STEPS", 3))
-    f = int(os.environ.get("BENCH_FRAMES", 21))
-    h = int(os.environ.get("BENCH_H", 60))
-    w = int(os.environ.get("BENCH_W", 104))
+    f = int(os.environ.get("BENCH_FRAMES", 3 if tiny else 21))
+    h = int(os.environ.get("BENCH_H", 8 if tiny else 60))
+    w = int(os.environ.get("BENCH_W", 8 if tiny else 104))
 
     params = init_random_cog_params_on_device(arch, scheme=scheme, seed=0)
     jax.block_until_ready(params)
@@ -319,6 +386,61 @@ def run_cogvideox():
     cos, sin = build_cog_rope(arch, fpad // pt, h // p, w // p)
     cos, sin = jnp.asarray(cos), jnp.asarray(sin)
     t = jnp.asarray([500.0], jnp.float32)
+
+    res = {(60, 104): "480p", (90, 160): "720p"}.get((h, w), f"{h}x{w}latent")
+
+    if os.environ.get("BENCH_MODE") == "e2e":
+        # capability row: n-step XDPM (v-pred, zero-terminal-SNR) denoise +
+        # the spatially tiled CogVideoX VAE decode, weights released first
+        from lightx2v_tpu.schedulers.cogvideox import CogvideoxXDPMScheduler
+        from lightx2v_tpu.utils.config import ConfigDict
+        from lightx2v_tpu.utils.synth import device_randn_like
+        from lightx2v_tpu.vae.cogvideox_vae import (CogVAEConfig,
+                                                    cog_vae_decode_tiled,
+                                                    init_random_cog_vae_state_dict,
+                                                    load_cog_vae_params)
+
+        infer_steps = int(os.environ.get("BENCH_INFER_STEPS", 4))
+        sched = CogvideoxXDPMScheduler(ConfigDict(infer_steps=infer_steps))
+        state0 = sched.prepare((arch.in_channels, f, h, w), seed=42)
+        vae_cfg = CogVAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
+                               latent_channels=16, norm_num_groups=4) if tiny \
+            else CogVAEConfig()
+        vae_params = device_randn_like(load_cog_vae_params(
+            init_random_cog_vae_state_dict(vae_cfg, seed=0), vae_cfg), seed=0)
+
+        def one_step(pa, st):
+            lat_b, tt = sched.step_pre(st)
+            pred = cog_forward(pa, lat_b[None], tt[None].astype(jnp.float32),
+                               context, cos, sin, arch, mm_type=mm_type,
+                               attn_type=attn)
+            return sched.step_post(st, pred[0])
+
+        step_fn = jax.jit(one_step)
+        decode = jax.jit(lambda vp, z: cog_vae_decode_tiled(vp, z, vae_cfg, scale=False))
+
+        def once(pa):
+            st = state0
+            for _ in range(infer_steps):
+                st = step_fn(pa, st)
+            z = jnp.transpose(st["latents"], (1, 2, 3, 0))[None]
+            float(jnp.sum(z.astype(jnp.float32)))  # sync before release
+            for leaf in jax.tree_util.tree_leaves(pa):
+                if hasattr(leaf, "delete"):
+                    leaf.delete()
+            return float(jnp.sum(decode(vae_params, z).astype(jnp.float32)))
+
+        once(params)
+        times = []
+        for _ in range(steps):
+            params = init_random_cog_params_on_device(arch, scheme=scheme, seed=0)
+            float(jnp.sum(jax.tree_util.tree_leaves(params)[0].astype(jnp.float32)))
+            t0 = time.perf_counter()
+            once(params)
+            times.append(time.perf_counter() - t0)
+        emit(f"cogvideox_{res}_e2e{infer_steps}step_s_on_v5e[{scheme}] (denoise+tiledVAE+release; capability row, no published H200 analog)",
+             float(np.median(times)), "s", 0.0)
+        return
 
     fwd = jax.jit(lambda pa, l, tt: cog_forward(
         pa, l, tt, context, cos, sin, arch, mm_type=mm_type, attn_type=attn))
@@ -333,7 +455,6 @@ def run_cogvideox():
         run_sync()
         times.append(time.perf_counter() - t0)
     ms = float(np.median(times) * 1000.0)
-    res = {(60, 104): "480p", (90, 160): "720p"}.get((h, w), f"{h}x{w}latent")
     emit(f"cogvideox_{res}_dit_forward_ms_on_v5e[{scheme}] (no published H200 row)",
          ms, "ms", 0.0)
 

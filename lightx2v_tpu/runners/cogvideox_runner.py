@@ -137,6 +137,14 @@ class CogvideoxRunner(DefaultRunner):
 
     def run_vae_decoder(self, latents) -> np.ndarray:
         z = jnp.transpose(latents, (1, 2, 3, 0))[None]
-        frames = cog_vae_decode(self.vae, z, self.vae_cfg,
-                                scale=not self.config.get("synthetic_weights"))
+        scale = not self.config.get("synthetic_weights")
+        if self.config.get("use_tiling_vae") or max(z.shape[2], z.shape[3]) > 32:
+            # reference enables tiling past tile_sample_min (256 px = 32
+            # latent); whole-clip 480P decode exceeds HBM (tiled decode
+            # docstring, vae/cogvideox_vae.py)
+            from ..vae.cogvideox_vae import cog_vae_decode_tiled
+
+            frames = cog_vae_decode_tiled(self.vae, z, self.vae_cfg, scale=scale)
+        else:
+            frames = cog_vae_decode(self.vae, z, self.vae_cfg, scale=scale)
         return np.clip(np.asarray(frames[0], np.float32), -1.0, 1.0)

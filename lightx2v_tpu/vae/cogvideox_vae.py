@@ -196,6 +196,48 @@ def cog_vae_decode(params: Params, z: jnp.ndarray, cfg: CogVAEConfig = CogVAECon
     return causal_conv3d(params["decoder"]["conv_out"], h)
 
 
+def cog_vae_decode_tiled(params: Params, z: jnp.ndarray,
+                         cfg: CogVAEConfig = CogVAEConfig(),
+                         scale: bool = True, tile_latent: int = 32,
+                         overlap: float = 0.25) -> jnp.ndarray:
+    """Spatially tiled decode (reference autoencoder_ks_cogvidex.py
+    tiled_decode/enable_tiling :1035-1110 — overlapping latent tiles
+    decoded independently, linear-ramp blended in pixel space). Each tile
+    carries its own zq slice for SpatialNorm3D, matching the reference's
+    per-tile decoder calls. Full-clip 480P decode does not fit HBM (the
+    128-channel top stage alone is ~16 GB fp32); tiling bounds the peak
+    at one tile's activations."""
+    from .hunyuan_vae import _blend_dim
+
+    b, t, h, w, c = z.shape
+    if max(h, w) <= tile_latent:
+        return cog_vae_decode(params, z, cfg, scale=scale)
+    step = max(1, int(tile_latent * (1 - overlap)))
+    up = 2 ** (len(cfg.block_out_channels) - 1)
+    blend = (tile_latent - step) * up
+    limit = step * up
+    rows = []
+    for i in range(0, h, step):
+        row = []
+        for j in range(0, w, step):
+            tile = z[:, :, i : i + tile_latent, j : j + tile_latent]
+            row.append(cog_vae_decode(params, tile, cfg, scale=scale))
+        rows.append(row)
+    out_rows = []
+    for i, row in enumerate(rows):
+        merged = []
+        for j, tile in enumerate(row):
+            if i > 0:
+                tile = _blend_dim(rows[i - 1][j], tile, blend, axis=2)
+            if j > 0:
+                tile = _blend_dim(row[j - 1], tile, blend, axis=3)
+            row[j] = tile  # reference blend_v/h mutate in place (cascade)
+            merged.append(tile[:, :, :limit, :limit])
+        out_rows.append(jnp.concatenate(merged, axis=3))
+    out = jnp.concatenate(out_rows, axis=2)
+    return out[:, :, : h * up, : w * up]
+
+
 # ---------------------------------------------------------------- weights
 
 def _conv3_p(sd, key, dtype=np.float32) -> Params:

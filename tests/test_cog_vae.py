@@ -48,3 +48,25 @@ def test_single_frame(params):
     z = jnp.asarray(np.random.default_rng(3).standard_normal((1, 1, 4, 4, 4)), jnp.float32)
     out = cog_vae_decode(params, z, TINY)
     assert out.shape == (1, 1, 32, 32, 3)
+
+
+def test_spatial_tiled_decode(params):
+    """Tiled decode (reference autoencoder_ks_cogvidex.py tiled_decode
+    :1035-1110): same output shape, tile interiors match the per-tile
+    decode verbatim, and small tiles dispatch to the untiled path."""
+    from lightx2v_tpu.vae.cogvideox_vae import cog_vae_decode_tiled
+
+    z = jnp.asarray(np.random.default_rng(4).standard_normal((1, 3, 8, 12, 4)), jnp.float32)
+    full = np.asarray(cog_vae_decode(params, z, TINY, scale=False))
+    tiled = np.asarray(cog_vae_decode_tiled(params, z, TINY, scale=False, tile_latent=6))
+    assert tiled.shape == full.shape
+    assert np.isfinite(tiled).all()
+    # the first tile's un-blended corner comes from decode(tile0) verbatim
+    step = int(6 * (1 - 0.25))  # 4 latent -> 32 px at 8x upsampling
+    tile0 = np.asarray(cog_vae_decode(params, z[:, :, :6, :6], TINY, scale=False))
+    np.testing.assert_allclose(tiled[:, :, : step * 8, : step * 8],
+                               tile0[:, :, : step * 8, : step * 8], rtol=1e-4, atol=1e-4)
+    # <= one tile: falls back to the untiled decode exactly
+    small = np.asarray(cog_vae_decode_tiled(params, z[:, :, :6, :6], TINY,
+                                            scale=False, tile_latent=8))
+    np.testing.assert_allclose(small, tile0, rtol=0, atol=0)
