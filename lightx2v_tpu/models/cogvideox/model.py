@@ -103,7 +103,7 @@ def _ada_dual(p_lin, temb, x, enc, norm_w, norm_b, mm_fn):
     return xn.astype(x.dtype), en.astype(x.dtype), g, eg
 
 
-def cog_block(block: Params, x, enc, temb, rope_cos, rope_sin, arch: CogArch, mm_fn, attn_type: str):
+def cog_block(block: Params, x, enc, temb, rope_cos, rope_sin, arch: CogArch, mm_fn, attn_fn):
     b, li, d = x.shape
     lt = enc.shape[1]
     n, hd = arch.num_heads, arch.head_dim
@@ -125,7 +125,7 @@ def cog_block(block: Params, x, enc, temb, rope_cos, rope_sin, arch: CogArch, mm
     kv_ = apply_rope(k[:, lt:], rope_cos, rope_sin)
     q = jnp.concatenate([q[:, :lt], qv], axis=1)
     k = jnp.concatenate([k[:, :lt], kv_], axis=1)
-    attn = attention(attn_type, q, k, v).reshape(b, lt + li, d)
+    attn = attn_fn(q, k, v, txt_len=lt).reshape(b, lt + li, d)
     attn = mm_fn(block["to_out"], attn)
     enc = enc + egate[:, None] * attn[:, :lt]
     x = x + gate[:, None] * attn[:, lt:]
@@ -172,9 +172,12 @@ def cog_forward(
 
     mm_blk = resolve_mm(mm_type)
 
+    def attn_fn(q, k, v, txt_len=None):
+        return attention(attn_type, q, k, v)
+
     def body(carry, block):
         xc, ec = carry
-        xc, ec = cog_block(block, xc, ec, temb, rope_cos, rope_sin, arch, mm_blk, attn_type)
+        xc, ec = cog_block(block, xc, ec, temb, rope_cos, rope_sin, arch, mm_blk, attn_fn)
         return (xc, ec), None
 
     (x, enc), _ = jax.lax.scan(body, (x, enc), params["blocks"])

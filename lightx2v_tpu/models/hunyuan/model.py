@@ -186,7 +186,7 @@ def _gate(out, gate, tr_gate=None, tr_len: int = 0):
 
 def hunyuan_double_block(
     block: Params, img, txt, vec_silu, tr_vec_silu, rope_cos, rope_sin,
-    kv_len, arch: HunyuanArch, mm_fn, attn_type: str, tr_len: int = 0,
+    kv_len, arch: HunyuanArch, mm_fn, attn_fn, tr_len: int = 0,
 ):
     b, li, d = img.shape
     lt = txt.shape[1]
@@ -220,7 +220,7 @@ def hunyuan_double_block(
     q = jnp.concatenate([iq, tq], axis=1)
     k = jnp.concatenate([ik, tk], axis=1)
     v = jnp.concatenate([iv, tv], axis=1)
-    attn = attention(attn_type, q, k, v, kv_len=kv_len)
+    attn = attn_fn(q, k, v, kv_len=kv_len, img_len=li)
     img_attn = attn[:, :li].reshape(b, li, d)
     txt_attn = attn[:, li:].reshape(b, lt, d)
 
@@ -240,7 +240,7 @@ def hunyuan_double_block(
 
 def hunyuan_single_block(
     block: Params, x, vec_silu, tr_vec_silu, img_len: int, rope_cos, rope_sin,
-    kv_len, arch: HunyuanArch, mm_fn, attn_type: str, tr_len: int = 0,
+    kv_len, arch: HunyuanArch, mm_fn, attn_fn, tr_len: int = 0,
 ):
     b, L, d = x.shape
     n, hd = arch.heads_num, arch.head_dim
@@ -262,7 +262,7 @@ def hunyuan_single_block(
     ik = apply_rope(k[:, :img_len], rope_cos, rope_sin)
     q = jnp.concatenate([iq, q[:, img_len:]], axis=1)
     k = jnp.concatenate([ik, k[:, img_len:]], axis=1)
-    attn = attention(attn_type, q, k, v, kv_len=kv_len).reshape(b, L, d)
+    attn = attn_fn(q, k, v, kv_len=kv_len, img_len=img_len).reshape(b, L, d)
     mlp = jax.nn.gelu(mlp.astype(jnp.float32), approximate=True).astype(x.dtype)
     out = mm_fn(block["linear2"], jnp.concatenate([attn, mlp], axis=-1))
     return x + _gate(out, mg, tr_mg, tr_len)
@@ -300,10 +300,13 @@ def hunyuan_forward(
     # dynamic valid length: img tokens + actual text length
     kv_len = li + jnp.sum(text_mask[0] > 0).astype(jnp.int32)
 
+    def attn_fn(q, k, v, kv_len=None, img_len=None):
+        return attention(attn_type, q, k, v, kv_len=kv_len)
+
     def dbody(carry, block):
         im, tx = carry
         im, tx = hunyuan_double_block(block, im, tx, vec_silu, tr_vec_silu,
-                                      rope_cos, rope_sin, kv_len, arch, mm_fn, attn_type, tr_len)
+                                      rope_cos, rope_sin, kv_len, arch, mm_fn, attn_fn, tr_len)
         return (im, tx), None
 
     (img, txt), _ = jax.lax.scan(dbody, (img, txt), params["double_blocks"])
@@ -312,7 +315,7 @@ def hunyuan_forward(
 
     def sbody(carry, block):
         out = hunyuan_single_block(block, carry, vec_silu, tr_vec_silu, li,
-                                   rope_cos, rope_sin, kv_len, arch, mm_fn, attn_type, tr_len)
+                                   rope_cos, rope_sin, kv_len, arch, mm_fn, attn_fn, tr_len)
         return out, None
 
     x, _ = jax.lax.scan(sbody, x, params["single_blocks"])

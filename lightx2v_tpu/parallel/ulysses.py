@@ -52,6 +52,52 @@ def ulysses_attention(
     return head2seq(oh, axis)
 
 
+def ulysses_concat_attention(
+    attn_fn,
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    img_len: int,
+    axis: str = "sp",
+    kv_len=None,
+) -> jnp.ndarray:
+    """Ulysses for a CONCATENATED img+txt stream (Hunyuan MMDiT double/
+    single blocks; reference hunyuan ulysses wrap,
+    attentions/distributed/ulysses/attn.py hunyuan variant): the first
+    ``img_len`` rows of the per-device view are the seq-sharded video
+    tokens, the tail is the REPLICATED text. The seq<->head all_to_all
+    moves only the img part; each device takes its head slice of the
+    (identical) text rows, attends over [all img tokens + text], and the
+    text outputs all-gather back to full heads so every device returns
+    the same txt stream.
+
+    q/k/v: (B, img_len + St, N, D) -> (B, img_len + St, N, D)."""
+    sp = jax.lax.psum(1, axis)
+    idx = jax.lax.axis_index(axis)
+    n = q.shape[2]
+    hs = n // sp
+
+    def split(x):
+        return x[:, :img_len], x[:, img_len:]
+
+    qi, qt = split(q)
+    ki, kt = split(k)
+    vi, vt = split(v)
+    qih, kih, vih = seq2head(qi, axis), seq2head(ki, axis), seq2head(vi, axis)
+
+    def head_slice(x):
+        return jax.lax.dynamic_slice_in_dim(x, idx * hs, hs, axis=2)
+
+    qh = jnp.concatenate([qih, head_slice(qt)], axis=1)
+    kh = jnp.concatenate([kih, head_slice(kt)], axis=1)
+    vh = jnp.concatenate([vih, head_slice(vt)], axis=1)
+    oh = attn_fn(qh, kh, vh) if kv_len is None else attn_fn(qh, kh, vh, kv_len=kv_len)
+    si = qih.shape[1]
+    oi = head2seq(oh[:, :si], axis)
+    ot = jax.lax.all_gather(oh[:, si:], axis, axis=2, tiled=True)
+    return jnp.concatenate([oi, ot], axis=1)
+
+
 def partial_heads_attention(attn_fn, q, k, v, axis: str = "sp"):
     """Head-parallel attention TP (reference attentions/distributed/
     partial_heads_attn/attn.py:6-37): inputs already head-sharded

@@ -351,3 +351,75 @@ def test_sharded_forward_masks_sp_pad_tokens(algo):
                                     seq_len=seq_len, parallel_attn_type="ulysses")
         np.testing.assert_allclose(np.asarray(out_f, np.float32), np.asarray(ref, np.float32),
                                    rtol=0.02, atol=0.02)
+
+
+def test_hunyuan_sharded_matches_single_device():
+    """Ulysses over the concatenated img+txt stream (Hunyuan MMDiT;
+    reference parallelize_hunyuan, ulysses/wrap.py + hunyuan processor):
+    sharded forward == single-device forward."""
+    from lightx2v_tpu.models.hunyuan.config import HunyuanArch
+    from lightx2v_tpu.models.hunyuan.model import build_hunyuan_rope, hunyuan_forward
+    from lightx2v_tpu.models.hunyuan.sharded import hunyuan_forward_sharded
+    from lightx2v_tpu.models.hunyuan.weights import (
+        init_random_hunyuan_state_dict,
+        load_hunyuan_params,
+    )
+
+    arch = HunyuanArch(hidden_size=64, heads_num=4, double_blocks=2,
+                       single_blocks=2, mlp_hidden_dim=128, in_channels=4,
+                       out_channels=4, text_states_dim=16, text_states_dim_2=8,
+                       rope_dim_list=(4, 6, 6))
+    params = load_hunyuan_params(init_random_hunyuan_state_dict(arch, seed=0, scale=0.05), arch)
+    rng = np.random.default_rng(0)
+    f, h, w = 2, 4, 8  # img tokens = 2*2*4 = 16, divisible by sp=4
+    lat = jnp.asarray(rng.standard_normal((1, 4, f, h, w)) * 0.5, jnp.float32)
+    ts = jnp.asarray(rng.standard_normal((1, 12, 16)) * 0.2, jnp.float32)
+    mask = np.zeros((1, 12), np.int32)
+    mask[0, :7] = 1
+    mask = jnp.asarray(mask)
+    ts2 = jnp.asarray(rng.standard_normal((1, 8)) * 0.2, jnp.float32)
+    pt, ph, pw = arch.patch_size
+    cos, sin = build_hunyuan_rope(arch, f // pt, h // ph, w // pw)
+    t = jnp.asarray([500.0], jnp.float32)
+    g = jnp.asarray([6000.0], jnp.float32)
+
+    ref = hunyuan_forward(params, lat, t, ts, mask, ts2, jnp.asarray(cos),
+                          jnp.asarray(sin), arch, guidance=g, attn_type="xla")
+
+    mesh = build_mesh({"dp": 2, "sp": 4})
+    out = jax.jit(lambda p, l: hunyuan_forward_sharded(
+        p, l, t, ts, mask, ts2, jnp.asarray(cos), jnp.asarray(sin), arch,
+        mesh, guidance=g, attn_type="xla"))(params, lat)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2)
+
+
+def test_cog_sharded_matches_single_device():
+    """Ulysses over CogVideoX's joint [text; video] stream (rotated to
+    sharded-part-first around the primitive): sharded == single-device."""
+    from lightx2v_tpu.models.cogvideox.model import (
+        CogArch,
+        build_cog_rope,
+        cog_forward,
+        init_random_cog_params_on_device,
+    )
+    from lightx2v_tpu.models.cogvideox.sharded import cog_forward_sharded
+
+    arch = CogArch(num_layers=2, num_heads=4, head_dim=16, text_len=6, text_dim=24)
+    params = init_random_cog_params_on_device(arch, scheme="bf16", seed=0)
+    rng = np.random.default_rng(1)
+    f, h, w = 2, 4, 8  # video tokens = 1*2*4 = 8, divisible by sp=4
+    lat = jnp.asarray(rng.standard_normal((1, 16, f, h, w)) * 0.5, jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 6, 24)) * 0.2, jnp.float32)
+    p_, pt = arch.patch_size, arch.patch_size_t
+    fpad = f + ((-f) % pt)
+    cos, sin = build_cog_rope(arch, fpad // pt, h // p_, w // p_)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+    t = jnp.asarray([500.0], jnp.float32)
+
+    ref = cog_forward(params, lat, t, ctx, cos, sin, arch, attn_type="xla")
+    mesh = build_mesh({"dp": 2, "sp": 4})
+    out = jax.jit(lambda pa, l: cog_forward_sharded(
+        pa, l, t, ctx, cos, sin, arch, mesh, attn_type="xla"))(params, lat)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2)
