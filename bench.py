@@ -540,6 +540,11 @@ def run_e2e(arch, params, target, mm_type, attn, steps, preset="14b",
 
     vae_mode = os.environ.get("BENCH_VAE", "tiled")  # tiled | full
     vae_chunk = int(os.environ.get("BENCH_VAE_CHUNK", 4))
+    # tile/stride in latent px (defaults = reference 256px/192px); after
+    # decode-after-release bigger tiles trade redundant halo conv work
+    # ((tile/stride)^2) against per-tile activation memory
+    vae_tile = int(os.environ.get("BENCH_VAE_TILE", 32))
+    vae_stride = int(os.environ.get("BENCH_VAE_STRIDE", 24))
 
     @jax.jit
     def decode(z, *arrs):
@@ -550,7 +555,8 @@ def run_e2e(arch, params, target, mm_type, attn, steps, preset="14b",
         if vae_mode == "full":
             from lightx2v_tpu.vae.wan_vae import vae_decode
             return vae_decode(p, z, vae_cfg, dtype=jnp.bfloat16, chunk=vae_chunk)
-        return vae_decode_tiled(p, z, vae_cfg, dtype=jnp.bfloat16, chunk=vae_chunk)
+        return vae_decode_tiled(p, z, vae_cfg, dtype=jnp.bfloat16, chunk=vae_chunk,
+                                tile_latent=vae_tile, stride_latent=vae_stride)
 
     vae_arrs = [flat[i] for i in arr_idx]
 

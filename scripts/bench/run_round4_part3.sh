@@ -14,11 +14,31 @@ run() {
   cat $L/$name.json
 }
 
+# 0. Taylor/Custom full-token retry (part-2 attempt died in the remote
+#    compile helper with HTTP 500 — possibly transient tunnel/compile-RAM)
+echo "=== caching_taylor_retry start $(date +%H:%M:%S) ==="
+timeout 7200 python scripts/bench/bench_caching.py TaylorSeer Custom \
+    >$L/caching_taylor.json 2>$L/caching_taylor.err
+echo "=== caching_taylor_retry exit $? $(date +%H:%M:%S) ==="
+cat $L/caching_taylor.json
+
 # 1. fidelity ladder at 1.3B, FULL 480P tokens, shared master weights
 echo "=== fidelity start $(date +%H:%M:%S) ==="
 timeout 7200 python scripts/bench/bench_fidelity.py >$L/fidelity.json 2>$L/fidelity.err
 echo "=== fidelity exit $? $(date +%H:%M:%S) ==="
 cat $L/fidelity.json
+
+# 1b. 720P decode probes: untiled chunk-1 (chunk-2 OOMed at 16.6 GB),
+#     then bigger tiles after release (less redundant halo conv work)
+run e2e_720p_rel_full1 BENCH_MODE=e2e BENCH_PRESET=14b BENCH_MM=int4a8 \
+    BENCH_ATTN=sparge BENCH_E2E_SPLIT=1 BENCH_H=90 BENCH_W=160 \
+    BENCH_VAE=full BENCH_VAE_CHUNK=1 BENCH_STEPS=2
+run e2e_720p_rel_tiled64 BENCH_MODE=e2e BENCH_PRESET=14b BENCH_MM=int4a8 \
+    BENCH_ATTN=sparge BENCH_E2E_SPLIT=1 BENCH_H=90 BENCH_W=160 \
+    BENCH_VAE_TILE=64 BENCH_VAE_STRIDE=56 BENCH_STEPS=2
+run e2e_720p_rel_tiled48 BENCH_MODE=e2e BENCH_PRESET=14b BENCH_MM=int4a8 \
+    BENCH_ATTN=sparge BENCH_E2E_SPLIT=1 BENCH_H=90 BENCH_W=160 \
+    BENCH_VAE_TILE=48 BENCH_VAE_STRIDE=40 BENCH_STEPS=2
 
 # 2. family e2e capability rows (full scale)
 run e2e_480p_hunyuan_int8 BENCH_MODEL=hunyuan BENCH_MODE=e2e BENCH_MM=int8 \
