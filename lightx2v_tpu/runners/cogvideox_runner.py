@@ -109,6 +109,14 @@ class CogvideoxRunner(DefaultRunner):
         cos, sin = build_cog_rope(arch, gf, lat_h // p, lat_w // p)
         cos, sin = jnp.asarray(cos), jnp.asarray(sin)
         attn = self.config.get("attention_impl") or self.config.get("attention_type", "flash_attn3")
+        mesh = None
+        if self.config.get("mesh_shape"):
+            # ulysses SP over the joint [text; video] stream
+            # (models/cogvideox/sharded.py)
+            from ..parallel.mesh import build_mesh
+
+            mesh = build_mesh(dict(self.config["mesh_shape"]),
+                              devices=self._mesh_devices())
         enable_cfg = bool(self.config.get("enable_cfg", True))
         guide = float(self.config.get("guidance_scale", self.config.get("sample_guide_scale", 6.0)))
         teo = encoder_out["text_encoder_output"]
@@ -116,17 +124,24 @@ class CogvideoxRunner(DefaultRunner):
 
         @jax.jit
         def denoise(params, st, ctx, ctx_null):
+            def fwd(lat_b, tb, c):
+                if mesh is not None:
+                    from ..models.cogvideox.sharded import cog_forward_sharded
+
+                    return cog_forward_sharded(params, lat_b, tb, c, cos, sin,
+                                               arch, mesh, attn_type=attn)
+                return cog_forward(params, lat_b, tb, c, cos, sin, arch, attn_type=attn)
+
             def body(s, _):
                 lat, t = scheduler.step_pre(s)
                 lat_b, tb = lat[None], t[None].astype(jnp.float32)
                 if enable_cfg:
-                    out = cog_forward(params, jnp.concatenate([lat_b, lat_b]),
-                                      jnp.concatenate([tb, tb]),
-                                      jnp.concatenate([ctx, ctx_null]),
-                                      cos, sin, arch, attn_type=attn)
+                    out = fwd(jnp.concatenate([lat_b, lat_b]),
+                              jnp.concatenate([tb, tb]),
+                              jnp.concatenate([ctx, ctx_null]))
                     pred = out[1] + guide * (out[0] - out[1])
                 else:
-                    pred = cog_forward(params, lat_b, tb, ctx, cos, sin, arch, attn_type=attn)[0]
+                    pred = fwd(lat_b, tb, ctx)[0]
                 return scheduler.step_post(s, pred), None
 
             s, _ = jax.lax.scan(body, st, None, length=n_steps)

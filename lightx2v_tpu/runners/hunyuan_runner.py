@@ -136,6 +136,16 @@ class HunyuanRunner(DefaultRunner):
         attn = self.config.get("attention_impl") or self.config.get("attention_type", "flash_attn3")
         token_replace = self.config.get("task") == "i2v"
 
+        mesh = None
+        if self.config.get("mesh_shape") and not token_replace:
+            # ulysses SP over the concatenated img+txt stream
+            # (models/hunyuan/sharded.py; reference parallelize_hunyuan).
+            # i2v token_replace needs global token indices — resident path.
+            from ..parallel.mesh import build_mesh
+
+            mesh = build_mesh(dict(self.config["mesh_shape"]),
+                              devices=self._mesh_devices())
+
         n_steps = scheduler.num_steps()
 
         # TeaCache for Hunyuan (reference hunyuan/infer/feature_caching/):
@@ -154,6 +164,13 @@ class HunyuanRunner(DefaultRunner):
         @jax.jit
         def denoise(params, st, states, mask, pooled):
             def fwd(lat_b, t):
+                if mesh is not None:
+                    from ..models.hunyuan.sharded import hunyuan_forward_sharded
+
+                    return hunyuan_forward_sharded(
+                        params, lat_b, t, states, mask, pooled,
+                        cos, sin, arch, mesh, guidance=guidance, attn_type=attn,
+                    )
                 return hunyuan_forward(
                     params, lat_b, t, states, mask, pooled,
                     cos, sin, arch, guidance=guidance, attn_type=attn,

@@ -277,3 +277,50 @@ def test_lazy_disk_taylor_and_ada_pipelines(tmp_path):
     assert frames.shape == (9, 64, 96, 3)
     assert np.isfinite(frames).all()
     assert runner._ada_stats["skipped"] >= 1  # the codebook actually skipped
+
+
+def test_hunyuan_t2v_pipeline_sp_mesh(tmp_path):
+    """Hunyuan runner under mesh_shape: the denoise dispatches to the
+    ulysses concat-stream sharded forward (models/hunyuan/sharded.py) and
+    matches the unsharded pipeline's frames."""
+    cfg_path = os.path.join(os.path.dirname(__file__), "..", "configs", "hunyuan_t2v_synthetic_smoke.json")
+
+    def run(mesh):
+        args = build_parser().parse_args([
+            "--model_cls", "hunyuan", "--task", "t2v",
+            "--config_json", cfg_path,
+            "--prompt", "a city at night",
+            "--synthetic_weights",
+        ])
+        config = set_config(args)
+        if mesh:
+            config["mesh_shape"] = mesh
+        return init_runner(config).run_pipeline(save_video=False)
+
+    ref = run(None)
+    out = run({"sp": 4})
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=3e-2, atol=3e-2)
+
+
+def test_cogvideox_t2v_pipeline_sp_mesh(tmp_path):
+    """Cog runner under mesh_shape: joint-stream ulysses sharded forward
+    (models/cogvideox/sharded.py) matches the unsharded pipeline."""
+    def run(mesh):
+        args = build_parser().parse_args([
+            "--model_cls", "cogvideox", "--task", "t2v",
+            "--config_json", CFG,
+            "--prompt", "fireworks over a lake",
+            "--synthetic_weights",
+        ])
+        config = set_config(args)
+        config.update({"enable_cfg": True, "guidance_scale": 6.0,
+                       "infer_steps": 2, "attention_type": "xla"})
+        if mesh:
+            config["mesh_shape"] = mesh
+        return init_runner(config).run_pipeline(save_video=False)
+
+    ref = run(None)
+    out = run({"sp": 4})
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=3e-2, atol=3e-2)
