@@ -252,8 +252,9 @@ def run_hunyuan():
                            text_states_dim_2=16, rope_dim_list=(4, 10, 10))
     else:
         arch = HunyuanArch()
-    scheme = os.environ.get("BENCH_MM", "bf16" if tiny else "int8")
-    mm_type = MM_ALIAS.get(scheme, "Default" if scheme in ("bf16", "Default") else scheme)
+    mm_env = os.environ.get("BENCH_MM", "bf16" if tiny else "int8")
+    mm_type = MM_ALIAS.get(mm_env, "Default" if mm_env in ("bf16", "Default") else mm_env)
+    scheme = "int4" if "int4" in mm_env else mm_env  # ckpt layout (w4a8 shares int4)
     attn = os.environ.get("BENCH_ATTN", "xla" if tiny else "flash_attn3")
     steps = int(os.environ.get("BENCH_STEPS", 3))
     f = int(os.environ.get("BENCH_FRAMES", 3 if tiny else 21))
@@ -325,7 +326,7 @@ def run_hunyuan():
             t0 = time.perf_counter()
             once(params)
             times.append(time.perf_counter() - t0)
-        emit(f"hunyuan_{res}_e2e{infer_steps}step_s_on_v5e[{scheme}] (denoise+tiledVAE+release; capability row, no published H200 analog)",
+        emit(f"hunyuan_{res}_e2e{infer_steps}step_s_on_v5e[{mm_env}] (denoise+tiledVAE+release; capability row, no published H200 analog)",
              float(np.median(times)), "s", 0.0)
         return
 
@@ -343,7 +344,7 @@ def run_hunyuan():
         run_sync()
         times.append(time.perf_counter() - t0)
     ms = float(np.median(times) * 1000.0)
-    emit(f"hunyuan_{res}_dit_forward_ms_on_v5e[{scheme}] (no published H200 row)",
+    emit(f"hunyuan_{res}_dit_forward_ms_on_v5e[{mm_env}] (no published H200 row)",
          ms, "ms", 0.0)
 
 

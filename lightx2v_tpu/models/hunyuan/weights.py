@@ -226,6 +226,15 @@ def init_random_hunyuan_params_on_device(arch: HunyuanArch, scheme: str = "bf16"
             elif scheme == "fp8":
                 lin["w"] = (jr.normal(key, sh, jnp.bfloat16) * 100.0).astype(jnp.float8_e4m3fn)
                 lin["w_scale"] = jnp.full(bsh, scale / 100.0, jnp.float32)
+            elif scheme == "int4":
+                # nibble-packed w4 + per-(channel, group) scales — the w4a8
+                # capacity layout (ops/pallas/int4_matmul.py); full Hunyuan
+                # int8 is 12.7 GB and leaves no activation room on one v5e
+                from ...ops.pallas.int4_matmul import _pick_bk
+
+                bk = _pick_bk(kin)
+                lin["w"] = jr.randint(key, sh[:-1] + (kin // 2,), 0, 256, jnp.uint8)
+                lin["w_scale"] = jnp.full(bsh + (kin // bk,), scale / 7.0, jnp.float32)
             else:
                 lin["w"] = jr.normal(key, sh, jnp.bfloat16) * scale
             return lin

@@ -21,6 +21,15 @@ timeout 7200 python scripts/bench/bench_caching.py TaylorSeer Custom \
     >$L/caching_taylor.json 2>$L/caching_taylor.err
 echo "=== caching_taylor_retry exit $? $(date +%H:%M:%S) ==="
 cat $L/caching_taylor.json
+# fallback protocol if the full-token compile keeps killing the remote
+# compile helper: HALF 480P tokens (60x52), fp8 cache, own B=1 baseline
+if grep -q '"error"' $L/caching_taylor.json; then
+  echo "=== caching_taylor_half start $(date +%H:%M:%S) ==="
+  timeout 7200 env BENCH_H=60 BENCH_W=52 python scripts/bench/bench_caching.py \
+      TaylorSeer Custom >$L/caching_taylor_half.json 2>$L/caching_taylor_half.err
+  echo "=== caching_taylor_half exit $? $(date +%H:%M:%S) ==="
+  cat $L/caching_taylor_half.json
+fi
 
 # 1. fidelity ladder at 1.3B, FULL 480P tokens, shared master weights
 echo "=== fidelity start $(date +%H:%M:%S) ==="
@@ -40,8 +49,16 @@ run e2e_720p_rel_tiled48 BENCH_MODE=e2e BENCH_PRESET=14b BENCH_MM=int4a8 \
     BENCH_ATTN=sparge BENCH_E2E_SPLIT=1 BENCH_H=90 BENCH_W=160 \
     BENCH_VAE_TILE=48 BENCH_VAE_STRIDE=40 BENCH_STEPS=2
 
+# 1c. int8 weights + sparge flagship probe (round-3 recorded OOM with the
+#     resident-VAE protocol; decode-after-release changes the peak)
+run e2e_480p_rel_full4_int8sparge BENCH_MODE=e2e BENCH_PRESET=14b BENCH_MM=int8 \
+    BENCH_ATTN=sparge BENCH_E2E_SPLIT=1 BENCH_VAE=full BENCH_VAE_CHUNK=4 BENCH_STEPS=2
+
 # 2. family e2e capability rows (full scale)
-run e2e_480p_hunyuan_int8 BENCH_MODEL=hunyuan BENCH_MODE=e2e BENCH_MM=int8 \
+# hunyuan int8 is 12.7 GB of weights -> forward OOMed in part 2 (program
+# needs 3.44 GB beside them); w4a8 (6.4 GB) is the capacity scheme
+run fwd_480p_hunyuan_w4a8 BENCH_MODEL=hunyuan BENCH_MM=int4a8 BENCH_STEPS=2
+run e2e_480p_hunyuan_w4a8 BENCH_MODEL=hunyuan BENCH_MODE=e2e BENCH_MM=int4a8 \
     BENCH_STEPS=2 BENCH_INFER_STEPS=4
 run e2e_480p_cog_bf16 BENCH_MODEL=cogvideox BENCH_MODE=e2e \
     BENCH_STEPS=2 BENCH_INFER_STEPS=4
