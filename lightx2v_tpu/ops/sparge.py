@@ -74,16 +74,25 @@ def sparge_select_blocks(
     nk_f = (sk + pk) // BLOCK
 
     def pool(x, s, pad):
-        xf = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * n, s, d).astype(jnp.float32)
+        # Block means with fp32 ACCUMULATION but no materialized fp32 copy
+        # of the (B, S, N, D) tensor: reshape S in place (a view), reduce
+        # the 128-token axis (XLA fuses convert+mul into the reduction),
+        # and only transpose the tiny (B, nblk, N, D) result. The previous
+        # transpose-then-cast version held ~1.3 GB of fp32 q/k temps at 14B
+        # 480P — the peak that pushed int8-weights + sparge over one v5e.
         if pad:
-            xf = jnp.pad(xf, ((0, 0), (0, pad), (0, 0)))
-        # mean over valid tokens only (zero-padded tail would bias the mean)
-        xb = xf.reshape(b * n, -1, BLOCK, d)
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        nb = x.shape[1] // BLOCK
+        xb = x.reshape(b, nb, BLOCK, n, d)
         if pad:
-            valid = (jnp.arange(xb.shape[1] * BLOCK) < s).astype(jnp.float32)
-            valid = valid.reshape(1, xb.shape[1], BLOCK, 1)
-            return (xb * valid).sum(2) / jnp.maximum(valid.sum(2), 1.0)
-        return xb.mean(2)
+            # mean over valid tokens only (zero-padded tail would bias it)
+            valid = (jnp.arange(nb * BLOCK) < s).astype(jnp.float32)
+            valid = valid.reshape(1, nb, BLOCK, 1, 1)
+            m = jnp.sum(xb.astype(jnp.float32) * valid, axis=2)
+            m = m / jnp.maximum(valid.sum(2), 1.0)
+        else:
+            m = jnp.mean(xb, axis=2, dtype=jnp.float32)
+        return jnp.transpose(m, (0, 2, 1, 3)).reshape(b * n, nb, d)
 
     mq = pool(q, sq, pq)  # (BN, nq_f, d)
     mk = pool(k, sk, pk)  # (BN, nk_f, d)
