@@ -526,6 +526,17 @@ def run_e2e(arch, params, target, mm_type, attn, steps, preset="14b",
         init_random_vae_state_dict(vae_cfg, seed=0), vae_cfg,
         dtype=ml_dtypes.bfloat16, to_jax=False), seed=0)
 
+    # BENCH_VAE_INT8=1: per-output-channel int8 decoder convs on the MXU
+    # (2x bf16 conv throughput on v5e; quantize_vae_decoder_int8 keeps
+    # head_conv + mid-attention in bf16). Quality bound: fidelity ladder
+    # "vae-int8" rung (scripts/bench/bench_fidelity.py).
+    vae_int8 = os.environ.get("BENCH_VAE_INT8") == "1"
+    if vae_int8:
+        from lightx2v_tpu.vae.wan_vae import quantize_vae_decoder_int8
+        vae_params = quantize_vae_decoder_int8(vae_params)
+        jax.block_until_ready([l for l in jax.tree_util.tree_leaves(vae_params)
+                               if hasattr(l, "shape")])
+
     # host-stepped: one device execution per denoise step + ONE jitted
     # program for the whole VAE decode — a whole-pipeline program is a
     # single multi-10s device call, which exceeds the axon tunnel's
@@ -606,6 +617,8 @@ def run_e2e(arch, params, target, mm_type, attn, steps, preset="14b",
     vae_lbl = "fullVAE" if os.environ.get("BENCH_VAE") == "full" else "tiledVAE"
     if release:
         vae_lbl += "+release"
+    if vae_int8:
+        vae_lbl += "+int8vae"
     if preset == "14b" and base_s is not None:
         raw = base_s / sec
         emit(

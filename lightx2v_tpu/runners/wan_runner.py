@@ -175,9 +175,19 @@ class WanRunner(DefaultRunner):
         if self.config.get("synthetic_weights"):
             cfg = WanVAEConfig(dim=16, z_dim=16, dim_mult=(1, 2, 2, 2), num_res_blocks=1)
             self.vae_cfg = cfg
-            return load_wan_vae_params(init_random_vae_state_dict(cfg, seed=2), cfg)
-        self.vae_cfg = WanVAEConfig()
-        return load_wan_vae_from_path(os.path.join(self.config["model_path"], "Wan2.1_VAE.pth"), self.vae_cfg)
+            params = load_wan_vae_params(init_random_vae_state_dict(cfg, seed=2), cfg)
+        else:
+            self.vae_cfg = WanVAEConfig()
+            params = load_wan_vae_from_path(
+                os.path.join(self.config["model_path"], "Wan2.1_VAE.pth"), self.vae_cfg)
+        if self.config.get("vae_int8"):
+            # int8 decoder convs on the MXU (2x bf16 conv throughput); a
+            # TPU-native speed/quality trade with no reference analog —
+            # quality bound measured by the fidelity ladder's vae-int8 rung
+            from ..vae.wan_vae import quantize_vae_decoder_int8
+
+            params = quantize_vae_decoder_int8(params)
+        return params
 
     # ---------------- pipeline stages ----------------
     def set_target_shape(self):

@@ -63,6 +63,37 @@ class WanVAEConfig:
 # primitives (channels-last)
 # --------------------------------------------------------------------------
 
+def _conv_any(p: Dict, x: jnp.ndarray, window_strides, padding, dn) -> jnp.ndarray:
+    """Run one conv from a param dict; dispatches on quantization.
+
+    bf16 path: ``p = {w, b}``. int8 path: ``p = {w: int8, w_scale: (O,)
+    fp32, b}`` (see ``quantize_vae_decoder_int8``) — activations are
+    quantized per-tensor dynamic symmetric int8, the conv accumulates in
+    int32 on the MXU (2x bf16 throughput on v5e), and the output is
+    rescaled by ``act_scale * w_scale`` per output channel. Mirrors the
+    reference's w8a8 GEMM recipe (mm_weight.py per-channel dynamic
+    activation quant) applied to the VAE's convs."""
+    w = p["w"]
+    if "w_scale" in p:
+        a_s = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-8) / 127.0
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / a_s), -127, 127).astype(jnp.int8)
+        out = jax.lax.conv_general_dilated(
+            xq, w, window_strides=window_strides, padding=padding,
+            dimension_numbers=dn, preferred_element_type=jnp.int32,
+        )
+        out = out.astype(jnp.float32) * (a_s * p["w_scale"].astype(jnp.float32))
+        if p.get("b") is not None:
+            out = out + p["b"].astype(jnp.float32)
+        return out.astype(x.dtype)
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=window_strides, padding=padding,
+        dimension_numbers=dn,
+    )
+    if p.get("b") is not None:
+        out = out + p["b"].astype(out.dtype)
+    return out
+
+
 def cconv3d(p: Dict, x: jnp.ndarray, cache: Optional[jnp.ndarray], t_stride: int = 1,
             causal_pad: bool = True) -> jnp.ndarray:
     """Causal 3D conv. x (B,T,H,W,C); weight (kt,kh,kw,I,O) from torch
@@ -79,15 +110,11 @@ def cconv3d(p: Dict, x: jnp.ndarray, cache: Optional[jnp.ndarray], t_stride: int
             pad_t = max(pad_t - cache.shape[1], 0)
         if pad_t > 0:
             x = jnp.pad(x, ((0, 0), (pad_t, 0), (0, 0), (0, 0), (0, 0)))
-    out = jax.lax.conv_general_dilated(
-        x, w.astype(x.dtype),
-        window_strides=(t_stride, 1, 1),
+    return _conv_any(
+        p, x, window_strides=(t_stride, 1, 1),
         padding=((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)),
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        dn=("NDHWC", "DHWIO", "NDHWC"),
     )
-    if p.get("b") is not None:
-        out = out + p["b"].astype(out.dtype)
-    return out
 
 
 def conv2d(p: Dict, x: jnp.ndarray, stride: int = 1, pad: Any = "same") -> jnp.ndarray:
@@ -100,13 +127,54 @@ def conv2d(p: Dict, x: jnp.ndarray, stride: int = 1, pad: Any = "same") -> jnp.n
         padding = ((kh // 2, kh // 2), (kw // 2, kw // 2))
     else:
         padding = pad  # explicit ((top,bottom),(left,right))
-    out = jax.lax.conv_general_dilated(
-        xf, w.astype(x.dtype), window_strides=(stride, stride), padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    if p.get("b") is not None:
-        out = out + p["b"].astype(out.dtype)
+    out = _conv_any(p, xf, window_strides=(stride, stride), padding=padding,
+                    dn=("NHWC", "HWIO", "NHWC"))
     return out.reshape(b, t, *out.shape[1:])
+
+
+def quantize_vae_decoder_int8(params: Dict) -> Dict:
+    """Quantize the decoder's FLOP-carrying convs to per-output-channel
+    symmetric int8 (consumed by ``_conv_any``'s w8a8 path).
+
+    Kept in bf16 for quality: the final ``head_conv`` (3-channel output,
+    negligible FLOPs, directly visible in frames) and the mid-block
+    attention's ``to_qkv``/``proj`` 1x1 convs (softmax inputs are
+    scale-sensitive and the mid block runs at the lowest resolution).
+    The reference has no VAE quantization — this is a TPU-native decode
+    optimization gated behind config ``vae_int8`` / BENCH_VAE_INT8.
+
+    Given the full VAE tree ({encoder, decoder, conv1, conv2}), only the
+    ``decoder`` subtree is quantized — the encoder (i2v conditioning) and
+    the tiny quant/post-quant 1x1 convs stay bf16."""
+    skip = {"head_conv", "to_qkv", "proj"}
+
+    if isinstance(params, dict) and "decoder" in params and "encoder" in params:
+        out = dict(params)
+        out["decoder"] = quantize_vae_decoder_int8(params["decoder"])
+        return out
+
+    def quant(lin: Dict) -> Dict:
+        w = np.asarray(lin["w"], np.float32) if isinstance(lin["w"], np.ndarray) \
+            else lin["w"].astype(jnp.float32)
+        red = tuple(range(w.ndim - 1))  # all but the trailing O axis
+        s = jnp.maximum(jnp.max(jnp.abs(w), axis=red), 1e-8) / 127.0
+        q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+        out = {"w": q, "w_scale": s}
+        if lin.get("b") is not None:
+            out["b"] = lin["b"]
+        return out
+
+    def walk(node, key=""):
+        if isinstance(node, dict):
+            if "w" in node and hasattr(node["w"], "ndim") and node["w"].ndim in (4, 5) \
+                    and key not in skip and jnp.issubdtype(node["w"].dtype, jnp.floating):
+                return quant(node)
+            return {k: walk(v, k) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v, key) for v in node]
+        return node
+
+    return walk(params)
 
 
 def rms_norm_ch(p: Dict, x: jnp.ndarray) -> jnp.ndarray:

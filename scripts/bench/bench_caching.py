@@ -181,7 +181,12 @@ def main():
         # scan is a single ~160 s device call at 50 steps, which exceeds
         # the axon tunnel's per-execute deadline (observed ABORTED/worker
         # crash); per-step dispatch overhead is ~25 ms against ~3 s steps.
-        step_fn = jax.jit(denoise.one_step)
+        # The cache argument is DONATED: it is threaded step to step and
+        # never reused, and for Taylor-family full-token runs it is ~9 GB
+        # of fp8 entries — without donation the step program carries input
+        # AND output cache buffers (~18 GB), which is what pushed the
+        # full-token compile over the remote helper's limit.
+        step_fn = jax.jit(denoise.one_step, donate_argnums=(2,))
 
         def once(cache_override=None):
             st, cache = state0, denoise.init_cache()

@@ -162,6 +162,7 @@ def main():
         rungs = [r for r in rungs if r[0] in want or r[0] == "bf16-dense"]
 
     ref_z = ref_frames = None
+    w4a8_z = None  # second reference: isolates sparsity error from quant error
     for name, scheme, attn, keep, rf in rungs:
         z, frames, wall = run(scheme, attn, keep, rf)
         if name == "bf16-dense":
@@ -173,9 +174,45 @@ def main():
                    "latent_snr_db": round(float(snr_db(ref_z, z)), 2),
                    "frame_snr_db": round(float(snr_db(ref_frames, frames)), 2),
                    "wall_s": round(wall, 2)}
-            for leaf in (z, frames):
-                leaf.delete()
+            if name == "w4a8-dense":
+                w4a8_z = z
+            elif w4a8_z is not None and attn == "sparge" and scheme == "int4":
+                # sparsity-only error: same quantized weights, dense vs sparse
+                # attention. If this sits >=20 dB above the rung's bf16-relative
+                # SNR, sparge's contribution is invisible under the quant floor.
+                row["vs_w4a8_dense_latent_snr_db"] = round(float(snr_db(w4a8_z, z)), 2)
+            if z is not w4a8_z:
+                z.delete()
+            frames.delete()
         print(json.dumps(row), flush=True)
+
+    # vae-int8 rung: SAME bf16-dense latents through the int8-conv decoder
+    # (quantize_vae_decoder_int8) vs the shared reference decode — isolates
+    # the VAE quantization error from every DiT-path effect above.
+    if os.environ.get("BENCH_FID_VAE_INT8", "1") != "0" and ref_z is not None:
+        from lightx2v_tpu.vae.wan_vae import quantize_vae_decoder_int8
+        qarrs_tree = quantize_vae_decoder_int8(
+            jax.tree_util.tree_unflatten(treedef, flat))
+        qflat, qtreedef = jax.tree_util.tree_flatten(
+            qarrs_tree, is_leaf=lambda x: isinstance(x, str))
+        qarr_idx = [i for i, l in enumerate(qflat) if hasattr(l, "shape")]
+
+        @jax.jit
+        def decode_q(z, *arrs):
+            leaves = list(qflat)
+            for i, a in zip(qarr_idx, arrs):
+                leaves[i] = a
+            p = jax.tree_util.tree_unflatten(qtreedef, leaves)
+            return vae_decode_tiled(p, z, vae_cfg, dtype=jnp.float32, chunk=4)
+
+        t0 = time.perf_counter()
+        fq = decode_q(ref_z, *[qflat[i] for i in qarr_idx])
+        float(jnp.sum(fq.astype(jnp.float32)))
+        wall = time.perf_counter() - t0
+        print(json.dumps({"rung": "bf16-dense+vae-int8",
+                          "latent_snr_db": None,
+                          "frame_snr_db": round(float(snr_db(ref_frames, fq)), 2),
+                          "wall_s": round(wall, 2)}), flush=True)
 
 
 if __name__ == "__main__":

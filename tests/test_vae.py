@@ -172,3 +172,33 @@ class TestTiling:
         z = vae_encode_tiled(params, x, TINY, scale=False, tile_px=32, stride_px=24)
         assert z.shape == (1, 2, 6, 8, 4)
         assert np.isfinite(np.asarray(z)).all()
+
+
+def test_int8_decoder_quantization(params):
+    """vae_int8 path: decoder-only int8 convs (quantize_vae_decoder_int8),
+    mechanically correct (int32-accumulating lax.conv) and within a
+    quantization-noise bound of the bf16 decode; encoder stays bf16 so
+    i2v conditioning is untouched."""
+    from lightx2v_tpu.vae.wan_vae import quantize_vae_decoder_int8
+
+    rng = np.random.default_rng(7)
+    z = jnp.asarray(rng.standard_normal((1, 3, 8, 8, TINY.z_dim)), jnp.float32)
+    ref = np.asarray(vae_decode(params, z, TINY, scale=False, dtype=jnp.bfloat16, chunk=2), np.float32)
+
+    qp = quantize_vae_decoder_int8(params)
+    # encoder subtree untouched (leaf identity), decoder convs int8
+    assert qp["encoder"] is params["encoder"]
+    n_int8 = sum(1 for l in jax.tree_util.tree_leaves(qp["decoder"])
+                 if hasattr(l, "dtype") and l.dtype == jnp.int8)
+    assert n_int8 > 10
+    # head_conv kept bf16 (quality-critical 3-channel output)
+    assert "w_scale" not in qp["decoder"]["head_conv"]
+
+    got = np.asarray(vae_decode(qp, z, TINY, scale=False, dtype=jnp.bfloat16, chunk=2), np.float32)
+    err = np.sqrt(((ref - got) ** 2).mean())
+    sig = np.sqrt((ref ** 2).mean())
+    snr = 20 * np.log10(sig / max(err, 1e-20))
+    assert snr > 15.0, f"int8 decode SNR {snr:.1f} dB below bound"
+    # idempotence guard: quantizing twice must not re-quantize int8 weights
+    qp2 = quantize_vae_decoder_int8(qp)
+    assert qp2["decoder"]["conv1"]["w"].dtype == jnp.int8
