@@ -305,7 +305,10 @@ def run_hunyuan():
             return sched.step_post(st, pred[0])
 
         step_fn = jax.jit(one_step)
-        decode = jax.jit(lambda vp, z: hunyuan_vae_decode_tiled(vp, z, vae_cfg, scale=False))
+        # per-tile jitted programs (tile_jit): one whole-grid program OOMs
+        # at 46.85 GB on v5e (see hunyuan_vae_decode_spatial_tiled)
+        decode = lambda vp, z: hunyuan_vae_decode_tiled(vp, z, vae_cfg, scale=False,
+                                                        tile_jit=True)
 
         def once(p):
             st = state0

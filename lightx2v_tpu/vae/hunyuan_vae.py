@@ -17,6 +17,7 @@ quadratic in tile tokens), with the same tiling entry points.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -224,12 +225,33 @@ def _blend_dim(a: jnp.ndarray, b: jnp.ndarray, n: int, axis: int) -> jnp.ndarray
     return jnp.concatenate([mixed, rest], axis=axis)
 
 
+_TILE_JIT: dict = {}
+
+
+def _jit_tile_decode(cfg: HunyuanVAEConfig, scale: bool):
+    """Per-(cfg, scale) cached jitted single-tile decode. jax.jit's own
+    shape cache handles the handful of distinct edge-tile shapes."""
+    key = (cfg, scale)
+    fn = _TILE_JIT.get(key)
+    if fn is None:
+        fn = jax.jit(partial(hunyuan_vae_decode, cfg=cfg, scale=scale))
+        _TILE_JIT[key] = fn
+    return fn
+
+
 def hunyuan_vae_decode_spatial_tiled(params: Params, z: jnp.ndarray,
                                      cfg: HunyuanVAEConfig = HunyuanVAEConfig(),
                                      scale: bool = True, tile_latent: int = 32,
-                                     overlap: float = 0.25) -> jnp.ndarray:
+                                     overlap: float = 0.25,
+                                     tile_jit: bool = False) -> jnp.ndarray:
     """Spatial tiling (reference spatial_tiled_decode :419-453); z
-    channels-last (B, t, h, w, 16)."""
+    channels-last (B, t, h, w, 16).
+
+    ``tile_jit=True`` runs EACH tile as its own jitted program (host loop,
+    eager blends) instead of tracing the whole tile grid into one XLA
+    program. One program holding ~16 tile decodes lets the scheduler keep
+    many tiles' intermediates alive at once — measured 46.85 GB peak at
+    480P on v5e, an OOM; per-tile programs peak at one tile's activations."""
     b, t, h, w, c = z.shape
     step = max(1, int(tile_latent * (1 - overlap)))
     # blend/limit derived from the step so tiles align at ANY tile size
@@ -237,12 +259,14 @@ def hunyuan_vae_decode_spatial_tiled(params: Params, z: jnp.ndarray,
     # where 8*step == tile*8*(1-overlap) exactly)
     blend = (tile_latent - step) * 8
     limit = step * 8
+    dec = _jit_tile_decode(cfg, scale) if tile_jit else \
+        partial(hunyuan_vae_decode, cfg=cfg, scale=scale)
     rows = []
     for i in range(0, h, step):
         row = []
         for j in range(0, w, step):
             tile = z[:, :, i : i + tile_latent, j : j + tile_latent]
-            row.append(hunyuan_vae_decode(params, tile, cfg, scale=scale))
+            row.append(dec(params, tile))
         rows.append(row)
     out_rows = []
     for i, row in enumerate(rows):
@@ -266,10 +290,13 @@ def hunyuan_vae_decode_tiled(params: Params, z: jnp.ndarray,
                              scale: bool = True, t_tile_latent: int = 16,
                              spatial_tile_latent: int = 32,
                              overlap: float = 0.25,
-                             use_spatial: Optional[bool] = None) -> jnp.ndarray:
+                             use_spatial: Optional[bool] = None,
+                             tile_jit: bool = False) -> jnp.ndarray:
     """Temporal (outer) + spatial (inner) tiled decode — the reference's
     temporal_tiled_decode (:487-514) dispatching to spatial_tiled_decode
-    when a tile exceeds the spatial tile size."""
+    when a tile exceeds the spatial tile size. ``tile_jit`` — see
+    hunyuan_vae_decode_spatial_tiled (per-tile jitted programs; required
+    to fit the 480P decode on one v5e)."""
     b, t, h, w, c = z.shape
     if use_spatial is None:
         use_spatial = max(h, w) > spatial_tile_latent
@@ -278,7 +305,9 @@ def hunyuan_vae_decode_tiled(params: Params, z: jnp.ndarray,
         if use_spatial:
             return hunyuan_vae_decode_spatial_tiled(
                 params, tile, cfg, scale=scale, tile_latent=spatial_tile_latent,
-                overlap=overlap)
+                overlap=overlap, tile_jit=tile_jit)
+        if tile_jit:
+            return _jit_tile_decode(cfg, scale)(params, tile)
         return hunyuan_vae_decode(params, tile, cfg, scale=scale)
 
     if t <= t_tile_latent:
