@@ -421,7 +421,10 @@ def run_cogvideox():
             return sched.step_post(st, pred[0])
 
         step_fn = jax.jit(one_step)
-        decode = jax.jit(lambda vp, z: cog_vae_decode_tiled(vp, z, vae_cfg, scale=False))
+        # per-tile jitted programs (tile_jit): the one-program tile grid
+        # OOMed at 73.76 GB on v5e (see cog_vae_decode_tiled)
+        decode = lambda vp, z: cog_vae_decode_tiled(vp, z, vae_cfg, scale=False,
+                                                    tile_jit=True)
 
         def once(pa):
             st = state0

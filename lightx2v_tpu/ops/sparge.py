@@ -74,24 +74,23 @@ def sparge_select_blocks(
     nk_f = (sk + pk) // BLOCK
 
     def pool(x, s, pad):
-        # Block means with fp32 ACCUMULATION but no materialized fp32 copy
-        # of the (B, S, N, D) tensor: reshape S in place (a view), reduce
-        # the 128-token axis (XLA fuses convert+mul into the reduction),
-        # and only transpose the tiny (B, nblk, N, D) result. The previous
-        # transpose-then-cast version held ~1.3 GB of fp32 q/k temps at 14B
-        # 480P — the peak that pushed int8-weights + sparge over one v5e.
+        # Block means with fp32 ACCUMULATION but no materialized copy of
+        # the (B, S, N, D) tensor: slice-and-reshape views feed fused
+        # reductions (no fp32 cast buffer, no jnp.pad copy — the previous
+        # versions held ~1.3 GB of fp32 q/k temps / ~0.7 GB of pad copies
+        # at 14B 480P, the peak that pushed int8-weights + sparge over one
+        # v5e). The ragged tail block is reduced separately so its mean is
+        # over valid tokens only.
+        nb_full = s // BLOCK
+        parts = []
+        if nb_full:
+            xb = x[:, : nb_full * BLOCK].reshape(b, nb_full, BLOCK, n, d)
+            parts.append(jnp.mean(xb, axis=2, dtype=jnp.float32))
         if pad:
-            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        nb = x.shape[1] // BLOCK
-        xb = x.reshape(b, nb, BLOCK, n, d)
-        if pad:
-            # mean over valid tokens only (zero-padded tail would bias it)
-            valid = (jnp.arange(nb * BLOCK) < s).astype(jnp.float32)
-            valid = valid.reshape(1, nb, BLOCK, 1, 1)
-            m = jnp.sum(xb.astype(jnp.float32) * valid, axis=2)
-            m = m / jnp.maximum(valid.sum(2), 1.0)
-        else:
-            m = jnp.mean(xb, axis=2, dtype=jnp.float32)
+            tail = x[:, nb_full * BLOCK :]
+            parts.append(jnp.mean(tail, axis=1, dtype=jnp.float32)[:, None])
+        m = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+        nb = m.shape[1]
         return jnp.transpose(m, (0, 2, 1, 3)).reshape(b * n, nb, d)
 
     mq = pool(q, sq, pq)  # (BN, nq_f, d)

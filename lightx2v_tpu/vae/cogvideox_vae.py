@@ -196,22 +196,47 @@ def cog_vae_decode(params: Params, z: jnp.ndarray, cfg: CogVAEConfig = CogVAECon
     return causal_conv3d(params["decoder"]["conv_out"], h)
 
 
+_COG_TILE_JIT: dict = {}
+
+
+def _jit_cog_tile_decode(cfg: CogVAEConfig, scale: bool):
+    """Per-(cfg, scale) cached jitted single-tile decode (jax.jit's own
+    shape cache handles the distinct edge-tile shapes)."""
+    key = (cfg, scale)
+    fn = _COG_TILE_JIT.get(key)
+    if fn is None:
+        import functools
+
+        fn = jax.jit(functools.partial(cog_vae_decode, cfg=cfg, scale=scale))
+        _COG_TILE_JIT[key] = fn
+    return fn
+
+
 def cog_vae_decode_tiled(params: Params, z: jnp.ndarray,
                          cfg: CogVAEConfig = CogVAEConfig(),
                          scale: bool = True, tile_latent: int = 32,
-                         overlap: float = 0.25) -> jnp.ndarray:
+                         overlap: float = 0.25,
+                         tile_jit: bool = False) -> jnp.ndarray:
     """Spatially tiled decode (reference autoencoder_ks_cogvidex.py
     tiled_decode/enable_tiling :1035-1110 — overlapping latent tiles
     decoded independently, linear-ramp blended in pixel space). Each tile
     carries its own zq slice for SpatialNorm3D, matching the reference's
     per-tile decoder calls. Full-clip 480P decode does not fit HBM (the
     128-channel top stage alone is ~16 GB fp32); tiling bounds the peak
-    at one tile's activations."""
+    at one tile's activations.
+
+    ``tile_jit=True`` runs each tile as its own jitted program (host loop,
+    eager blends): tracing the whole grid into ONE program lets the XLA
+    scheduler keep many tiles' intermediates alive — measured 73.76 GB
+    peak at 480P on v5e, an OOM — while per-tile programs peak at one
+    tile's activations."""
     from .hunyuan_vae import _blend_dim
 
     b, t, h, w, c = z.shape
+    dec = _jit_cog_tile_decode(cfg, scale) if tile_jit else \
+        (lambda p_, z_: cog_vae_decode(p_, z_, cfg, scale=scale))
     if max(h, w) <= tile_latent:
-        return cog_vae_decode(params, z, cfg, scale=scale)
+        return dec(params, z)
     step = max(1, int(tile_latent * (1 - overlap)))
     up = 2 ** (len(cfg.block_out_channels) - 1)
     blend = (tile_latent - step) * up
@@ -221,7 +246,7 @@ def cog_vae_decode_tiled(params: Params, z: jnp.ndarray,
         row = []
         for j in range(0, w, step):
             tile = z[:, :, i : i + tile_latent, j : j + tile_latent]
-            row.append(cog_vae_decode(params, tile, cfg, scale=scale))
+            row.append(dec(params, tile))
         rows.append(row)
     out_rows = []
     for i, row in enumerate(rows):

@@ -70,3 +70,21 @@ def test_spatial_tiled_decode(params):
     small = np.asarray(cog_vae_decode_tiled(params, z[:, :, :6, :6], TINY,
                                             scale=False, tile_latent=8))
     np.testing.assert_allclose(small, tile0, rtol=0, atol=0)
+
+
+def test_tiled_decode_tile_jit_parity():
+    """tile_jit=True (per-tile jitted programs — the capacity mode that
+    fits 480P on one v5e) must match the traced-grid decode exactly."""
+    import numpy as np
+
+    from lightx2v_tpu.vae.cogvideox_vae import (CogVAEConfig, cog_vae_decode_tiled,
+                                                init_random_cog_vae_state_dict,
+                                                load_cog_vae_params)
+    cfg = CogVAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
+                       norm_num_groups=4)
+    p = load_cog_vae_params(init_random_cog_vae_state_dict(cfg, seed=0), cfg)
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.standard_normal((1, 3, 12, 20, 16)) * 0.7, jnp.float32)
+    a = cog_vae_decode_tiled(p, z, cfg, scale=False, tile_latent=8)
+    b = cog_vae_decode_tiled(p, z, cfg, scale=False, tile_latent=8, tile_jit=True)
+    assert float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))) < 1e-5

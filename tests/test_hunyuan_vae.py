@@ -134,3 +134,24 @@ class TestTiledDecode:
                                                     spatial_tile_latent=6))
         assert tiled.shape == full.shape
         assert np.isfinite(tiled).all()
+
+
+def test_tiled_decode_tile_jit_parity():
+    """tile_jit=True (per-tile jitted programs — the capacity mode that
+    fits 480P on one v5e) must match the traced-grid decode."""
+    import numpy as np
+
+    from lightx2v_tpu.vae.hunyuan_vae import (HunyuanVAEConfig,
+                                              hunyuan_vae_decode_tiled,
+                                              init_random_hunyuan_vae_state_dict,
+                                              load_hunyuan_vae_params)
+    cfg = HunyuanVAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
+                           latent_channels=16, norm_num_groups=4)
+    p = load_hunyuan_vae_params(init_random_hunyuan_vae_state_dict(cfg, seed=0), cfg)
+    rng = np.random.default_rng(1)
+    z = jnp.asarray(rng.standard_normal((1, 5, 12, 20, 16)) * 0.5, jnp.float32)
+    a = hunyuan_vae_decode_tiled(p, z, cfg, scale=False, t_tile_latent=3,
+                                 spatial_tile_latent=8)
+    b = hunyuan_vae_decode_tiled(p, z, cfg, scale=False, t_tile_latent=3,
+                                 spatial_tile_latent=8, tile_jit=True)
+    assert float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))) < 2e-5
