@@ -159,7 +159,8 @@ class CogvideoxRunner(DefaultRunner):
             # docstring, vae/cogvideox_vae.py)
             from ..vae.cogvideox_vae import cog_vae_decode_tiled
 
-            frames = cog_vae_decode_tiled(self.vae, z, self.vae_cfg, scale=scale)
+            frames = cog_vae_decode_tiled(self.vae, z, self.vae_cfg, scale=scale,
+                       tile_jit=True)
         else:
             frames = cog_vae_decode(self.vae, z, self.vae_cfg, scale=scale)
         return np.clip(np.asarray(frames[0], np.float32), -1.0, 1.0)

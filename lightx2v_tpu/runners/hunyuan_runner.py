@@ -228,7 +228,8 @@ class HunyuanRunner(DefaultRunner):
             # latent px; whole-clip 720P decode does not fit HBM
             from ..vae.hunyuan_vae import hunyuan_vae_decode_tiled
 
-            frames = hunyuan_vae_decode_tiled(self.vae, z, self.vae_cfg, scale=scale)
+            frames = hunyuan_vae_decode_tiled(self.vae, z, self.vae_cfg, scale=scale,
+                       tile_jit=True)
         else:
             frames = hunyuan_vae_decode(self.vae, z, self.vae_cfg, scale=scale)
         return np.clip(np.asarray(frames[0], np.float32), -1.0, 1.0)
