@@ -421,10 +421,19 @@ def run_cogvideox():
             return sched.step_post(st, pred[0])
 
         step_fn = jax.jit(one_step)
-        # per-tile jitted programs (tile_jit): the one-program tile grid
-        # OOMed at 73.76 GB on v5e (see cog_vae_decode_tiled)
-        decode = lambda vp, z: cog_vae_decode_tiled(vp, z, vae_cfg, scale=False,
-                                                    tile_jit=True)
+        # tiled + frame-batched decode (the reference's own decode loop,
+        # num_latent_frames_batch_size=2): the one-program tile grid OOMed
+        # at 73.76 GB, whole-clip single-tile programs at 23 GB (81-frame
+        # f32 maps) — chunked tiles peak at one 2-latent-frame chunk.
+        # BENCH_VAE=full decodes full-frame chunked (no spatial tiling).
+        fb = int(os.environ.get("BENCH_VAE_FRAME_BATCH", 2))
+        if os.environ.get("BENCH_VAE") == "full":
+            from lightx2v_tpu.vae.cogvideox_vae import cog_vae_decode_chunked
+            decode = lambda vp, z: cog_vae_decode_chunked(vp, z, vae_cfg,
+                                                          scale=False, frame_batch=fb)
+        else:
+            decode = lambda vp, z: cog_vae_decode_tiled(vp, z, vae_cfg, scale=False,
+                                                        frame_batch=fb)
 
         def once(pa):
             st = state0

@@ -79,18 +79,20 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     """
     s_rope = cos.shape[0]
     seq = x.shape[-3]
-    xf = x.astype(jnp.float32)
-    xr = xf[..., :s_rope, :, :]
-    even = xr[..., 0::2]
-    odd = xr[..., 1::2]
+    # f32 math on the even/odd halves only; cast back BEFORE the
+    # stack/concat so no full-width f32 slab survives as an HLO temp
+    # (at 14B 480P a full-seq f32 q or k copy is 640 MB each).
+    xr = x[..., :s_rope, :, :]
+    even = xr[..., 0::2].astype(jnp.float32)
+    odd = xr[..., 1::2].astype(jnp.float32)
     c = cos[..., :, None, :]
     s = sin[..., :, None, :]
-    out_even = even * c - odd * s
-    out_odd = even * s + odd * c
+    out_even = (even * c - odd * s).astype(x.dtype)
+    out_odd = (even * s + odd * c).astype(x.dtype)
     rotated = jnp.stack([out_even, out_odd], axis=-1).reshape(xr.shape)
     if s_rope < seq:
-        rotated = jnp.concatenate([rotated, xf[..., s_rope:, :, :]], axis=-3)
-    return rotated.astype(x.dtype)
+        rotated = jnp.concatenate([rotated, x[..., s_rope:, :, :]], axis=-3)
+    return rotated
 
 
 def apply_rope_half(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
@@ -103,15 +105,19 @@ def apply_rope_half(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.n
     s_rope = cos.shape[0]
     seq = x.shape[-3]
     d2 = x.shape[-1] // 2
-    xf = x.astype(jnp.float32)
-    xr = xf[..., :s_rope, :, :]
-    x1, x2 = xr[..., :d2], xr[..., d2:]
+    # same half-width-f32 discipline as apply_rope: cast each rotated
+    # half to the activation dtype before concat (no 640 MB f32 temps)
+    xr = x[..., :s_rope, :, :]
+    x1 = xr[..., :d2].astype(jnp.float32)
+    x2 = xr[..., d2:].astype(jnp.float32)
     c = cos[..., :, None, :]
     s = sin[..., :, None, :]
-    rotated = jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c], axis=-1)
+    lo = (x1 * c - x2 * s).astype(x.dtype)
+    hi = (x1 * s + x2 * c).astype(x.dtype)
+    rotated = jnp.concatenate([lo, hi], axis=-1)
     if s_rope < seq:
-        rotated = jnp.concatenate([rotated, xf[..., s_rope:, :, :]], axis=-3)
-    return rotated.astype(x.dtype)
+        rotated = jnp.concatenate([rotated, x[..., s_rope:, :, :]], axis=-3)
+    return rotated
 
 
 def rope_tables_full(cos: jnp.ndarray, sin: jnp.ndarray):

