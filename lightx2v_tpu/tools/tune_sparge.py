@@ -1,0 +1,222 @@
+"""Per-layer sparge l1 tuning — the reference's ``sparge_ckpt`` workflow.
+
+The reference loads per-layer tuned (l1, pv_l1) sparge hyperparameters
+from a checkpoint (lightx2v/common/ops/attn/attn_weight.py:242-291,
+transformer_weights.py:183-190); the tuning itself happens offline in the
+SpargeAttn project by searching hyperparameters per layer against an
+output-similarity bar. This tool is the TPU-native analog:
+
+1. ONE calibration forward runs the block stack layer by layer on the
+   DENSE attention trajectory, capturing each layer's post-rope
+   (q, k, v) at the video self-attention site.
+2. Per layer, candidates from ``l1_grid`` are evaluated DESCENDING
+   (larger l1 = more softmax mass skipped = cheaper); the first whose
+   sparse output keeps SNR >= ``bar_db`` vs the dense output wins. If
+   none passes, the smallest (most conservative) candidate is used and
+   the layer is flagged.
+3. The result is written as an .npz with an ``l1`` (num_layers,) table —
+   exactly what the ``sparge_ckpt`` config key consumes
+   (runners/wan_runner.py _self_attn_setup).
+
+Run on real checkpoints with real prompt latents for production tables;
+``--synthetic`` exists for smoke/protocol validation (synthetic gaussian
+weights flatten block importance, so tables tuned from them are NOT
+production tables — see scripts/bench/bench_fidelity.py docstring).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.wan.config import PRESETS, WanArch
+from ..models.wan.model import wan_block, wan_pre_process
+from ..models.wan.pipeline import rope_for_shape
+from ..ops.attention import attention
+from ..ops.linear import resolve_mm
+from ..ops.sparge import sparge_attention_xla
+
+DEFAULT_L1_GRID = (0.30, 0.25, 0.20, 0.15, 0.10, 0.07, 0.05, 0.02)
+
+
+def _snr_db(ref: np.ndarray, got: np.ndarray) -> float:
+    ref = np.asarray(ref, np.float32)
+    got = np.asarray(got, np.float32)
+    err = float(np.mean((ref - got) ** 2))
+    sig = float(np.mean(ref**2))
+    if err == 0.0:
+        return float("inf")
+    return 10.0 * float(np.log10(sig / max(err, 1e-30)))
+
+
+def tune_layer(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    dense_out: jnp.ndarray,
+    keep_ratio: float,
+    l1_grid: Sequence[float],
+    bar_db: float,
+    block_q: int,
+    block_k: int,
+) -> Tuple[float, float, bool]:
+    """Pick the largest l1 whose sparse output meets the SNR bar.
+
+    Returns (l1, snr_db_at_l1, passed). Evaluation uses the pure-XLA
+    sparge path (identical selection math to the Pallas kernel; runs on
+    any backend)."""
+    ref = np.asarray(dense_out, np.float32)
+    fallback = min(l1_grid)
+    fallback_snr = -np.inf
+    for l1 in sorted(l1_grid, reverse=True):
+        out = sparge_attention_xla(q, k, v, keep_ratio=keep_ratio, l1=float(l1),
+                                   block_q=block_q, block_k=block_k)
+        s = _snr_db(ref, np.asarray(out))
+        if l1 == fallback:
+            fallback_snr = s
+        if s >= bar_db:
+            return float(l1), s, True
+    return float(fallback), float(fallback_snr), False
+
+
+def tune_sparge(
+    params,
+    arch: WanArch,
+    latents: jnp.ndarray,
+    t: jnp.ndarray,
+    context: jnp.ndarray,
+    *,
+    y: Optional[jnp.ndarray] = None,
+    clip_fea: Optional[jnp.ndarray] = None,
+    mm_type: str = "Default",
+    keep_ratio: float = 0.3,
+    l1_grid: Sequence[float] = DEFAULT_L1_GRID,
+    bar_db: float = 30.0,
+    block_q: int = 2048,
+    block_k: int = 1024,
+    verbose: bool = True,
+):
+    """Calibrate a per-layer l1 table on one (latents, t, context) sample.
+
+    The calibration trajectory is DENSE: every layer's input is the dense
+    stack's activation, so per-layer tuning is independent of earlier
+    layers' sparsity choices (the reference tunes against the dense model
+    the same way). Returns (l1 (L,) np.float32, snrs (L,), passed (L,) bool)."""
+    target = latents.shape[1:]
+    rope_cos, rope_sin, _ = rope_for_shape(arch, target)
+    rope_cos, rope_sin = jnp.asarray(rope_cos), jnp.asarray(rope_sin)
+
+    x, embed, embed0, ctx, ctx_img, grid, s_tokens = wan_pre_process(
+        params, latents, t, context, arch, y=y, clip_fea=clip_fea)
+    mm_fn = resolve_mm(mm_type)
+    cross_fn = partial(attention, "xla")
+
+    captured = {}
+
+    def cap_fn(q, k, v, **kw):
+        if "rope_cos" in kw:  # arch.rope_fused: rotate here, like every
+            from ..ops.rope import apply_rope_half  # non-flash dispatch does
+
+            q = apply_rope_half(q, kw["rope_cos"], kw["rope_sin"])
+            k = apply_rope_half(k, kw["rope_cos"], kw["rope_sin"])
+        out = attention("xla", q, k, v)
+        captured["qkv"] = (q, k, v, out)
+        return out
+
+    l1s, snrs, passed = [], [], []
+    for i in range(arch.num_layers):
+        layer_p = jax.tree_util.tree_map(lambda a: a[i], params["blocks"])
+        x = wan_block(layer_p, x, embed0, ctx, ctx_img, rope_cos, rope_sin,
+                      arch, mm_fn, cap_fn, cross_fn)
+        q, k, v, dense_out = captured.pop("qkv")
+        l1, s, ok = tune_layer(q, k, v, dense_out, keep_ratio, l1_grid,
+                               bar_db, block_q, block_k)
+        l1s.append(l1)
+        snrs.append(s)
+        passed.append(ok)
+        if verbose:
+            from ..utils.logging_utils import logger
+
+            flag = "" if ok else "  [NO CANDIDATE MET THE BAR — using most conservative]"
+            logger.info(f"layer {i:02d}: l1={l1:.3f} snr={s:.1f} dB{flag}")
+    return (np.asarray(l1s, np.float32), np.asarray(snrs, np.float32),
+            np.asarray(passed, bool))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--model_path", help="safetensors checkpoint dir (real weights)")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="synthetic gaussian weights (protocol smoke only)")
+    ap.add_argument("--preset", default="1.3b", choices=["tiny", "1.3b", "14b"])
+    ap.add_argument("--frames", type=int, default=21, help="latent frames")
+    ap.add_argument("--height", type=int, default=60, help="latent height")
+    ap.add_argument("--width", type=int, default=104, help="latent width")
+    ap.add_argument("--timestep", type=float, default=500.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--keep_ratio", type=float, default=0.3)
+    ap.add_argument("--l1_grid", default=",".join(str(v) for v in DEFAULT_L1_GRID))
+    ap.add_argument("--bar_db", type=float, default=30.0)
+    ap.add_argument("--block_q", type=int, default=2048)
+    ap.add_argument("--block_k", type=int, default=1024)
+    ap.add_argument("--platform", help="force a jax platform (e.g. cpu)")
+    ap.add_argument("--output", default="sparge_tuned.npz")
+    args = ap.parse_args()
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    if args.preset == "tiny":
+        arch = WanArch(dim=256, ffn_dim=512, num_heads=4, num_layers=4,
+                       in_dim=16, out_dim=16, text_len=64, text_dim=256)
+    else:
+        kw = PRESETS["wan2.1_14b" if args.preset == "14b" else "wan2.1_1.3b"]
+        arch = WanArch(**kw, in_dim=16, out_dim=16, freq_dim=256,
+                       text_len=512, text_dim=4096)
+
+    if args.model_path:
+        from ..models.wan.weights import load_wan_from_path
+
+        params = load_wan_from_path(args.model_path, arch)
+    elif args.synthetic:
+        from ..models.wan.weights import init_random_params_on_device
+
+        params = init_random_params_on_device(arch, scheme="bf16", seed=args.seed)
+    else:
+        ap.error("one of --model_path / --synthetic is required")
+
+    rng = np.random.default_rng(args.seed)
+    latents = jnp.asarray(
+        rng.standard_normal((1, arch.in_dim, args.frames, args.height, args.width)) * 0.5,
+        jnp.bfloat16)
+    context = jnp.asarray(
+        rng.standard_normal((1, arch.text_len, arch.text_dim)) * 0.1, jnp.bfloat16)
+    t = jnp.asarray([args.timestep], jnp.float32)
+
+    l1_grid = tuple(float(v) for v in args.l1_grid.split(","))
+    l1s, snrs, passed = tune_sparge(
+        params, arch, latents, t, context, keep_ratio=args.keep_ratio,
+        l1_grid=l1_grid, bar_db=args.bar_db, block_q=args.block_q,
+        block_k=args.block_k)
+
+    np.savez(args.output, l1=l1s, snr_db=snrs, passed=passed,
+             keep_ratio=np.float32(args.keep_ratio), bar_db=np.float32(args.bar_db))
+    print(json.dumps({
+        "output": args.output,
+        "layers": int(len(l1s)),
+        "l1_mean": float(l1s.mean()),
+        "l1_min": float(l1s.min()),
+        "l1_max": float(l1s.max()),
+        "all_passed": bool(passed.all()),
+        "snr_min_db": float(snrs.min()),
+    }))
+
+
+if __name__ == "__main__":
+    main()
