@@ -306,9 +306,17 @@ def run_hunyuan():
 
         step_fn = jax.jit(one_step)
         # per-tile jitted programs (tile_jit): one whole-grid program OOMs
-        # at 46.85 GB on v5e (see hunyuan_vae_decode_spatial_tiled)
-        decode = lambda vp, z: hunyuan_vae_decode_tiled(vp, z, vae_cfg, scale=False,
-                                                        tile_jit=True)
+        # at 46.85 GB on v5e (see hunyuan_vae_decode_spatial_tiled).
+        # BENCH_VAE=ttile decodes FULL spatial frames in small temporal
+        # tiles (no spatial halo redundancy — decode-after-release frees
+        # the HBM that makes this possible); BENCH_VAE_TTILE/STILE size
+        # the tiles.
+        tt = int(os.environ.get("BENCH_VAE_TTILE", 16))
+        st = int(os.environ.get("BENCH_VAE_STILE", 32))
+        use_sp = False if os.environ.get("BENCH_VAE") == "ttile" else None
+        decode = lambda vp, z: hunyuan_vae_decode_tiled(
+            vp, z, vae_cfg, scale=False, t_tile_latent=tt,
+            spatial_tile_latent=st, use_spatial=use_sp, tile_jit=True)
 
         def once(p):
             st = state0

@@ -142,6 +142,42 @@ def main():
 
     modes = sys.argv[1:] or ["NoCaching", "Tea", "TaylorSeer", "Ada", "Custom"]
     baselines = {}
+    if os.environ.get("BENCH_CACHE_FIDELITY"):
+        # fp8-cache quality bound: same seed/steps, B=1 Taylor protocol —
+        # final-latent SNR of {Taylor bf16-cache, Taylor fp8-cache} vs the
+        # NoCaching trajectory, and fp8 vs bf16 directly (isolates the
+        # cache-dtype cost from the caching-algorithm cost).
+        lat = {}
+        for label, fc, cdt in (("nocache", "NoCaching", None),
+                               ("taylor_bf16cache", "TaylorSeer", "bf16"),
+                               ("taylor_fp8cache", "TaylorSeer", "fp8")):
+            cfg = ConfigDict(infer_steps=steps, sample_shift=5.0,
+                             **({"taylor_cache_dtype": cdt} if cdt else {}))
+            sched = WanUniPCScheduler(cfg)
+            state0 = sched.prepare(target, seed=42)
+            dn = make_denoise_fn(
+                arch, sched, target, enable_cfg=False, guide_scale=5.0,
+                mm_type=os.environ.get("BENCH_MM_TYPE", "Default"),
+                self_attn_type="flash_attn3", cross_attn_type="flash_attn3",
+                feature_caching=fc, caching_config=cfg)
+            sf = jax.jit(dn.one_step, donate_argnums=(2,))
+            st, cache = state0, dn.init_cache()
+            for _ in range(steps):
+                st, cache = sf(params, st, cache, ctx, ctx_null, None, None)
+            lat[label] = np.asarray(st["latents"], np.float32)
+
+        def snr(ref, got):
+            err = float(np.mean((ref - got) ** 2))
+            return round(10.0 * np.log10(float(np.mean(ref**2)) / max(err, 1e-30)), 2)
+
+        print(json.dumps({
+            "mode": "cache_fidelity", "steps": steps, "shape": target,
+            "snr_db_taylor_bf16_vs_nocache": snr(lat["nocache"], lat["taylor_bf16cache"]),
+            "snr_db_taylor_fp8_vs_nocache": snr(lat["nocache"], lat["taylor_fp8cache"]),
+            "snr_db_fp8cache_vs_bf16cache": snr(lat["taylor_bf16cache"], lat["taylor_fp8cache"]),
+        }), flush=True)
+        return
+
     if os.environ.get("BENCH_BASE_S"):  # inject a known full-shape baseline
         baselines[(target, True)] = float(os.environ["BENCH_BASE_S"])
     results = {}
