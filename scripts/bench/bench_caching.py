@@ -45,6 +45,15 @@ def main():
     # 14B bf16 exceeds one v5e; BENCH_SCHEME=int4 (+ the matching
     # BENCH_MM_TYPE) runs the capacity config with CFG B=2 resident
     scheme = os.environ.get("BENCH_SCHEME", "bf16")
+    # BENCH_SELF_ATTN=sparge runs the caching rows at the flagship's
+    # sparse-attention operating point (keep=0.3, 2048x1024 superblocks)
+    self_attn = os.environ.get("BENCH_SELF_ATTN", "flash_attn3")
+    self_attn_kwargs = None
+    if self_attn == "sparge":
+        self_attn_kwargs = {
+            "keep_ratio": float(os.environ.get("BENCH_SPARGE_KEEP", 0.3)),
+            "block_q": 2048, "block_k": 1024,
+        }
     params = init_random_params_on_device(arch, scheme=scheme, seed=0)
     jax.block_until_ready(params)
     rng = np.random.default_rng(0)
@@ -209,7 +218,8 @@ def main():
         mm_type = os.environ.get("BENCH_MM_TYPE", "Default")
         denoise = make_denoise_fn(
             arch, sched, shape, enable_cfg=enable_cfg, guide_scale=5.0,
-            mm_type=mm_type, self_attn_type="flash_attn3",
+            mm_type=mm_type, self_attn_type=self_attn,
+            self_attn_kwargs=self_attn_kwargs,
             cross_attn_type="flash_attn3", feature_caching=mode, caching_config=cfg,
         )
 
@@ -270,7 +280,8 @@ def main():
             # baseline so the speedup compares like against like
             nb = make_denoise_fn(arch, sched, shape, enable_cfg=enable_cfg,
                                  guide_scale=5.0,
-                                 mm_type=mm_type, self_attn_type="flash_attn3",
+                                 mm_type=mm_type, self_attn_type=self_attn,
+                                 self_attn_kwargs=self_attn_kwargs,
                                  cross_attn_type="flash_attn3")
             nb_step = jax.jit(nb.one_step)
 

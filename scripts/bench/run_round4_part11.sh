@@ -32,4 +32,18 @@ timeout 7200 env BENCH_CACHE_FIDELITY=1 BENCH_H=60 BENCH_W=52 \
 echo "=== cache_fidelity exit $? $(date +%H:%M:%S) ==="
 cat $L/cache_fidelity.json
 
+sleep 20
+# 14B 40-step CFG TeaCache row AT THE FLAGSHIP ATTENTION OPERATING POINT
+# (w4a8 + sparge keep=0.3): round-2's dense row was 297 s = 1.81x vs the
+# 107 s H200 LightX2V_4 row; sparge should push it past 2x. Measures its
+# own NoCaching-with-sparge baseline for an honest speedup column.
+echo "=== caching_14b_tea_sparge start $(date +%H:%M:%S) ==="
+timeout 7200 env BENCH_ARCH_PRESET=wan2.1_14b BENCH_SCHEME=int4 \
+    BENCH_MM_TYPE=W-int4-group-sym-A-int8-token-dynamic-Tpu \
+    BENCH_SELF_ATTN=sparge BENCH_INFER_STEPS=40 BENCH_TEA_CALC_FRAC=0.35 \
+    python scripts/bench/bench_caching.py NoCaching Tea \
+    >$L/caching_14b_tea_sparge.json 2>$L/caching_14b_tea_sparge.err
+echo "=== caching_14b_tea_sparge exit $? $(date +%H:%M:%S) ==="
+cat $L/caching_14b_tea_sparge.json
+
 echo "=== part-11 done $(date +%H:%M:%S) ==="
