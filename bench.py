@@ -324,10 +324,14 @@ def run_hunyuan():
                 st = step_fn(p, st)
             z = jnp.transpose(st["latents"], (1, 2, 3, 0))[None]
             float(jnp.sum(z.astype(jnp.float32)))  # sync before release
+            t_mid = time.perf_counter()
             for leaf in jax.tree_util.tree_leaves(p):
                 if hasattr(leaf, "delete"):
                     leaf.delete()
-            return float(jnp.sum(decode(vae_params, z).astype(jnp.float32)))
+            out = float(jnp.sum(decode(vae_params, z).astype(jnp.float32)))
+            print(json.dumps({"split_decode_s": round(time.perf_counter() - t_mid, 2)}),
+                  flush=True)
+            return out
 
         once(params)
         times = []
@@ -449,10 +453,14 @@ def run_cogvideox():
                 st = step_fn(pa, st)
             z = jnp.transpose(st["latents"], (1, 2, 3, 0))[None]
             float(jnp.sum(z.astype(jnp.float32)))  # sync before release
+            t_mid = time.perf_counter()
             for leaf in jax.tree_util.tree_leaves(pa):
                 if hasattr(leaf, "delete"):
                     leaf.delete()
-            return float(jnp.sum(decode(vae_params, z).astype(jnp.float32)))
+            out = float(jnp.sum(decode(vae_params, z).astype(jnp.float32)))
+            print(json.dumps({"split_decode_s": round(time.perf_counter() - t_mid, 2)}),
+                  flush=True)
+            return out
 
         once(params)
         times = []

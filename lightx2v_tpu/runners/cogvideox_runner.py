@@ -153,14 +153,23 @@ class CogvideoxRunner(DefaultRunner):
     def run_vae_decoder(self, latents) -> np.ndarray:
         z = jnp.transpose(latents, (1, 2, 3, 0))[None]
         scale = not self.config.get("synthetic_weights")
+        # frame-batched conv-cache decode — the reference's own decode
+        # loop (num_latent_frames_batch_size=2, autoencoder_ks_cogvidex.py
+        # _decode) — bounds peak HBM at one chunk's activations; measured
+        # on v5e: whole-clip tile programs OOM at 23 GB at 480P
+        fb = int(self.config.get("vae_frame_batch", 2))
         if self.config.get("use_tiling_vae") or max(z.shape[2], z.shape[3]) > 32:
             # reference enables tiling past tile_sample_min (256 px = 32
-            # latent); whole-clip 480P decode exceeds HBM (tiled decode
-            # docstring, vae/cogvideox_vae.py)
+            # latent); each tile runs its own conv-cache frame loop
             from ..vae.cogvideox_vae import cog_vae_decode_tiled
 
             frames = cog_vae_decode_tiled(self.vae, z, self.vae_cfg, scale=scale,
-                       tile_jit=True)
+                       frame_batch=fb)
+        elif z.shape[1] > fb:
+            from ..vae.cogvideox_vae import cog_vae_decode_chunked
+
+            frames = cog_vae_decode_chunked(self.vae, z, self.vae_cfg, scale=scale,
+                       frame_batch=fb)
         else:
             frames = cog_vae_decode(self.vae, z, self.vae_cfg, scale=scale)
         return np.clip(np.asarray(frames[0], np.float32), -1.0, 1.0)
