@@ -229,6 +229,57 @@ class T5EncoderModel:
         return self._encode(self.params, jnp.asarray(ids), jnp.asarray(mask))
 
 
+def init_random_t5_params_on_device(cfg: T5Config = UMT5_XXL, scheme: str = "bf16",
+                                    seed: int = 0, scale: float = 0.02) -> Params:
+    """Synthesize the stacked T5 params pytree DIRECTLY on the accelerator
+    (layout identical to ``load_t5_params`` / ``quantize_t5_params``).
+
+    Why: at UMT5-XXL scale the host state dict is ~19 GB f32 and the
+    benchmark chip sits behind a tunnel moving host->device at
+    single-digit MB/s — like the DiT's
+    ``models/wan/weights.init_random_params_on_device``, one jitted
+    program generates every leaf with the device PRNG instead. scheme
+    "int8"/"fp8" emits {"w", "w_scale"} dicts for the seven block
+    linears (the reference's quantized-encoder q_linear.py path,
+    t5/model.py:284-349 offload analog)."""
+    import itertools
+
+    import jax.random as jr
+
+    L, d, da, df = cfg.num_layers, cfg.dim, cfg.dim_attn, cfg.dim_ffn
+    cnt = itertools.count()
+
+    def build(base):
+        def nrm(shape, dtype=jnp.bfloat16, std=scale):
+            return jr.normal(jr.fold_in(base, next(cnt)), shape, dtype) * jnp.asarray(std, dtype)
+
+        def qlin(out, kin):
+            sh, bsh = (L, out, kin), (L, out)
+            key = jr.fold_in(base, next(cnt))
+            if scheme == "int8":
+                return {"w": jr.randint(key, sh, -127, 128, jnp.int8),
+                        "w_scale": jnp.full(bsh, scale / 127.0, jnp.float32)}
+            if scheme == "fp8":
+                return {"w": (jr.normal(key, sh, jnp.bfloat16) * 100.0).astype(jnp.float8_e4m3fn),
+                        "w_scale": jnp.full(bsh, scale / 100.0, jnp.float32)}
+            return nrm(sh)
+
+        blocks: Params = {
+            "norm1": jnp.ones((L, d), jnp.float32),
+            "q": qlin(da, d), "k": qlin(da, d), "v": qlin(da, d), "o": qlin(da, da),
+            "rel_emb": nrm((L, cfg.num_buckets, cfg.num_heads), jnp.float32),
+            "norm2": jnp.ones((L, d), jnp.float32),
+            "gate": qlin(df, d), "fc1": qlin(df, d), "fc2": qlin(d, df),
+        }
+        return {
+            "token_embedding": nrm((cfg.vocab_size, d)),
+            "blocks": blocks,
+            "norm": jnp.ones(d, jnp.float32),
+        }
+
+    return jax.jit(build)(jax.random.PRNGKey(seed))
+
+
 def quantize_t5_params(params: Params, scheme: str = "int8") -> Params:
     """Auto-quantize the encoder's matmul weights to int8/fp8 per output
     channel (reference t5_quantized / q_linear.py path)."""

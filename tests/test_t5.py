@@ -101,3 +101,31 @@ def test_quantized_t5_matches_dense():
     out = np.asarray(t5_encode(qparams, jnp.asarray(ids), jnp.asarray(mask), TINY), np.float32)
     snr = ((out - ref) ** 2).mean() / ((ref**2).mean() + 1e-9)
     assert snr < 1e-2, f"snr {snr}"
+
+
+def test_on_device_synth_layout_matches_loader():
+    """init_random_t5_params_on_device must emit the exact pytree layout of
+    load_t5_params (bf16) / quantize_t5_params (int8) — the bench's e2e
+    encode stage (BENCH_INCLUDE_ENCODE=1) runs t5_encode on it directly."""
+    import jax
+    from lightx2v_tpu.encoders.t5 import (init_random_t5_params_on_device,
+                                          quantize_t5_params)
+
+    sd = init_random_t5_state_dict(TINY, seed=0, scale=0.1)
+    loaded = load_t5_params(sd, TINY, dtype=np.float32)
+
+    for scheme, ref_tree in (("bf16", loaded),
+                             ("int8", quantize_t5_params(loaded, "int8"))):
+        synth = init_random_t5_params_on_device(TINY, scheme=scheme, seed=3)
+        ref_s = jax.tree_util.tree_structure(ref_tree)
+        got_s = jax.tree_util.tree_structure(synth)
+        assert ref_s == got_s, f"{scheme}: {got_s} != {ref_s}"
+        for rp, gp in zip(jax.tree_util.tree_leaves(ref_tree),
+                          jax.tree_util.tree_leaves(synth)):
+            assert rp.shape == gp.shape, (scheme, rp.shape, gp.shape)
+
+        ids = np.random.default_rng(2).integers(0, TINY.vocab_size, (1, 9))
+        mask = np.ones((1, 9), np.int32)
+        out = t5_encode(synth, jnp.asarray(ids), jnp.asarray(mask), TINY)
+        assert out.shape == (1, 9, TINY.dim)
+        assert np.isfinite(np.asarray(out, np.float32)).all()
