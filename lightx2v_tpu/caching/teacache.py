@@ -86,6 +86,36 @@ def tea_decide(state: Dict, embed: jnp.ndarray, embed0: jnp.ndarray,
     return should_calc, new_state
 
 
+def tea_decision_series(mod_series, cfg: TeaCacheConfig):
+    """Host-exact replay of ``tea_decide`` over a whole run.
+
+    The Tea decision depends ONLY on the timestep-embedding series (never
+    on latents), so the full calc/skip schedule is known before the first
+    denoise step: ``mod_series`` is the per-step modulated input —
+    ``embed`` (or ``embed0`` when ``use_ret_steps``) stacked to
+    (S, ...) — fetched from one tiny jitted ``time_embeddings`` call.
+    Returns a host bool array (S,) of should_calc decisions, identical to
+    what the traced tea_decide would produce step by step (shared across
+    CFG sides, as tea_decide's ``any``). Used by host-stepped drivers to
+    pick the trace-time branch (pipeline.one_step_calc/_skip)."""
+    import numpy as np
+
+    mods = np.asarray(mod_series, np.float32).reshape(len(mod_series), -1)
+    coeffs = np.asarray(cfg.coefficients, np.float32)
+    prev = np.zeros_like(mods[0])
+    accum = 0.0
+    out = np.zeros(len(mods), bool)
+    for i in range(len(mods)):
+        rel = float(np.abs(mods[i] - prev).mean() / max(np.abs(prev).mean(), 1e-8))
+        accum += float(np.polyval(coeffs, rel))
+        should = (i < cfg.ret_steps) or (i >= cfg.cutoff_steps) or (accum >= cfg.thresh)
+        if should:
+            accum = 0.0
+        out[i] = should
+        prev = mods[i]
+    return out
+
+
 def tea_decide_per_side(state: Dict, embed: jnp.ndarray, embed0: jnp.ndarray,
                         step_index: jnp.ndarray, cfg: TeaCacheConfig):
     """Per-batch-row decisions (the reference's per-side cond/uncond

@@ -140,7 +140,18 @@ def make_denoise_fn(
             arch, mm_type, self_attn_type, cross_attn_type, self_attn_kwargs,
         )
 
-    def one_step(params, state, cache, context, context_null, y, clip_fea):
+    def one_step(params, state, cache, context, context_null, y, clip_fea,
+                 _branch=None):
+        # _branch: None = traced lax.cond on the caching decision (the
+        # scan-compatible default). True/False = the calc/skip branch is
+        # selected at TRACE time, producing two separate, roughly
+        # half-sized programs for host-stepped drivers. Taylor's schedule
+        # is static, and Tea/Custom's decision depends only on the
+        # timestep-embedding series (host-precomputable exactly —
+        # caching/teacache.tea_decision_series), so a host driver can pick
+        # the branch per step. Motivation: the tunnel's remote compile
+        # helper dies on the full-token dual-branch Taylor program
+        # (BENCHLOG_r04 caching rows); splitting compiles where cond can't.
         lat_b, t = scheduler.step_pre(state)  # (C,F,H,W) bf16, scalar t
         lat = lat_b[None]
         tb = t[None].astype(jnp.float32)
@@ -183,7 +194,10 @@ def make_denoise_fn(
                 xx, c = op
                 return taylor_skip_step(params, xx, embed0, arch, c["taylor"], step_diff, mm_type), dict(c)
 
-            x, cache = jax.lax.cond(should, calc, skip, (x, cache))
+            if _branch is None:
+                x, cache = jax.lax.cond(should, calc, skip, (x, cache))
+            else:
+                x, cache = (calc if _branch else skip)((x, cache))
             cache = {**cache, "tea": tea_c}
         elif tea_cfg is not None:
             tf = lambda xx: transformer(params, xx, embed0, ctx_e, ctx_img)
@@ -218,7 +232,10 @@ def make_denoise_fn(
                 xx, c = op
                 return taylor_skip_step(params, xx, embed0, arch, c, step_diff, mm_type), c
 
-            x, cache = jax.lax.cond(is_calc, calc, skip, (x, cache))
+            if _branch is None:
+                x, cache = jax.lax.cond(is_calc, calc, skip, (x, cache))
+            else:
+                x, cache = (calc if _branch else skip)((x, cache))
         elif use_ada:
             mid = arch.num_layers // 2
             mm_fn = resolve_mm(mm_type)
@@ -297,5 +314,9 @@ def make_denoise_fn(
         return state_f
 
     denoise.one_step = one_step  # exposed for step-wise drivers
+    # trace-time-branched step variants for host-scheduled caching
+    # (TaylorSeer/Custom; see one_step's _branch note)
+    denoise.one_step_calc = partial(one_step, _branch=True)
+    denoise.one_step_skip = partial(one_step, _branch=False)
     denoise.init_cache = init_cache
     return denoise

@@ -169,10 +169,21 @@ def main():
                 mm_type=os.environ.get("BENCH_MM_TYPE", "Default"),
                 self_attn_type="flash_attn3", cross_attn_type="flash_attn3",
                 feature_caching=fc, caching_config=cfg)
-            sf = jax.jit(dn.one_step, donate_argnums=(2,))
+            # Taylor runs step through the split-branch programs (static
+            # schedule): the dual-branch cond program with a bf16 9 GB
+            # cache is the same compile-helper killer as the timing rows
+            if fc == "TaylorSeer" and os.environ.get("BENCH_SPLIT_BRANCH", "1") != "0":
+                from lightx2v_tpu.caching.taylorseer import taylor_schedule
+                fid_sched = np.asarray(taylor_schedule(steps)[0], bool)
+                fns = (jax.jit(dn.one_step_skip, donate_argnums=(2,)),
+                       jax.jit(dn.one_step_calc, donate_argnums=(2,)))
+            else:
+                fid_sched = np.ones(steps, bool)
+                fns = (None, jax.jit(dn.one_step, donate_argnums=(2,)))
             st, cache = state0, dn.init_cache()
-            for _ in range(steps):
-                st, cache = sf(params, st, cache, ctx, ctx_null, None, None)
+            for i in range(steps):
+                st, cache = fns[int(fid_sched[i])](params, st, cache,
+                                                   ctx, ctx_null, None, None)
             lat[label] = np.asarray(st["latents"], np.float32)
 
         def snr(ref, got):
@@ -234,12 +245,46 @@ def main():
         # full-token compile over the remote helper's limit.
         step_fn = jax.jit(denoise.one_step, donate_argnums=(2,))
 
+        # Split-branch host scheduling (default for the full-token
+        # Taylor-family rows): the dual-branch lax.cond program at full
+        # 480P tokens + 9 GB fp8 cache kills the tunnel's remote compile
+        # helper (HTTP 500, BENCHLOG parts 2/5/7). Taylor's calc pattern
+        # is STATIC and Custom's Tea decision depends only on the
+        # timestep-embedding series (replayed exactly on host,
+        # teacache.tea_decision_series), so the driver picks the branch
+        # per step across two half-sized programs
+        # (pipeline.one_step_calc/_skip). Opt out: BENCH_SPLIT_BRANCH=0.
+        split_sched = None
+        if taylor_full and os.environ.get("BENCH_SPLIT_BRANCH", "1") != "0":
+            if mode == "TaylorSeer":
+                from lightx2v_tpu.caching.taylorseer import taylor_schedule
+                split_sched = np.asarray(taylor_schedule(steps)[0], bool)
+            else:  # Custom
+                from lightx2v_tpu.caching.teacache import (TeaCacheConfig,
+                                                           tea_decision_series)
+                from lightx2v_tpu.models.wan.model import time_embeddings
+                tcfg = TeaCacheConfig.from_config(cfg)
+                ts = jnp.asarray(np.asarray(sched.timesteps, np.float32))
+                sub = {"time_embedding": params["time_embedding"],
+                       "time_projection": params["time_projection"]}
+                e_all, e0_all = jax.jit(
+                    lambda pp, tt: time_embeddings(pp, tt, arch, None))(sub, ts)
+                mods = np.asarray(e0_all if tcfg.use_ret_steps else e_all, np.float32)
+                split_sched = tea_decision_series(mods, tcfg)
+            label = f"{label}@splitbranch"
+            print(json.dumps({"split_branch_calc_steps": int(split_sched.sum()),
+                              "of": steps}), flush=True)
+            calc_fn = jax.jit(denoise.one_step_calc, donate_argnums=(2,))
+            skip_fn = jax.jit(denoise.one_step_skip, donate_argnums=(2,))
+
         def once(cache_override=None):
             st, cache = state0, denoise.init_cache()
             if cache_override:
                 cache = dict(cache, **cache_override)
-            for _ in range(steps):
-                st, cache = step_fn(params, st, cache, ctx, ctx_null, None, None)
+            for idx in range(steps):
+                fn = step_fn if split_sched is None else \
+                    (calc_fn if split_sched[idx] else skip_fn)
+                st, cache = fn(params, st, cache, ctx, ctx_null, None, None)
             out = float(jnp.sum(st["latents"].astype(jnp.float32)))
             return out, cache
 

@@ -219,3 +219,73 @@ def test_teacache_per_side_pipeline_runs():
     out = denoise(params, state, ctx, ctx * 0.5)
     a = np.asarray(out["latents"], np.float32)
     assert np.isfinite(a).all()
+
+
+def test_split_branch_matches_traced_cond():
+    """Host-scheduled trace-time branching (one_step_calc/_skip) must
+    reproduce the traced lax.cond trajectory exactly — for TaylorSeer
+    (static schedule) and Custom (Tea decision replayed on host via
+    tea_decision_series from the timestep-embedding series alone)."""
+    from lightx2v_tpu.caching.taylorseer import taylor_schedule
+    from lightx2v_tpu.caching.teacache import tea_decision_series
+    from lightx2v_tpu.models.wan.model import time_embeddings
+
+    steps = 8
+    params = load_wan_params(init_random_weight_dict(ARCH, seed=0, scale=0.05), ARCH)
+    ctx = jnp.asarray(np.random.default_rng(4).standard_normal((1, 8, 16)), jnp.float32)
+
+    # pick a Tea thresh that produces a MIXED schedule for these random
+    # weights (the published 0.26 was fit to a trained checkpoint's
+    # embedding scale): replay the host decision series over a sweep
+    cfg0 = ConfigDict({"infer_steps": steps, "sample_shift": 5.0,
+                       "teacache_thresh": 0.26, "use_ret_steps": False})
+    sched0 = WanUniPCScheduler(cfg0)
+    sched0.prepare(TARGET, seed=1)
+    ts = jnp.asarray(np.asarray(sched0.timesteps, np.float32))
+    sub = {"time_embedding": params["time_embedding"],
+           "time_projection": params["time_projection"]}
+    e_all, e0_all = jax.jit(
+        lambda pp, tt: time_embeddings(pp, tt, ARCH, None))(sub, ts)
+    mods = np.asarray(e_all, np.float32)
+    thresh = None
+    for cand in np.geomspace(1e-2, 1e6, 60):
+        s = tea_decision_series(mods, TeaCacheConfig(thresh=float(cand),
+                                                     cutoff_steps=steps - 1))
+        if s.any() and not s.all() and s.sum() > 1:
+            thresh = float(cand)
+            break
+    assert thresh is not None, "no mixed-schedule thresh found"
+
+    for mode in ("TaylorSeer", "Custom"):
+        cfg = ConfigDict({"infer_steps": steps, "sample_shift": 5.0,
+                          "teacache_thresh": thresh, "use_ret_steps": False})
+        sched = WanUniPCScheduler(cfg)
+        state0 = sched.prepare(TARGET, seed=1)
+        denoise = make_denoise_fn(ARCH, sched, TARGET, enable_cfg=False,
+                                  self_attn_type="xla", cross_attn_type="xla",
+                                  feature_caching=mode, caching_config=cfg)
+
+        if mode == "TaylorSeer":
+            schedule = np.asarray(taylor_schedule(steps)[0], bool)
+        else:
+            tcfg = TeaCacheConfig.from_config(cfg)
+            schedule = tea_decision_series(mods, tcfg)
+            assert schedule.any() and not schedule.all(), \
+                f"degenerate schedule {schedule} — tune thresh for the test"
+
+        step_cond = jax.jit(denoise.one_step)
+        step_calc = jax.jit(denoise.one_step_calc)
+        step_skip = jax.jit(denoise.one_step_skip)
+
+        st_a, cache_a = state0, denoise.init_cache()
+        st_b, cache_b = state0, denoise.init_cache()
+        for i in range(steps):
+            st_a, cache_a = step_cond(params, st_a, cache_a, ctx, ctx, None, None)
+            fn = step_calc if schedule[i] else step_skip
+            st_b, cache_b = fn(params, st_b, cache_b, ctx, ctx, None, None)
+        a = np.asarray(st_a["latents"], np.float32)
+        b = np.asarray(st_b["latents"], np.float32)
+        np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)
+        # the two trajectories picked identical branches: exactness bar
+        err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-6)
+        assert err < 2e-2, f"{mode}: split-branch diverged, rel {err}"
