@@ -72,22 +72,35 @@ def taylor_calc_step(params, x, embed0, ctx, ctx_img, rope_cos, rope_sin, arch: 
             y = jnp.clip(y.astype(jnp.float32), -448.0, 448.0)
         return y.astype(dtype)
 
+    # The cache rides the scan CARRY and is updated layer-by-layer with
+    # dynamic-update-slice, NOT emitted as stacked scan ys: stacked ys
+    # allocate a second full-size cache buffer alongside the scanned-over
+    # old one (xs stay live for the whole loop), which at full 480P
+    # tokens is 2 x 9 GB and OOMs one v5e even with the input donated.
+    # A DUS-updated carry is rewritten in place (the per-layer old slice
+    # is read before the same slice is written, costing one ~50 MB slice
+    # temp), so the donated step program holds ONE cache plus temps.
     def body(carry, layer):
-        xc = carry
-        block, c_self, c_cross, c_ffn = layer
+        xc, cf = carry
+        l, block = layer
         xc, y_self, y_cross, y_ffn = wan_block_parts(
             block, xc, embed0, ctx, ctx_img, rope_cos, rope_sin, arch, mm_fn,
             self_attn_fn, cross_attn_fn)
-        new = {}
-        for name, y, c in (("self_attn", y_self, c_self), ("cross_attn", y_cross, c_cross), ("ffn", y_ffn, c_ffn)):
-            f1 = (y.astype(jnp.float32) - c["f0"].astype(jnp.float32)) / step_diff
+        for name, y in (("self_attn", y_self), ("cross_attn", y_cross), ("ffn", y_ffn)):
+            old_f0 = jax.lax.dynamic_index_in_dim(cf[name]["f0"], l, 0, keepdims=False)
+            f1 = (y.astype(jnp.float32) - old_f0.astype(jnp.float32)) / step_diff
             f1 = jnp.where(primed, f1, jnp.zeros_like(f1))
-            new[name] = {"f0": store(y, c["f0"].dtype), "f1": store(f1, c["f1"].dtype)}
-        return xc, (new["self_attn"], new["cross_attn"], new["ffn"])
+            cf = {**cf, name: {
+                "f0": jax.lax.dynamic_update_index_in_dim(
+                    cf[name]["f0"], store(y, cf[name]["f0"].dtype), l, 0),
+                "f1": jax.lax.dynamic_update_index_in_dim(
+                    cf[name]["f1"], store(f1, cf[name]["f1"].dtype), l, 0),
+            }}
+        return (xc, cf), None
 
-    x, (cs, cc, cf) = jax.lax.scan(
-        body, x, (params["blocks"], cache["self_attn"], cache["cross_attn"], cache["ffn"]))
-    return x, {"self_attn": cs, "cross_attn": cc, "ffn": cf}
+    (x, cache), _ = jax.lax.scan(
+        body, (x, cache), (jnp.arange(arch.num_layers), params["blocks"]))
+    return x, cache
 
 
 def taylor_skip_step(params, x, embed0, arch: WanArch, cache: Dict, x_diff, mm_type="Default"):

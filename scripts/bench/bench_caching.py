@@ -185,6 +185,10 @@ def main():
                 st, cache = fns[int(fid_sched[i])](params, st, cache,
                                                    ctx, ctx_null, None, None)
             lat[label] = np.asarray(st["latents"], np.float32)
+            # free this leg's multi-GB cache before the next leg allocates
+            del st, cache, fns
+            import gc
+            gc.collect()
 
         def snr(ref, got):
             err = float(np.mean((ref - got) ** 2))
@@ -293,6 +297,13 @@ def main():
             _, cache_f = once()  # compile + first run
         except Exception as e:
             print(json.dumps({"mode": label, "error": str(e)[:200]}), flush=True)
+            # drop every reference to this mode's device buffers before the
+            # next mode allocates (the traceback pins once()'s frame with
+            # the ~9 GB cache; observed: the NEXT mode's eager latent init
+            # OOMing after a caught Taylor OOM)
+            import gc
+            del denoise, state0
+            gc.collect()
             continue
         compile_s = time.perf_counter() - t0
 
@@ -311,6 +322,9 @@ def main():
                 times.append(time.perf_counter() - t0)
         except Exception as e:  # isolate: one mode's OOM must not kill the rest
             print(json.dumps({"mode": label, "error": str(e)[:200]}), flush=True)
+            import gc
+            del denoise, state0, cache_f
+            gc.collect()
             continue
         sec = float(np.median(times))
         extra = {}
