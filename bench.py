@@ -103,6 +103,11 @@ def main():
         os.environ.setdefault("BENCH_ROPE_FUSED", "1")
         os.environ.setdefault("BENCH_VAE", "full")  # untiled fits after release
         os.environ.setdefault("BENCH_STEPS", "2")
+        # protocol-complete: T5 encode in the timed e2e (measured 32.18 s
+        # = 2.186x, BENCHLOG_r04 part 12 — encode is 0.4% of wall-clock
+        # and the row is strictly better AND more complete than the
+        # encode-excluded 32.90 s row)
+        os.environ.setdefault("BENCH_INCLUDE_ENCODE", "1")
 
     preset = os.environ.get("BENCH_PRESET", "1.3b")
     mode = os.environ.get("BENCH_MODE", "forward")

@@ -204,6 +204,13 @@ def main():
 
     if os.environ.get("BENCH_BASE_S"):  # inject a known full-shape baseline
         baselines[(target, True)] = float(os.environ["BENCH_BASE_S"])
+    if os.environ.get("BENCH_BASE_B1_S"):
+        # inject the B=1 (no-CFG) baseline for the full-token Taylor-family
+        # protocol, so single-mode processes (one mode per process — a
+        # failed mode's device buffers stay resident until process exit,
+        # observed starving the NEXT mode's 8-byte PRNGKey alloc) skip
+        # recomputing it
+        baselines[(target, False)] = float(os.environ["BENCH_BASE_B1_S"])
     results = {}
     tea_thresh = None
     ada_scale = None
@@ -354,6 +361,8 @@ def main():
             t0 = time.perf_counter()
             nb_once()
             baselines[bkey] = time.perf_counter() - t0
+            print(json.dumps({"b1_nocache_baseline_s": round(baselines[bkey], 2),
+                              "shape": shape}), flush=True)
         base = baselines.get(bkey)
         results[label] = sec
         print(json.dumps({
