@@ -449,7 +449,13 @@ def run_cogvideox():
             decode = lambda vp, z: cog_vae_decode_chunked(vp, z, vae_cfg,
                                                           scale=False, frame_batch=fb)
         else:
+            # BENCH_VAE_TILE / BENCH_VAE_OVERLAP: tile redundancy is
+            # (tile/step)^2 — overlap 0.25 costs 1.78x conv work, 0.125
+            # costs 1.31x (the reference's own tiling uses ~1/6)
+            tile = int(os.environ.get("BENCH_VAE_TILE", 32))
+            ov = float(os.environ.get("BENCH_VAE_OVERLAP", 0.25))
             decode = lambda vp, z: cog_vae_decode_tiled(vp, z, vae_cfg, scale=False,
+                                                        tile_latent=tile, overlap=ov,
                                                         frame_batch=fb)
 
         def once(pa):
