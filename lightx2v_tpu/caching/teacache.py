@@ -100,17 +100,24 @@ def tea_decision_series(mod_series, cfg: TeaCacheConfig):
     pick the trace-time branch (pipeline.one_step_calc/_skip)."""
     import numpy as np
 
-    mods = np.asarray(mod_series, np.float32).reshape(len(mod_series), -1)
+    mods = np.asarray(mod_series, np.float32)
+    S = len(mods)
+    # per-row accumulators, exactly as tea_decide: (S, B, -1) with a (B,)
+    # accum and decision = any(row accum >= thresh). With identical CFG
+    # rows this reduces to the old scalar replay; with differing rows
+    # (e.g. per-side cfg embeds) it no longer silently diverges.
+    # (S, D) = batchless per-step embed; (S, B, ...) = stacked CFG rows
+    mods = mods.reshape(S, mods.shape[1], -1) if mods.ndim >= 3 else mods.reshape(S, 1, -1)
     coeffs = np.asarray(cfg.coefficients, np.float32)
     prev = np.zeros_like(mods[0])
-    accum = 0.0
-    out = np.zeros(len(mods), bool)
-    for i in range(len(mods)):
-        rel = float(np.abs(mods[i] - prev).mean() / max(np.abs(prev).mean(), 1e-8))
-        accum += float(np.polyval(coeffs, rel))
-        should = (i < cfg.ret_steps) or (i >= cfg.cutoff_steps) or (accum >= cfg.thresh)
+    accum = np.zeros(mods.shape[1], np.float32)
+    out = np.zeros(S, bool)
+    for i in range(S):
+        rel = np.abs(mods[i] - prev).mean(axis=1) / np.maximum(np.abs(prev).mean(axis=1), 1e-8)
+        accum = accum + np.polyval(coeffs, rel).astype(np.float32)
+        should = (i < cfg.ret_steps) or (i >= cfg.cutoff_steps) or bool(np.any(accum >= cfg.thresh))
         if should:
-            accum = 0.0
+            accum[:] = 0.0
         out[i] = should
         prev = mods[i]
     return out

@@ -260,13 +260,18 @@ def init_random_t5_params_on_device(cfg: T5Config = UMT5_XXL, scheme: str = "bf1
                 return {"w": jr.randint(key, sh, -127, 128, jnp.int8),
                         "w_scale": jnp.full(bsh, scale / 127.0, jnp.float32)}
             if scheme == "fp8":
-                return {"w": (jr.normal(key, sh, jnp.bfloat16) * 100.0).astype(jnp.float8_e4m3fn),
+                # clip to the e4m3 representable range before the cast:
+                # values past ~448 convert to NaN, and at XXL scale the
+                # normal*100 tail produces ~20k of them (one NaN poisons
+                # the whole encoded context). Mirrors taylorseer store().
+                vals = jnp.clip(jr.normal(key, sh, jnp.bfloat16) * 100.0, -448.0, 448.0)
+                return {"w": vals.astype(jnp.float8_e4m3fn),
                         "w_scale": jnp.full(bsh, scale / 100.0, jnp.float32)}
             return nrm(sh)
 
         blocks: Params = {
             "norm1": jnp.ones((L, d), jnp.float32),
-            "q": qlin(da, d), "k": qlin(da, d), "v": qlin(da, d), "o": qlin(da, da),
+            "q": qlin(da, d), "k": qlin(da, d), "v": qlin(da, d), "o": qlin(d, da),
             "rel_emb": nrm((L, cfg.num_buckets, cfg.num_heads), jnp.float32),
             "norm2": jnp.ones((L, d), jnp.float32),
             "gate": qlin(df, d), "fc1": qlin(df, d), "fc2": qlin(d, df),

@@ -291,7 +291,12 @@ def main():
         def once(cache_override=None):
             st, cache = state0, denoise.init_cache()
             if cache_override:
-                cache = dict(cache, **cache_override)
+                # materialize fresh device buffers per call: with
+                # donate_argnums the first timed call donates (deletes)
+                # the override arrays, and a shared buffer would make
+                # repeat #2 die with 'Array has been deleted'
+                cache = dict(cache, **{k: jnp.asarray(v) if not isinstance(v, jnp.ndarray)
+                                       else jnp.array(v) for k, v in cache_override.items()})
             for idx in range(steps):
                 fn = step_fn if split_sched is None else \
                     (calc_fn if split_sched[idx] else skip_fn)
