@@ -181,6 +181,166 @@ class CLIPVisionModel:
         return self._fwd(self.params, jnp.asarray(preprocess_image(img, self.arch.image_size)))
 
 
+# ---------------------------------------------------------------------------
+# CLIP-L TEXT tower (Hunyuan's second text encoder: pooled prompt vector).
+# Reference: lightx2v/models/input_encoders/hf/clip/model.py — HF
+# CLIPTextModel, max_length 77, returns pooler_output (the eot token's
+# hidden state after the final LayerNorm). Same JAX structure as the
+# vision tower: stacked blocks + lax.scan, causal+padding mask,
+# quick-gelu MLP.
+
+@dataclass(frozen=True)
+class ClipTextArch:
+    vocab_size: int = 49408
+    dim: int = 768
+    mlp_ratio: int = 4
+    num_heads: int = 12
+    num_layers: int = 12
+    max_positions: int = 77
+    norm_eps: float = 1e-5
+
+
+def clip_text_forward(params: Params, ids: jnp.ndarray, mask: jnp.ndarray,
+                      arch: ClipTextArch):
+    """ids, mask: (B, L<=77) -> (last_hidden (B, L, D) bf16,
+    pooled (B, D) f32 = eot-token row of the final-LN output)."""
+    b, L = ids.shape
+    x = params["token_embedding"][ids].astype(jnp.bfloat16)
+    x = x + params["pos"][:L].astype(x.dtype)
+    neg = jnp.finfo(jnp.float32).min
+    causal = jnp.tril(jnp.ones((L, L), bool))
+    keep = causal[None, None] & (mask[:, None, None, :] > 0)
+    bias = jnp.where(keep, 0.0, neg).astype(jnp.float32)
+    n, hd = arch.num_heads, arch.dim // arch.num_heads
+
+    def block(carry, bp):
+        h = layer_norm(carry, bp["norm1"]["w"], bp["norm1"]["b"], eps=arch.norm_eps)
+        q = (_lin(bp["q_w"], h, bp["q_b"]) / np.sqrt(hd)).astype(h.dtype).reshape(b, L, n, hd)
+        k = _lin(bp["k_w"], h, bp["k_b"]).astype(h.dtype).reshape(b, L, n, hd)
+        v = _lin(bp["v_w"], h, bp["v_b"]).astype(h.dtype).reshape(b, L, n, hd)
+        logits = jnp.einsum("bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(logits + bias, axis=-1).astype(v.dtype)
+        attn = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(b, L, arch.dim)
+        x2 = carry + _lin(bp["proj_w"], attn, bp["proj_b"]).astype(h.dtype)
+        h = layer_norm(x2, bp["norm2"]["w"], bp["norm2"]["b"], eps=arch.norm_eps)
+        h = _lin(bp["fc1_w"], h, bp["fc1_b"]).astype(jnp.float32)
+        h = h * jax.nn.sigmoid(1.702 * h)  # quick_gelu
+        h = _lin(bp["fc2_w"], h.astype(x2.dtype), bp["fc2_b"]).astype(x2.dtype)
+        return x2 + h, None
+
+    x, _ = jax.lax.scan(block, x, params["blocks"])
+    x = layer_norm(x, params["final_norm"]["w"], params["final_norm"]["b"],
+                   eps=arch.norm_eps)
+    # pooled = eot row; CLIP's eot (49407) is the vocabulary's highest id,
+    # so argmax over ids finds it (original-CLIP convention HF mirrors)
+    eot = jnp.argmax(ids, axis=-1)
+    pooled = x[jnp.arange(b), eot].astype(jnp.float32)
+    return x.astype(jnp.bfloat16), pooled
+
+
+def load_clip_text_params(sd: Dict[str, np.ndarray], arch: ClipTextArch, dtype=None) -> Params:
+    """HF CLIPTextModel state_dict (text_model.-prefixed) -> pytree."""
+    import ml_dtypes
+
+    dtype = dtype or ml_dtypes.bfloat16
+    g = lambda k: np.asarray(sd[f"text_model.{k}"])
+
+    params: Params = {
+        "token_embedding": g("embeddings.token_embedding.weight").astype(dtype),
+        "pos": g("embeddings.position_embedding.weight").astype(np.float32),
+        "final_norm": {"w": g("final_layer_norm.weight").astype(np.float32),
+                       "b": g("final_layer_norm.bias").astype(np.float32)},
+    }
+
+    def blk(i):
+        p = f"encoder.layers.{i}"
+        out = {}
+        for ours, theirs in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"),
+                             ("proj", "out_proj")):
+            out[f"{ours}_w"] = g(f"{p}.self_attn.{theirs}.weight").astype(dtype)
+            out[f"{ours}_b"] = g(f"{p}.self_attn.{theirs}.bias").astype(np.float32)
+        for ours, theirs in (("norm1", "layer_norm1"), ("norm2", "layer_norm2")):
+            out[ours] = {"w": g(f"{p}.{theirs}.weight").astype(np.float32),
+                         "b": g(f"{p}.{theirs}.bias").astype(np.float32)}
+        for ours, theirs in (("fc1", "mlp.fc1"), ("fc2", "mlp.fc2")):
+            out[f"{ours}_w"] = g(f"{p}.{theirs}.weight").astype(dtype)
+            out[f"{ours}_b"] = g(f"{p}.{theirs}.bias").astype(np.float32)
+        return out
+
+    blocks = [blk(i) for i in range(arch.num_layers)]
+    params["blocks"] = jax.tree_util.tree_map(lambda *ls: np.stack(ls), *blocks)
+    return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def quantize_clip_text_params(params: Params, scheme: str = "int8") -> Params:
+    from ..tools.convert import quantize_tensor
+
+    out = dict(params)
+    blocks = dict(params["blocks"])
+    for name in ("q_w", "k_w", "v_w", "proj_w", "fc1_w", "fc2_w"):
+        w = np.asarray(blocks[name], np.float32)
+        qs, scales = [], []
+        for i in range(w.shape[0]):
+            qi, si = quantize_tensor(w[i], scheme)
+            qs.append(qi)
+            scales.append(si)
+        blocks[name] = {"w": jnp.asarray(np.stack(qs)), "w_scale": jnp.asarray(np.stack(scales))}
+    out["blocks"] = blocks
+    return out
+
+
+def init_random_clip_text_params_on_device(arch: ClipTextArch = ClipTextArch(),
+                                           seed: int = 0, scale: float = 0.02) -> Params:
+    """Device-synthesized CLIP-L text params (bench path; CLIP-L is small
+    enough that quantization is never needed for capacity)."""
+    import itertools
+
+    import jax.random as jr
+
+    L, d = arch.num_layers, arch.dim
+    cnt = itertools.count()
+
+    def build(base):
+        def nrm(shape, dtype=jnp.bfloat16, std=scale):
+            return jr.normal(jr.fold_in(base, next(cnt)), shape, dtype) * jnp.asarray(std, dtype)
+
+        blocks: Params = {
+            "norm1": {"w": jnp.ones((L, d), jnp.float32), "b": jnp.zeros((L, d), jnp.float32)},
+            "norm2": {"w": jnp.ones((L, d), jnp.float32), "b": jnp.zeros((L, d), jnp.float32)},
+        }
+        for nm, (o, i) in (("q", (d, d)), ("k", (d, d)), ("v", (d, d)), ("proj", (d, d)),
+                           ("fc1", (arch.mlp_ratio * d, d)), ("fc2", (d, arch.mlp_ratio * d))):
+            blocks[f"{nm}_w"] = nrm((L, o, i))
+            blocks[f"{nm}_b"] = jnp.zeros((L, o), jnp.float32)
+        return {
+            "token_embedding": nrm((arch.vocab_size, d)),
+            "pos": nrm((arch.max_positions, d), jnp.float32),
+            "blocks": blocks,
+            "final_norm": {"w": jnp.ones(d, jnp.float32), "b": jnp.zeros(d, jnp.float32)},
+        }
+
+    return jax.jit(build)(jax.random.PRNGKey(seed))
+
+
+class CLIPTextModel:
+    """User-facing wrapper (reference TextEncoderHFClipModel.infer):
+    tokenize to 77 -> pooled prompt vector."""
+
+    def __init__(self, arch: ClipTextArch = ClipTextArch(),
+                 params: Optional[Params] = None, tokenizer=None):
+        import functools
+
+        self.arch = arch
+        self.params = params
+        self.tokenizer = tokenizer
+        self._fwd = jax.jit(functools.partial(clip_text_forward, arch=arch))
+
+    def infer(self, texts) -> jnp.ndarray:
+        ids, mask = self.tokenizer(texts, return_mask=True)
+        _, pooled = self._fwd(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        return pooled
+
+
 def init_random_clip_state_dict(arch: ClipVisionArch, seed: int = 0, scale: float = 0.02) -> Dict[str, np.ndarray]:
     rng = np.random.default_rng(seed)
     sd: Dict[str, np.ndarray] = {}
