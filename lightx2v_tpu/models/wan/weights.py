@@ -430,3 +430,70 @@ def quantize_params_on_device(params: Params, scheme: str) -> Params:
     out = dict(params)
     out["blocks"] = jax.jit(walk)(params["blocks"])
     return out
+
+
+def structure_params_on_device(params: Params, seed: int = 1,
+                               outlier_sigma: float = 0.8, rank: int = 8,
+                               spike: float = 3.0) -> Params:
+    """Impose trained-checkpoint-like STRUCTURE on a synthetic bf16 tree.
+
+    Pure gaussian weights give isotropic attention: q·k logits are i.i.d.,
+    block importance is flat, and sparge tuning degenerates (every layer
+    picks the same l1 — BENCHLOG_r04 'flat block importance'). Trained
+    DiTs instead show (a) per-channel outliers (the reason smooth-quant
+    exists) and (b) low-rank attention structure (sink tokens / dominant
+    directions). This transform reproduces both ON DEVICE:
+
+    * every block linear's output channels get lognormal scales
+      (exp(sigma * g), heavy right tail), and
+    * self-attention q and k projections share ``rank`` right-singular
+      spike directions (q gets U_q S V^T, k gets U_k S V^T with a SHARED
+      V), which makes the logit matrix q W_q^T W_k k^T carry a dominant
+      rank-``rank`` component -> structured, non-flat block importance.
+
+    The result stays a valid bf16 master for quantize_params_on_device
+    and the sparge tuner (tools/tune_sparge.py --structured).
+    """
+    import jax
+    import jax.random as jr
+
+    base = jax.random.PRNGKey(seed)
+
+    def lognormal_scale(key, w):
+        # (L, out) channel scales, broadcast over in-features
+        g = jr.normal(key, w.shape[:-1], jnp.float32)
+        return (w.astype(jnp.float32) * jnp.exp(outlier_sigma * g)[..., None]).astype(w.dtype)
+
+    @jax.jit
+    def build(p):
+        blocks = dict(p["blocks"])
+        cnt = [0]
+
+        def nk():
+            cnt[0] += 1
+            return jr.fold_in(base, cnt[0])
+
+        for mod_name in ("self_attn", "cross_attn", "ffn"):
+            mod = dict(blocks[mod_name])
+            for k, v in mod.items():
+                if isinstance(v, dict) and "w" in v and v["w"].ndim == 3:
+                    mod[k] = dict(v, w=lognormal_scale(nk(), v["w"]))
+            blocks[mod_name] = mod
+
+        sa = dict(blocks["self_attn"])
+        qw, kw = sa["q"]["w"], sa["k"]["w"]  # (L, d, d)
+        L_, d_out, d_in = qw.shape
+        wstd = jnp.std(qw.astype(jnp.float32))
+        v_shared = jr.normal(nk(), (L_, rank, d_in), jnp.float32) / np.sqrt(d_in)
+        s_decay = jnp.exp2(-jnp.arange(rank, dtype=jnp.float32))  # 1, .5, .25...
+        uq = jr.normal(nk(), (L_, d_out, rank), jnp.float32) / np.sqrt(d_out)
+        uk = jr.normal(nk(), (L_, d_out, rank), jnp.float32) / np.sqrt(d_out)
+        amp = spike * wstd * jnp.sqrt(jnp.asarray(d_in, jnp.float32))
+        q_spike = jnp.einsum("lor,r,lri->loi", uq, s_decay, v_shared) * amp
+        k_spike = jnp.einsum("lor,r,lri->loi", uk, s_decay, v_shared) * amp
+        sa["q"] = dict(sa["q"], w=(qw.astype(jnp.float32) + q_spike).astype(qw.dtype))
+        sa["k"] = dict(sa["k"], w=(kw.astype(jnp.float32) + k_spike).astype(kw.dtype))
+        blocks["self_attn"] = sa
+        return dict(p, blocks=blocks)
+
+    return build(params)

@@ -17,7 +17,7 @@ positions < 1024, well inside bf16 activation noise.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Tuple
 
 import jax
@@ -69,7 +69,18 @@ def build_wan_rope_grid(
     return np.cos(grid), np.sin(grid)
 
 
-@partial(jax.jit, static_argnames=())
+def _rope_compute_dtype():
+    """Rotation math dtype. LIGHTX2V_ROPE_BF16=1 opts into bf16 rotation
+    (halves the rotation temps again — the capacity lever that brings
+    int8+sparge within reach of one v5e, NEXT_STEPS r4; quality bound
+    measured on the fidelity ladder's int8-sparge-bf16rope rung). Read
+    at trace time: callers jit AROUND these functions, and the bench
+    processes set the env before the first trace."""
+    import os
+
+    return jnp.bfloat16 if os.environ.get("LIGHTX2V_ROPE_BF16") == "1" else jnp.float32
+
+
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
     """Rotate interleaved pairs. x: (..., S, N, D); cos/sin: (S, D//2).
 
@@ -82,11 +93,12 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     # f32 math on the even/odd halves only; cast back BEFORE the
     # stack/concat so no full-width f32 slab survives as an HLO temp
     # (at 14B 480P a full-seq f32 q or k copy is 640 MB each).
+    cdt = _rope_compute_dtype()
     xr = x[..., :s_rope, :, :]
-    even = xr[..., 0::2].astype(jnp.float32)
-    odd = xr[..., 1::2].astype(jnp.float32)
-    c = cos[..., :, None, :]
-    s = sin[..., :, None, :]
+    even = xr[..., 0::2].astype(cdt)
+    odd = xr[..., 1::2].astype(cdt)
+    c = cos[..., :, None, :].astype(cdt)
+    s = sin[..., :, None, :].astype(cdt)
     out_even = (even * c - odd * s).astype(x.dtype)
     out_odd = (even * s + odd * c).astype(x.dtype)
     rotated = jnp.stack([out_even, out_odd], axis=-1).reshape(xr.shape)
@@ -107,11 +119,12 @@ def apply_rope_half(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.n
     d2 = x.shape[-1] // 2
     # same half-width-f32 discipline as apply_rope: cast each rotated
     # half to the activation dtype before concat (no 640 MB f32 temps)
+    cdt = _rope_compute_dtype()
     xr = x[..., :s_rope, :, :]
-    x1 = xr[..., :d2].astype(jnp.float32)
-    x2 = xr[..., d2:].astype(jnp.float32)
-    c = cos[..., :, None, :]
-    s = sin[..., :, None, :]
+    x1 = xr[..., :d2].astype(cdt)
+    x2 = xr[..., d2:].astype(cdt)
+    c = cos[..., :, None, :].astype(cdt)
+    s = sin[..., :, None, :].astype(cdt)
     lo = (x1 * c - x2 * s).astype(x.dtype)
     hi = (x1 * s + x2 * c).astype(x.dtype)
     rotated = jnp.concatenate([lo, hi], axis=-1)

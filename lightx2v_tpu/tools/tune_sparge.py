@@ -154,6 +154,22 @@ def main():
     ap.add_argument("--model_path", help="safetensors checkpoint dir (real weights)")
     ap.add_argument("--synthetic", action="store_true",
                     help="synthetic gaussian weights (protocol smoke only)")
+    ap.add_argument("--structured", action="store_true",
+                    help="impose trained-like structure on the synthetic "
+                         "weights (channel outliers + shared low-rank q/k "
+                         "spikes, weights.structure_params_on_device) so "
+                         "block importance is non-flat — the most realistic "
+                         "no-checkpoint trajectory available")
+    ap.add_argument("--trajectory", type=int, default=0, metavar="N",
+                    help="calibrate on N real scheduler steps instead of one "
+                         "noise sample: runs the dense UniPC trajectory and "
+                         "tunes each layer against the WORST-case SNR over "
+                         "latents captured at --capture_fracs of the "
+                         "trajectory (the reference tunes offline over real "
+                         "denoise trajectories the same way)")
+    ap.add_argument("--capture_fracs", default="0.1,0.5,0.9",
+                    help="trajectory fractions at which calibration samples "
+                         "are captured (with --trajectory)")
     ap.add_argument("--preset", default="1.3b", choices=["tiny", "1.3b", "14b"])
     ap.add_argument("--frames", type=int, default=21, help="latent frames")
     ap.add_argument("--height", type=int, default=60, help="latent height")
@@ -184,35 +200,76 @@ def main():
         from ..models.wan.weights import load_wan_from_path
 
         params = load_wan_from_path(args.model_path, arch)
-    elif args.synthetic:
+    elif args.synthetic or args.structured:
         from ..models.wan.weights import init_random_params_on_device
 
         params = init_random_params_on_device(arch, scheme="bf16", seed=args.seed)
+        if args.structured:
+            from ..models.wan.weights import structure_params_on_device
+
+            params = structure_params_on_device(params, seed=args.seed + 1)
     else:
-        ap.error("one of --model_path / --synthetic is required")
+        ap.error("one of --model_path / --synthetic / --structured is required")
 
     rng = np.random.default_rng(args.seed)
-    latents = jnp.asarray(
-        rng.standard_normal((1, arch.in_dim, args.frames, args.height, args.width)) * 0.5,
-        jnp.bfloat16)
     context = jnp.asarray(
         rng.standard_normal((1, arch.text_len, arch.text_dim)) * 0.1, jnp.bfloat16)
-    t = jnp.asarray([args.timestep], jnp.float32)
+
+    # calibration samples: either one noise latent at --timestep, or
+    # (latents, t) captured along a REAL dense denoise trajectory
+    samples = []
+    if args.trajectory:
+        from ..models.wan.pipeline import make_denoise_fn
+        from ..schedulers.unipc import WanUniPCScheduler
+        from ..utils.config import ConfigDict
+
+        steps = args.trajectory
+        sched = WanUniPCScheduler(ConfigDict(infer_steps=steps, sample_shift=5.0))
+        target = (arch.in_dim, args.frames, args.height, args.width)
+        state = sched.prepare(target, seed=args.seed)
+        den = make_denoise_fn(arch, sched, target, enable_cfg=False,
+                              guide_scale=5.0, mm_type="Default",
+                              self_attn_type="xla", cross_attn_type="xla")
+        step_fn = jax.jit(den.one_step)
+        cap = sorted({min(steps - 1, max(0, int(float(fr) * steps)))
+                      for fr in args.capture_fracs.split(",")})
+        cache = den.init_cache()
+        for i in range(steps):
+            if i in cap:
+                lat_b, tt = sched.step_pre(state)
+                samples.append((jnp.asarray(lat_b)[None],
+                                jnp.asarray(tt)[None].astype(jnp.float32)))
+            state, cache = step_fn(params, state, cache, context, context,
+                                   None, None)
+    else:
+        latents = jnp.asarray(
+            rng.standard_normal((1, arch.in_dim, args.frames, args.height,
+                                 args.width)) * 0.5, jnp.bfloat16)
+        samples.append((latents, jnp.asarray([args.timestep], jnp.float32)))
 
     l1_grid = tuple(float(v) for v in args.l1_grid.split(","))
-    l1s, snrs, passed = tune_sparge(
-        params, arch, latents, t, context, keep_ratio=args.keep_ratio,
-        l1_grid=l1_grid, bar_db=args.bar_db, block_q=args.block_q,
-        block_k=args.block_k)
+    per_sample = [tune_sparge(params, arch, lat, tt, context,
+                              keep_ratio=args.keep_ratio, l1_grid=l1_grid,
+                              bar_db=args.bar_db, block_q=args.block_q,
+                              block_k=args.block_k)
+                  for lat, tt in samples]
+    # worst case over samples: smallest (most conservative) l1 per layer,
+    # lowest SNR, pass only if every sample passed
+    l1s = np.min(np.stack([r[0] for r in per_sample]), axis=0)
+    snrs = np.min(np.stack([r[1] for r in per_sample]), axis=0)
+    passed = np.all(np.stack([r[2] for r in per_sample]), axis=0)
 
     np.savez(args.output, l1=l1s, snr_db=snrs, passed=passed,
              keep_ratio=np.float32(args.keep_ratio), bar_db=np.float32(args.bar_db))
     print(json.dumps({
         "output": args.output,
         "layers": int(len(l1s)),
+        "samples": len(samples),
+        "structured": bool(args.structured),
         "l1_mean": float(l1s.mean()),
         "l1_min": float(l1s.min()),
         "l1_max": float(l1s.max()),
+        "l1_distinct": int(len(np.unique(l1s))),
         "all_passed": bool(passed.all()),
         "snr_min_db": float(snrs.min()),
     }))

@@ -226,6 +226,14 @@ def main():
         taylor_full = mode in ("TaylorSeer", "Custom") and \
             os.environ.get("BENCH_TAYLOR_FULL", "1") != "0"
         enable_cfg = not taylor_full
+        # BENCH_ENABLE_CFG=0: B=1 protocol for every mode, each vs the B=1
+        # NoCaching baseline. Needed at 14B 720P where the B=2 CFG step
+        # program deterministically kills the tunnel's remote compile
+        # helper (parts r5-1/r5-2: HTTP 500 on NoCaching AND Tea, while
+        # the B=1 720P e2e compiled fine in round 4) — the speedup stays
+        # like-for-like at the real sequence length.
+        if os.environ.get("BENCH_ENABLE_CFG") == "0":
+            enable_cfg = False
         if taylor_full:
             cfg_extra["taylor_cache_dtype"] = "fp8"
             label = f"{mode}@fp8cache-b1"

@@ -117,7 +117,11 @@ def main():
         "int4": "W-int4-group-sym-A-int8-token-dynamic-Tpu",  # w4a8 (flagship)
     }
 
-    def run(scheme, attn, keep=None, rope_fused=False):
+    def run(scheme, attn, keep=None, rope_fused=False, rope_bf16=False):
+        # bf16 rope rotation (ops/rope._rope_compute_dtype): env is read
+        # at trace time and every rung builds a fresh make_denoise_fn, so
+        # toggling here scopes the dtype to this rung's programs
+        os.environ["LIGHTX2V_ROPE_BF16"] = "1" if rope_bf16 else "0"
         a = dataclasses.replace(arch, rope_fused=rope_fused)
         p = quantize_params_on_device(master, scheme)
         if rope_fused:
@@ -147,14 +151,19 @@ def main():
         return z, frames, wall
 
     rungs = [
-        ("bf16-dense", "bf16", "flash_attn3", None, False),
-        ("int8-dense", "int8", "flash_attn3", None, False),
-        ("fp8-dense", "fp8", "flash_attn3", None, False),
-        ("w4a8-dense", "int4", "flash_attn3", None, False),
-        ("w4a8-sparge0.5", "int4", "sparge", 0.5, False),
-        ("w4a8-sparge0.3", "int4", "sparge", 0.3, False),
-        ("w4a8-sparge0.3-ropefused", "int4", "sparge", 0.3, True),
-        ("bf16-ropefused", "bf16", "flash_attn3", None, True),
+        ("bf16-dense", "bf16", "flash_attn3", None, False, False),
+        ("int8-dense", "int8", "flash_attn3", None, False, False),
+        ("fp8-dense", "fp8", "flash_attn3", None, False, False),
+        ("w4a8-dense", "int4", "flash_attn3", None, False, False),
+        ("w4a8-sparge0.5", "int4", "sparge", 0.5, False, False),
+        ("w4a8-sparge0.3", "int4", "sparge", 0.3, False, False),
+        ("w4a8-sparge0.3-ropefused", "int4", "sparge", 0.3, True, False),
+        ("bf16-ropefused", "bf16", "flash_attn3", None, True, False),
+        # NEXT_STEPS r4: bf16 rope rotation halves the remaining f32
+        # rotation temps — the capacity lever for int8+sparge on one v5e;
+        # this rung bounds its quality cost against f32-rope int8-sparge
+        ("int8-sparge0.3", "int8", "sparge", 0.3, False, False),
+        ("int8-sparge0.3-bf16rope", "int8", "sparge", 0.3, False, True),
     ]
     sel = os.environ.get("BENCH_RUNGS")
     if sel:
@@ -163,8 +172,8 @@ def main():
 
     ref_z = ref_frames = None
     w4a8_z = None  # second reference: isolates sparsity error from quant error
-    for name, scheme, attn, keep, rf in rungs:
-        z, frames, wall = run(scheme, attn, keep, rf)
+    for name, scheme, attn, keep, rf, rb in rungs:
+        z, frames, wall = run(scheme, attn, keep, rf, rb)
         if name == "bf16-dense":
             ref_z, ref_frames = z, frames
             row = {"rung": name, "latent_snr_db": None, "frame_snr_db": None,
