@@ -194,6 +194,9 @@ def main():
     elif attn == "sparge":
         self_attn_kwargs = {"keep_ratio": float(os.environ.get("BENCH_SPARGE_KEEP", 0.3)),
                             "l1": 0.07, **sparse_blocks}
+        if os.environ.get("BENCH_SPARGE_TABLE"):  # tuned per-layer l1 .npz
+            self_attn_kwargs["l1_per_layer"] = np.load(
+                os.environ["BENCH_SPARGE_TABLE"])["l1"]
     fwd = jax.jit(
         lambda p, l, tt, c: wan_forward(
             p, l, tt, c, rope_cos, rope_sin, arch, y=y, clip_fea=clip_fea,
@@ -648,6 +651,9 @@ def run_e2e(arch, params, target, mm_type, attn, steps, preset="14b",
             "block_q": int(os.environ.get("BENCH_SPARSE_BQ", 2048)),
             "block_k": int(os.environ.get("BENCH_SPARSE_BK", 1024)),
         }
+        if os.environ.get("BENCH_SPARGE_TABLE"):  # tuned per-layer l1 .npz
+            self_attn_kwargs["l1_per_layer"] = np.load(
+                os.environ["BENCH_SPARGE_TABLE"])["l1"]
     denoise = make_denoise_fn(
         arch, sched, target, enable_cfg=False, mm_type=mm_type,
         self_attn_type=attn, cross_attn_type=cross,

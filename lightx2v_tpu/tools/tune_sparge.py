@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import argparse
 import json
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -43,6 +43,17 @@ from ..ops.linear import resolve_mm
 from ..ops.sparge import sparge_attention_xla
 
 DEFAULT_L1_GRID = (0.30, 0.25, 0.20, 0.15, 0.10, 0.07, 0.05, 0.02)
+
+
+@lru_cache(maxsize=None)
+def _sparse_eval_fn(keep_ratio: float, block_q: int, block_k: int):
+    """Jitted sparse eval, cached by hyperparameters so the (l1, shape)
+    compile cache is SHARED across layers and samples: eager sparge
+    through the axon tunnel dispatches dozens of ops per eval at ~0.2-0.5 s
+    each, and a per-layer jit wrapper would recompile every layer."""
+    return jax.jit(partial(sparge_attention_xla, keep_ratio=keep_ratio,
+                           block_q=block_q, block_k=block_k),
+                   static_argnames=("l1",))
 
 
 def _snr_db(ref: np.ndarray, got: np.ndarray) -> float:
@@ -74,9 +85,9 @@ def tune_layer(
     ref = np.asarray(dense_out, np.float32)
     fallback = min(l1_grid)
     fallback_snr = -np.inf
+    sparse_fn = _sparse_eval_fn(keep_ratio, block_q, block_k)
     for l1 in sorted(l1_grid, reverse=True):
-        out = sparge_attention_xla(q, k, v, keep_ratio=keep_ratio, l1=float(l1),
-                                   block_q=block_q, block_k=block_k)
+        out = sparse_fn(q, k, v, l1=float(l1))
         s = _snr_db(ref, np.asarray(out))
         if l1 == fallback:
             fallback_snr = s
@@ -117,24 +128,34 @@ def tune_sparge(
     mm_fn = resolve_mm(mm_type)
     cross_fn = partial(attention, "xla")
 
-    captured = {}
+    # ONE jitted program per layer step (layers share shapes, so it
+    # compiles once and is re-executed per layer): eager per-op dispatch
+    # through the axon tunnel costs ~0.2-0.5 s PER OP (NEXT_STEPS r4), so
+    # the whole capture must be a single device call. The captured (q, k,
+    # v, dense_out) tracers are threaded out as extra outputs.
+    @jax.jit
+    def layer_fwd(layer_p, x):
+        cap = []
 
-    def cap_fn(q, k, v, **kw):
-        if "rope_cos" in kw:  # arch.rope_fused: rotate here, like every
-            from ..ops.rope import apply_rope_half  # non-flash dispatch does
+        def cap_fn(q, k, v, **kw):
+            if "rope_cos" in kw:  # arch.rope_fused: rotate here, like every
+                from ..ops.rope import apply_rope_half  # non-flash dispatch does
 
-            q = apply_rope_half(q, kw["rope_cos"], kw["rope_sin"])
-            k = apply_rope_half(k, kw["rope_cos"], kw["rope_sin"])
-        out = attention("xla", q, k, v)
-        captured["qkv"] = (q, k, v, out)
-        return out
+                q = apply_rope_half(q, kw["rope_cos"], kw["rope_sin"])
+                k = apply_rope_half(k, kw["rope_cos"], kw["rope_sin"])
+            out = attention("xla", q, k, v)
+            cap.append((q, k, v, out))
+            return out
+
+        x2 = wan_block(layer_p, x, embed0, ctx, ctx_img, rope_cos, rope_sin,
+                       arch, mm_fn, cap_fn, cross_fn)
+        (q, k, v, out), = cap
+        return x2, q, k, v, out
 
     l1s, snrs, passed = [], [], []
     for i in range(arch.num_layers):
         layer_p = jax.tree_util.tree_map(lambda a: a[i], params["blocks"])
-        x = wan_block(layer_p, x, embed0, ctx, ctx_img, rope_cos, rope_sin,
-                      arch, mm_fn, cap_fn, cross_fn)
-        q, k, v, dense_out = captured.pop("qkv")
+        x, q, k, v, dense_out = layer_fwd(layer_p, x)
         l1, s, ok = tune_layer(q, k, v, dense_out, keep_ratio, l1_grid,
                                bar_db, block_q, block_k)
         l1s.append(l1)
