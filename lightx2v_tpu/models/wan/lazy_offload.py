@@ -92,6 +92,11 @@ class BlockPrefetcher:
     def __init__(self, store: LazyBlockStore, num_workers: int = 2,
                  max_host_blocks: Optional[int] = None,
                  max_host_bytes: Optional[int] = None):
+        # auto-cap by host cores: safetensors block reads are partly
+        # CPU-bound (dtype casts + memcpy), and on a 1-vCPU host a second
+        # worker REGRESSES throughput by time-slicing the consumer
+        # (measured: 0.71 -> 0.33 GB/s, BENCHLOG_r04.md:146-163)
+        num_workers = max(1, min(num_workers, os.cpu_count() or 1))
         if max_host_blocks is None:
             if max_host_bytes is not None:
                 max_host_blocks = max(1, int(max_host_bytes // max(store.block_nbytes, 1)))
