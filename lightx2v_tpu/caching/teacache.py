@@ -195,19 +195,35 @@ def tea_transform_per_side(state: Dict, should_vec: jnp.ndarray, x: jnp.ndarray,
     return jax.lax.switch(idx, [neither, only_uncond, only_cond, both], (x, state))
 
 
-def tea_transform(state: Dict, should_calc: jnp.ndarray, x: jnp.ndarray, transformer_fn):
+def tea_transform(state: Dict, should_calc: jnp.ndarray, x: jnp.ndarray, transformer_fn,
+                  branch=None):
     """Run or skip the block stack (reference infer :84-154):
-    compute -> residual cached; skip -> x + cached residual."""
+    compute -> residual cached; skip -> x + cached residual.
+
+    ``branch``: None traces both paths under ``lax.cond`` (the
+    scan-compatible default). True/False selects the compute/skip path at
+    TRACE time — the Tea decision depends only on the timestep-embedding
+    series (host-replayable exactly, ``tea_decision_series``), so a
+    host-stepped driver can compile two roughly half-sized programs
+    instead of one dual-branch program (which RESOURCE_EXHAUSTs at 14B
+    720P token counts where the plain forward fits)."""
 
     def compute(operand):
         x_in, st = operand
         x_out = transformer_fn(x_in)
         st = dict(st)
-        st["prev_residual"] = (x_out - x_in).astype(st["prev_residual"].dtype)
+        res = x_out - x_in
+        if st["prev_residual"].dtype == jnp.float8_e4m3fn:
+            # e4m3 saturates at 448; clip like taylorseer's store() so an
+            # outlier residual never becomes inf/nan in the cache
+            res = jnp.clip(res.astype(jnp.float32), -448.0, 448.0)
+        st["prev_residual"] = res.astype(st["prev_residual"].dtype)
         return x_out, st
 
     def skip(operand):
         x_in, st = operand
         return x_in + st["prev_residual"].astype(x_in.dtype), dict(st)
 
+    if branch is not None:
+        return (compute if branch else skip)((x, state))
     return jax.lax.cond(should_calc, compute, skip, (x, state))

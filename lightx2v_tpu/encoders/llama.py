@@ -63,8 +63,11 @@ def _lin(p, x):
     if isinstance(p, dict):
         from ..ops.linear import resolve_mm
 
-        scheme = "int8" if p["w"].dtype == jnp.int8 else "fp8"
-        fn = resolve_mm(f"W-{scheme}-channel-sym-A-{scheme}-channel-sym-dynamic-Tpu")
+        if p["w"].dtype == jnp.uint8:  # nibble-packed int4 (w4a8 path)
+            fn = resolve_mm("W-int4-group-sym-A-int8-token-dynamic-Tpu")
+        else:
+            scheme = "int8" if p["w"].dtype == jnp.int8 else "fp8"
+            fn = resolve_mm(f"W-{scheme}-channel-sym-A-{scheme}-channel-sym-dynamic-Tpu")
         return fn({"w": p["w"], "w_scale": p["w_scale"], "b": None}, x)
     return jax.lax.dot_general(
         x, p, (((x.ndim - 1,), (1,)), ((), ())),
@@ -241,6 +244,15 @@ def init_random_llama_params_on_device(arch: LlamaArch = LLAVA_LLAMA3_8B,
                 vals = jnp.clip(jr.normal(key, sh, jnp.bfloat16) * 100.0, -448.0, 448.0)
                 return {"w": vals.astype(jnp.float8_e4m3fn),
                         "w_scale": jnp.full(bsh, scale / 100.0, jnp.float32)}
+            if scheme == "w4a8":
+                # int4 nibble-packed weights + per-(channel, group-128)
+                # scales — halves the int8 footprint so the 8B encoder
+                # coexists with a 13B w4a8 DiT on one 16 GB v5e (the
+                # Hunyuan protocol-complete e2e peak)
+                group = min(128, kin)
+                return {"w": jr.randint(key, (L, out, kin // 2), 0, 255, jnp.uint8),
+                        "w_scale": jnp.full((L, out, kin // group),
+                                            scale / 7.0, jnp.float32)}
             return nrm(sh)
 
         blocks: Params = {

@@ -101,6 +101,13 @@ def make_denoise_fn(
             if caching_config is not None else "bf16")
     taylor_dtype = {"bf16": jnp.bfloat16, "fp8": jnp.float8_e4m3fn,
                     "fp32": jnp.float32}[str(_tdt)]
+    # Tea residual cache dtype: fp8 halves the (B, S, D) whole-stack
+    # residual (clipped to e4m3 range on store) — the lever that fits the
+    # 14B 720P Tea cache beside int4 weights on one 16 GB v5e
+    _teadt = (caching_config.get("tea_cache_dtype", "bf16")
+              if caching_config is not None else "bf16")
+    tea_dtype = {"bf16": jnp.bfloat16, "fp8": jnp.float8_e4m3fn,
+                 "fp32": jnp.float32}[str(_teadt)]
     # Custom = TeaCache's rel-L1 decision + TaylorSeer's per-module
     # extrapolation on skipped steps (reference
     # WanTransformerInferCustomCaching, feature_caching/transformer_infer.py:522-620)
@@ -201,7 +208,10 @@ def make_denoise_fn(
             cache = {**cache, "tea": tea_c}
         elif tea_cfg is not None:
             tf = lambda xx: transformer(params, xx, embed0, ctx_e, ctx_img)
-            if enable_cfg and mesh is None:
+            if enable_cfg and mesh is None and _branch is None:
+                # trace-time branching implies a host-replayed SHARED
+                # decision (tea_decision_series), so the per-side cond
+                # path only applies to the traced variant
                 # per-side cond/uncond skipping (reference
                 # feature_caching/transformer_infer.py:14-19); under a dp
                 # mesh the batch axis is sharded, so the shared decision
@@ -215,7 +225,7 @@ def make_denoise_fn(
                 x, cache = tea_transform_per_side(cache, should_vec, x, tf, tf_single)
             else:
                 should, cache = tea_decide(cache, embed, embed0, i, tea_cfg)
-                x, cache = tea_transform(cache, should, x, tf)
+                x, cache = tea_transform(cache, should, x, tf, branch=_branch)
         elif use_taylor:
             is_calc = jnp.asarray(taylor_is_calc)[i]
             step_diff = jnp.asarray(taylor_step_diff)[i]
@@ -288,13 +298,16 @@ def make_denoise_fn(
         if use_custom:
             mod_shape = (batch, 6, d) if tea_cfg.use_ret_steps else (batch, d)
             return {
-                "tea": init_tea_state((batch, seq_len, d), mod_shape),
+                # Custom reconstructs skipped steps via Taylor, never via
+                # the Tea residual — only prev_mod/accum are read, so the
+                # (B, S, D) residual is allocated at token size 1
+                "tea": init_tea_state((batch, 1, d), mod_shape),
                 "taylor": init_taylor_cache(arch, batch, seq_len, dtype=taylor_dtype),
                 "last_calc": jnp.asarray(0, jnp.int32),
             }
         if tea_cfg is not None:
             mod_shape = (batch, 6, d) if tea_cfg.use_ret_steps else (batch, d)
-            return init_tea_state((batch, seq_len, d), mod_shape)
+            return init_tea_state((batch, seq_len, d), mod_shape, dtype=tea_dtype)
         if use_taylor:
             return init_taylor_cache(arch, batch, seq_len, dtype=taylor_dtype)
         if use_ada:

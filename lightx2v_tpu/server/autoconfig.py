@@ -31,6 +31,30 @@ def available_attention_ops() -> List[Tuple[str, bool]]:
     ]
 
 
+# supported tasks per model class (the reference's gradio app encodes the
+# same matrix in its model/task dropdown wiring, app/gradio_demo.py)
+_MODEL_TASKS = {
+    "wan2.1": ("t2v", "i2v"),
+    "wan2.1_distill": ("t2v", "i2v"),
+    "wan2.1_causvid": ("t2v",),
+    "wan2.1_skyreels_v2_df": ("t2v", "i2v"),
+    "wan2.1_audio": ("audio",),
+    "hunyuan": ("t2v", "i2v"),
+    "cogvideox": ("t2v",),
+}
+
+
+def model_matrix() -> List[Dict[str, Any]]:
+    """Registered model classes + their supported tasks (capability matrix
+    for the web UI; keys come from the live RUNNER_REGISTER so an
+    unregistered runner never shows up)."""
+    import lightx2v_tpu.runners  # noqa: F401  (registers runners)
+    from ..utils.registry import RUNNER_REGISTER
+
+    return [{"model_cls": k, "tasks": list(_MODEL_TASKS.get(k, ("t2v",)))}
+            for k in sorted(RUNNER_REGISTER.keys())]
+
+
 def available_quant_schemes() -> List[Tuple[str, bool]]:
     """TPU MXU has native int8/fp8 paths; int4 is the Pallas weight-only
     kernel; block-128 fp8 is the Deepgemm-semantics path."""
@@ -128,6 +152,7 @@ def service_metadata(server_config: Dict[str, Any] = None) -> Dict[str, Any]:
         "attention_ops": available_attention_ops(),
         "quant_schemes": available_quant_schemes(),
         "device": device_info(),
+        "model_matrix": model_matrix(),
     }
     if server_config:
         meta["model_cls"] = server_config.get("model_cls")

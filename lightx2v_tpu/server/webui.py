@@ -7,7 +7,10 @@ upload (gradio_demo.py image input), attention/quant op pickers populated
 from live capability detection (:39-91 get_available_*_ops via
 /v1/service/metadata), one-click memory-based auto-config (:470-545),
 TeaCache / tiny-VAE / tiled-VAE / offload toggles, resolution + steps +
-CFG controls, progress polling, inline playback.
+CFG controls, progress polling, inline playback, a model-class/task
+capability matrix (the reference app's model/task dropdown wiring), and
+one-click download of the effective config JSON (the reference's config
+save path; useful to replay a UI run via infer.py --config_json).
 """
 
 WEB_UI_HTML = """<!doctype html>
@@ -75,6 +78,7 @@ WEB_UI_HTML = """<!doctype html>
 <details id="adv">
   <summary>Advanced (kernels, quantization, offload, caching)</summary>
   <div id="ops"></div>
+  <div id="matrix"></div>
   <div class="row">
     <div><label>Attention kernel</label><select id="attn"></select></div>
     <div><label>DiT quantization (load-time; changing it requires a relaunch)</label><select id="quant"></select></div>
@@ -89,6 +93,7 @@ WEB_UI_HTML = """<!doctype html>
   <div class="row">
     <div><label>TeaCache threshold</label><input id="teathresh" type="number" step="0.01" value="0.26"></div>
     <div style="align-self:end"><button class="secondary" onclick="autoConfig()">Auto-configure for this device</button></div>
+    <div style="align-self:end"><button class="secondary" onclick="downloadConfig()">Download config JSON</button></div>
   </div>
 </details>
 
@@ -129,6 +134,18 @@ async function loadMeta() {
   const quant = document.getElementById('quant');
   quant.innerHTML = (META.quant_schemes || []).map(([n]) => `<option>${n}</option>`).join('');
   if (META.active_quant_scheme) quant.value = META.active_quant_scheme;
+  // model-class / task capability matrix (reference app model dropdown);
+  // highlight the server's loaded model and filter the task picker to
+  // what that model class actually supports
+  const matrix = document.getElementById('matrix');
+  matrix.innerHTML = (META.model_matrix || []).map(m =>
+    `<span class="pill ${m.model_cls === META.model_cls ? '' : 'off'}">${m.model_cls}: ${m.tasks.join('/')}</span>`).join('');
+  const active = (META.model_matrix || []).find(m => m.model_cls === META.model_cls);
+  if (active) {
+    const taskSel = document.getElementById('task');
+    const labels = {t2v: 'text \\u2192 video', i2v: 'image \\u2192 video', audio: 'audio \\u2192 video'};
+    taskSel.innerHTML = active.tasks.map(t => `<option value="${t}">${labels[t] || t}</option>`).join('');
+  }
   const def = META.defaults || {};
   if (def.seed != null) document.getElementById('seed').value = def.seed;
   if (def.infer_steps != null) document.getElementById('steps').placeholder = def.infer_steps;
@@ -163,48 +180,74 @@ async function stopTask() {
   await fetch('/v1/tasks/running', {method: 'DELETE'});
 }
 
+function buildBody() {
+  const res = document.getElementById('resolution').value.split('x');
+  const options = {
+    attention_type: document.getElementById('attn').value || undefined,
+    self_attn_1_type: document.getElementById('attn').value || undefined,
+    // quantization is a load-time property: send mm_type only when
+    // the user picked a scheme other than the server's active one —
+    // the server rejects the task with a clear message rather than
+    // silently generating under the loaded scheme
+    mm_type: (document.getElementById('quant').value !== (META && META.active_quant_scheme)) ?
+      QUANT_MM[document.getElementById('quant').value] : undefined,
+    feature_caching: document.getElementById('teacache').checked ? 'Tea' : undefined,
+    teacache_thresh: parseFloat(document.getElementById('teathresh').value),
+    tiny_vae: document.getElementById('tinyvae').checked || undefined,
+    use_tiling_vae: document.getElementById('tilingvae').checked || undefined,
+    weight_streaming: document.getElementById('offload').checked || undefined,
+    cpu_offload: document.getElementById('offload').checked || undefined,
+    lazy_load: document.getElementById('lazyload').checked || undefined,
+    target_width: parseInt(res[0]), target_height: parseInt(res[1]),
+  };
+  const cfgScale = document.getElementById('cfg').value;
+  if (cfgScale) options.sample_guide_scale = parseFloat(cfgScale);
+  const body = {
+    prompt: document.getElementById('prompt').value,
+    negative_prompt: document.getElementById('negative').value,
+    seed: parseInt(document.getElementById('seed').value || '42'),
+    target_video_length: parseInt(document.getElementById('frames').value || '81'),
+    options,
+  };
+  const steps = document.getElementById('steps').value;
+  if (steps) body.infer_steps = parseInt(steps);
+  return body;
+}
+
+function downloadConfig() {
+  // effective-config export: what the UI would submit, plus the server's
+  // identity — replayable offline via infer.py --config_json (the
+  // reference app's config save path)
+  const body = buildBody();
+  const cfg = Object.assign({}, body.options);
+  delete cfg.mm_type;  // load-time; keep only if explicitly changed
+  if (body.options.mm_type) cfg.mm_type = body.options.mm_type;
+  cfg.prompt = body.prompt; cfg.negative_prompt = body.negative_prompt;
+  cfg.seed = body.seed; cfg.target_video_length = body.target_video_length;
+  if (body.infer_steps) cfg.infer_steps = body.infer_steps;
+  if (META) { cfg.model_cls = META.model_cls; cfg.task = document.getElementById('task').value; }
+  Object.keys(cfg).forEach(k => cfg[k] === undefined && delete cfg[k]);
+  const blob = new Blob([JSON.stringify(cfg, null, 2)], {type: 'application/json'});
+  const a = document.createElement('a');
+  a.href = URL.createObjectURL(blob);
+  a.download = 'lightx2v_tpu_config.json';
+  a.click();
+  URL.revokeObjectURL(a.href);
+}
+
 async function submitTask() {
   const btn = document.getElementById('go');
   const status = document.getElementById('status');
   const result = document.getElementById('result');
   btn.disabled = true; result.innerHTML = '';
   try {
-    const res = document.getElementById('resolution').value.split('x');
-    const options = {
-      attention_type: document.getElementById('attn').value || undefined,
-      self_attn_1_type: document.getElementById('attn').value || undefined,
-      // quantization is a load-time property: send mm_type only when
-      // the user picked a scheme other than the server's active one —
-      // the server rejects the task with a clear message rather than
-      // silently generating under the loaded scheme
-      mm_type: (document.getElementById('quant').value !== (META && META.active_quant_scheme)) ?
-        QUANT_MM[document.getElementById('quant').value] : undefined,
-      feature_caching: document.getElementById('teacache').checked ? 'Tea' : undefined,
-      teacache_thresh: parseFloat(document.getElementById('teathresh').value),
-      tiny_vae: document.getElementById('tinyvae').checked || undefined,
-      use_tiling_vae: document.getElementById('tilingvae').checked || undefined,
-      weight_streaming: document.getElementById('offload').checked || undefined,
-      cpu_offload: document.getElementById('offload').checked || undefined,
-      lazy_load: document.getElementById('lazyload').checked || undefined,
-      target_width: parseInt(res[0]), target_height: parseInt(res[1]),
-    };
-    const cfgScale = document.getElementById('cfg').value;
-    if (cfgScale) options.sample_guide_scale = parseFloat(cfgScale);
-    const body = {
-      prompt: document.getElementById('prompt').value,
-      negative_prompt: document.getElementById('negative').value,
-      seed: parseInt(document.getElementById('seed').value || '42'),
-      target_video_length: parseInt(document.getElementById('frames').value || '81'),
-      options,
-    };
-    const steps = document.getElementById('steps').value;
-    if (steps) body.infer_steps = parseInt(steps);
+    const body = buildBody();
     if (document.getElementById('task').value === 'i2v') {
       status.textContent = 'uploading image...';
       const p = await uploadImage();
       if (!p) throw new Error('i2v needs a conditioning image');
       body.image_path = p;
-      options.task = 'i2v';
+      body.options.task = 'i2v';
     }
     const r = await fetch('/v1/tasks', {method: 'POST', headers: {'Content-Type': 'application/json'},
                                         body: JSON.stringify(body)});

@@ -237,6 +237,10 @@ def main():
         if taylor_full:
             cfg_extra["taylor_cache_dtype"] = "fp8"
             label = f"{mode}@fp8cache-b1"
+        if mode == "Tea" and os.environ.get("BENCH_TEA_CACHE_DTYPE"):
+            # fp8 residual cache (clipped store) — 720P 14B capacity lever
+            cfg_extra["tea_cache_dtype"] = os.environ["BENCH_TEA_CACHE_DTYPE"]
+            label = f"{mode}@{cfg_extra['tea_cache_dtype']}cache"
         if mode in ("Tea", "Custom") and tea_thresh is None:
             env = os.environ.get("BENCH_TEA_THRESH")
             tea_thresh = float(env) if env else calibrate_tea_thresh(steps)
@@ -274,11 +278,18 @@ def main():
         # per step across two half-sized programs
         # (pipeline.one_step_calc/_skip). Opt out: BENCH_SPLIT_BRANCH=0.
         split_sched = None
-        if taylor_full and os.environ.get("BENCH_SPLIT_BRANCH", "1") != "0":
+        # Tea rides split-branch too when the decision is shared (B=1, or
+        # BENCH_ENABLE_CFG=0): the dual-branch lax.cond program
+        # RESOURCE_EXHAUSTs at 14B 720P token counts where the plain
+        # forward fits (part r5-3), and tea_decision_series replays the
+        # shared decision exactly
+        tea_split = (mode == "Tea" and not enable_cfg
+                     and os.environ.get("BENCH_SPLIT_BRANCH", "1") != "0")
+        if (taylor_full or tea_split) and os.environ.get("BENCH_SPLIT_BRANCH", "1") != "0":
             if mode == "TaylorSeer":
                 from lightx2v_tpu.caching.taylorseer import taylor_schedule
                 split_sched = np.asarray(taylor_schedule(steps)[0], bool)
-            else:  # Custom
+            else:  # Custom / Tea — host-exact Tea-decision replay
                 from lightx2v_tpu.caching.teacache import (TeaCacheConfig,
                                                            tea_decision_series)
                 from lightx2v_tpu.models.wan.model import time_embeddings

@@ -256,7 +256,7 @@ def test_split_branch_matches_traced_cond():
             break
     assert thresh is not None, "no mixed-schedule thresh found"
 
-    for mode in ("TaylorSeer", "Custom"):
+    for mode in ("TaylorSeer", "Custom", "Tea"):
         cfg = ConfigDict({"infer_steps": steps, "sample_shift": 5.0,
                           "teacache_thresh": thresh, "use_ret_steps": False})
         sched = WanUniPCScheduler(cfg)
@@ -289,3 +289,42 @@ def test_split_branch_matches_traced_cond():
         # the two trajectories picked identical branches: exactness bar
         err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-6)
         assert err < 2e-2, f"{mode}: split-branch diverged, rel {err}"
+
+
+def test_tea_fp8_cache_residual():
+    """tea_cache_dtype=fp8 stores the residual clipped to e4m3 range
+    (never inf/nan) and the skip step reconstructs from it; the denoise
+    loop stays finite end-to-end (the 14B 720P capacity lever)."""
+    # direct clip check: a residual beyond 448 saturates to 448, not inf
+    st = init_tea_state((1, 4, 8), (1, 8), dtype=jnp.float8_e4m3fn)
+    x = jnp.ones((1, 4, 8), jnp.bfloat16)
+    out, st2 = tea_transform(st, jnp.asarray(True), x, lambda xx: xx + 1000.0)
+    stored = np.asarray(st2["prev_residual"], np.float32)
+    assert np.isfinite(stored).all()
+    np.testing.assert_allclose(stored, 448.0)
+
+    cfg = ConfigDict({"infer_steps": 6, "sample_shift": 5.0, "teacache_thresh": 0.26,
+                      "use_ret_steps": False, "tea_cache_dtype": "fp8"})
+    sched = WanUniPCScheduler(cfg)
+    state = sched.prepare(TARGET, seed=0)
+    params = load_wan_params(init_random_weight_dict(ARCH, seed=0, scale=0.05), ARCH)
+    ctx = jnp.asarray(np.random.default_rng(0).standard_normal((1, 8, 16)), jnp.float32)
+    denoise = make_denoise_fn(ARCH, sched, TARGET, enable_cfg=False,
+                              self_attn_type="xla", cross_attn_type="xla",
+                              feature_caching="Tea", caching_config=cfg)
+    assert denoise.init_cache()["prev_residual"].dtype == jnp.float8_e4m3fn
+    out = denoise(params, state, ctx, ctx)
+    assert np.isfinite(np.asarray(out["latents"])).all()
+
+
+def test_custom_tea_residual_not_allocated():
+    """Custom never reads the Tea residual (Taylor reconstructs skipped
+    steps), so its tea sub-cache must not carry a (B, S, D) buffer."""
+    cfg = ConfigDict({"infer_steps": 6, "sample_shift": 5.0, "teacache_thresh": 0.26,
+                      "use_ret_steps": False})
+    sched = WanUniPCScheduler(cfg)
+    denoise = make_denoise_fn(ARCH, sched, TARGET, enable_cfg=False,
+                              self_attn_type="xla", cross_attn_type="xla",
+                              feature_caching="Custom", caching_config=cfg)
+    cache = denoise.init_cache()
+    assert cache["tea"]["prev_residual"].shape[1] == 1

@@ -136,7 +136,7 @@ def test_llama_synth_layout_matches_loader(tiny_llama):
     import jax
 
     from lightx2v_tpu.encoders.llama import (init_random_llama_params_on_device,
-                                             load_llama_params)
+                                             llama_encode, load_llama_params)
 
     cfg, model = tiny_llama
     arch = _llama_arch(cfg)
@@ -152,6 +152,16 @@ def test_llama_synth_layout_matches_loader(tiny_llama):
                 assert r.shape == g.shape, (r.shape, g.shape)
         else:
             assert got["blocks"]["q"]["w"].dtype == np.int8
+
+    # w4a8: nibble-packed uint8 weights at HALF the int8 footprint (the
+    # Hunyuan protocol-e2e coexistence lever) — encode must stay finite
+    # through the int4 mm path
+    got = init_random_llama_params_on_device(arch, scheme="w4a8", seed=0)
+    q = got["blocks"]["q"]
+    assert q["w"].dtype == np.uint8
+    assert q["w"].shape == (arch.num_layers, arch.dim, arch.dim // 2)
+    out = llama_encode(got, np.arange(1, 9)[None], np.ones((1, 8), np.int64), arch)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
 
 
 def test_clip_text_matches_hf(tiny_clip_text):

@@ -209,6 +209,23 @@ def test_service_metadata_endpoint(server):
     assert any(n == "flash_attn3" for n, _ in meta["attention_ops"])
     assert any(n == "int4" for n, _ in meta["quant_schemes"])
     assert meta["device"]["device_count"] >= 1
+    # model/task capability matrix (reference app model dropdown wiring):
+    # every registered runner appears with its supported tasks
+    matrix = {m["model_cls"]: m["tasks"] for m in meta["model_matrix"]}
+    assert matrix["wan2.1"] == ["t2v", "i2v"]
+    assert matrix["wan2.1_audio"] == ["audio"]
+    assert matrix["cogvideox"] == ["t2v"]
+    assert "hunyuan" in matrix and "wan2.1_causvid" in matrix
+
+
+def test_webui_capability_controls():
+    """The single-page app exposes the reference gradio app's capability
+    surface: model/task matrix, op pickers, auto-config, config export."""
+    from lightx2v_tpu.server.webui import WEB_UI_HTML
+
+    for needle in ('id="matrix"', "downloadConfig", "model_matrix",
+                   "buildBody", "autoConfig", 'id="attn"', 'id="quant"'):
+        assert needle in WEB_UI_HTML, needle
 
 
 def test_image_upload_endpoint(server):
