@@ -248,9 +248,13 @@ def main():
         sched = WanUniPCScheduler(ConfigDict(infer_steps=steps, sample_shift=5.0))
         target = (arch.in_dim, args.frames, args.height, args.width)
         state = sched.prepare(target, seed=args.seed)
+        # flash for the capture trajectory: numerically exact, and the
+        # dense-xla path materializes f32[H, S, S] logits — 51 GB at 1.3B
+        # full 480P tokens (S=32760), an instant compile-time OOM
         den = make_denoise_fn(arch, sched, target, enable_cfg=False,
                               guide_scale=5.0, mm_type="Default",
-                              self_attn_type="xla", cross_attn_type="xla")
+                              self_attn_type="flash_attn3",
+                              cross_attn_type="flash_attn3")
         step_fn = jax.jit(den.one_step)
         cap = sorted({min(steps - 1, max(0, int(float(fr) * steps)))
                       for fr in args.capture_fracs.split(",")})
