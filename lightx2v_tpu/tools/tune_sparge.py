@@ -40,30 +40,41 @@ from ..models.wan.model import wan_block, wan_pre_process
 from ..models.wan.pipeline import rope_for_shape
 from ..ops.attention import attention
 from ..ops.linear import resolve_mm
-from ..ops.sparge import sparge_attention_xla
+from ..ops.sparge import sparge_attention, sparge_attention_xla
 
 DEFAULT_L1_GRID = (0.30, 0.25, 0.20, 0.15, 0.10, 0.07, 0.05, 0.02)
 
 
 @lru_cache(maxsize=None)
-def _sparse_eval_fn(keep_ratio: float, block_q: int, block_k: int):
-    """Jitted sparse eval, cached by hyperparameters so the (l1, shape)
-    compile cache is SHARED across layers and samples: eager sparge
-    through the axon tunnel dispatches dozens of ops per eval at ~0.2-0.5 s
-    each, and a per-layer jit wrapper would recompile every layer."""
-    return jax.jit(partial(sparge_attention_xla, keep_ratio=keep_ratio,
-                           block_q=block_q, block_k=block_k),
-                   static_argnames=("l1",))
+def _grid_eval_fn(keep_ratio: float, block_q: int, block_k: int, on_tpu: bool):
+    """Jitted whole-grid sparse eval returning per-candidate SNR SCALARS.
 
+    Two memory/bandwidth constraints shape this (both hit in round 5):
+    * the dense-mask XLA sparge fallback materializes f32[B,N,S,S] logits
+      — 51.5 GB at 1.3B full 480P tokens (S=32760), an instant compile
+      OOM — so on TPU the eval runs the production Pallas block-sparse
+      kernel (the very path the table feeds);
+    * fetching per-candidate outputs to host for numpy SNR moves ~100 MB
+      per eval through the single-digit-MB/s axon tunnel — so the SNR is
+      computed on device over the whole l1 grid (lax.map; l1 only enters
+      the cumulative-mass count, so it traces fine) and only (len(grid),)
+      f32 scalars cross the tunnel per layer."""
+    sparse = sparge_attention if on_tpu else sparge_attention_xla
 
-def _snr_db(ref: np.ndarray, got: np.ndarray) -> float:
-    ref = np.asarray(ref, np.float32)
-    got = np.asarray(got, np.float32)
-    err = float(np.mean((ref - got) ** 2))
-    sig = float(np.mean(ref**2))
-    if err == 0.0:
-        return float("inf")
-    return 10.0 * float(np.log10(sig / max(err, 1e-30)))
+    @jax.jit
+    def eval_grid(q, k, v, dense_out, l1_vec):
+        ref = dense_out.astype(jnp.float32)
+        sig = jnp.mean(ref**2)
+
+        def one(l1):
+            out = sparse(q, k, v, keep_ratio=keep_ratio, l1=l1,
+                         block_q=block_q, block_k=block_k)
+            err = jnp.mean((out.astype(jnp.float32) - ref) ** 2)
+            return 10.0 * jnp.log10(sig / jnp.maximum(err, 1e-30))
+
+        return jax.lax.map(one, l1_vec)
+
+    return eval_grid
 
 
 def tune_layer(
@@ -79,21 +90,18 @@ def tune_layer(
 ) -> Tuple[float, float, bool]:
     """Pick the largest l1 whose sparse output meets the SNR bar.
 
-    Returns (l1, snr_db_at_l1, passed). Evaluation uses the pure-XLA
-    sparge path (identical selection math to the Pallas kernel; runs on
-    any backend)."""
-    ref = np.asarray(dense_out, np.float32)
-    fallback = min(l1_grid)
-    fallback_snr = -np.inf
-    sparse_fn = _sparse_eval_fn(keep_ratio, block_q, block_k)
-    for l1 in sorted(l1_grid, reverse=True):
-        out = sparse_fn(q, k, v, l1=float(l1))
-        s = _snr_db(ref, np.asarray(out))
-        if l1 == fallback:
-            fallback_snr = s
+    Returns (l1, snr_db_at_l1, passed). Evaluation runs the Pallas
+    block-sparse kernel on TPU (identical selection math to the XLA
+    fallback used on CPU)."""
+    grid = sorted(l1_grid, reverse=True)  # larger l1 = cheaper, try first
+    eval_fn = _grid_eval_fn(keep_ratio, block_q, block_k,
+                            jax.default_backend() == "tpu")
+    snrs = np.asarray(eval_fn(q, k, v, dense_out,
+                              jnp.asarray(grid, jnp.float32)))
+    for l1, s in zip(grid, snrs):
         if s >= bar_db:
-            return float(l1), s, True
-    return float(fallback), float(fallback_snr), False
+            return float(l1), float(s), True
+    return float(grid[-1]), float(snrs[-1]), False
 
 
 def tune_sparge(
@@ -126,7 +134,10 @@ def tune_sparge(
     x, embed, embed0, ctx, ctx_img, grid, s_tokens = wan_pre_process(
         params, latents, t, context, arch, y=y, clip_fea=clip_fea)
     mm_fn = resolve_mm(mm_type)
-    cross_fn = partial(attention, "xla")
+    # flash for the capture stack: dense xla attention materializes
+    # f32[N,S,S] logits (51.5 GB at 1.3B full 480P tokens) — flash is
+    # exact attention and fits at any S
+    cross_fn = partial(attention, "flash_attn3")
 
     # ONE jitted program per layer step (layers share shapes, so it
     # compiles once and is re-executed per layer): eager per-op dispatch
@@ -143,7 +154,7 @@ def tune_sparge(
 
                 q = apply_rope_half(q, kw["rope_cos"], kw["rope_sin"])
                 k = apply_rope_half(k, kw["rope_cos"], kw["rope_sin"])
-            out = attention("xla", q, k, v)
+            out = attention("flash_attn3", q, k, v)
             cap.append((q, k, v, out))
             return out
 
