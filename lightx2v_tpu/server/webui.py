@@ -70,9 +70,11 @@ WEB_UI_HTML = """<!doctype html>
 <input id="negative" placeholder="blurry, low quality">
 
 <div class="row">
-  <div><label>Seed</label><input id="seed" type="number" value="42"></div>
+  <div><label>Seed <a href="#" onclick="randSeed();return false" style="color:#7ab8ff">&#x1f3b2;</a></label>
+    <input id="seed" type="number" value="42"></div>
   <div><label>Steps</label><input id="steps" type="number" placeholder="config default"></div>
   <div><label>CFG scale</label><input id="cfg" type="number" step="0.5" placeholder="config default"></div>
+  <div><label>FPS</label><input id="fps" type="number" placeholder="config default"></div>
 </div>
 
 <details id="adv">
@@ -84,14 +86,22 @@ WEB_UI_HTML = """<!doctype html>
     <div><label>DiT quantization (load-time; changing it requires a relaunch)</label><select id="quant"></select></div>
   </div>
   <div>
-    <label class="chk"><input type="checkbox" id="teacache"> TeaCache</label>
+    <label class="chk"><input type="checkbox" id="cfgon" checked> CFG</label>
+    <label class="chk"><input type="checkbox" id="retsteps"> Cache ret-steps</label>
     <label class="chk"><input type="checkbox" id="tinyvae"> Tiny VAE</label>
     <label class="chk"><input type="checkbox" id="tilingvae"> Tiled VAE</label>
     <label class="chk"><input type="checkbox" id="offload"> Host-RAM streaming</label>
     <label class="chk"><input type="checkbox" id="lazyload"> Disk tier (lazy)</label>
   </div>
   <div class="row">
+    <div><label>Feature caching</label>
+      <select id="caching"><option>NoCaching</option><option value="Tea">TeaCache</option>
+        <option value="TaylorSeer">TaylorSeer</option><option value="Ada">AdaCache</option>
+        <option value="Custom">Custom (Tea+Taylor)</option></select></div>
     <div><label>TeaCache threshold</label><input id="teathresh" type="number" step="0.01" value="0.26"></div>
+    <div><label>Sample shift</label><input id="shift" type="number" step="0.5" placeholder="config default"></div>
+  </div>
+  <div class="row">
     <div style="align-self:end"><button class="secondary" onclick="autoConfig()">Auto-configure for this device</button></div>
     <div style="align-self:end"><button class="secondary" onclick="downloadConfig()">Download config JSON</button></div>
   </div>
@@ -154,12 +164,16 @@ async function loadMeta() {
 }
 loadMeta();
 
+function randSeed() {
+  document.getElementById('seed').value = Math.floor(Math.random() * 2147483647);
+}
+
 function autoConfig() {
   if (!META || !META.auto_config) return;
   const a = META.auto_config;
   document.getElementById('attn').value = a.attention_type;
   document.getElementById('quant').value = a.quant_scheme;
-  document.getElementById('teacache').checked = a.feature_caching === 'Tea';
+  document.getElementById('caching').value = a.feature_caching || 'NoCaching';
   document.getElementById('tinyvae').checked = !!a.tiny_vae;
   document.getElementById('tilingvae').checked = !!a.use_tiling_vae;
   document.getElementById('offload').checked = !!a.cpu_offload;
@@ -191,8 +205,11 @@ function buildBody() {
     // silently generating under the loaded scheme
     mm_type: (document.getElementById('quant').value !== (META && META.active_quant_scheme)) ?
       QUANT_MM[document.getElementById('quant').value] : undefined,
-    feature_caching: document.getElementById('teacache').checked ? 'Tea' : undefined,
+    feature_caching: document.getElementById('caching').value !== 'NoCaching' ?
+      document.getElementById('caching').value : undefined,
     teacache_thresh: parseFloat(document.getElementById('teathresh').value),
+    use_ret_steps: document.getElementById('retsteps').checked || undefined,
+    enable_cfg: document.getElementById('cfgon').checked ? undefined : false,
     tiny_vae: document.getElementById('tinyvae').checked || undefined,
     use_tiling_vae: document.getElementById('tilingvae').checked || undefined,
     weight_streaming: document.getElementById('offload').checked || undefined,
@@ -202,6 +219,10 @@ function buildBody() {
   };
   const cfgScale = document.getElementById('cfg').value;
   if (cfgScale) options.sample_guide_scale = parseFloat(cfgScale);
+  const shift = document.getElementById('shift').value;
+  if (shift) options.sample_shift = parseFloat(shift);
+  const fps = document.getElementById('fps').value;
+  if (fps) options.fps = parseInt(fps);
   const body = {
     prompt: document.getElementById('prompt').value,
     negative_prompt: document.getElementById('negative').value,

@@ -224,7 +224,13 @@ def test_webui_capability_controls():
     from lightx2v_tpu.server.webui import WEB_UI_HTML
 
     for needle in ('id="matrix"', "downloadConfig", "model_matrix",
-                   "buildBody", "autoConfig", 'id="attn"', 'id="quant"'):
+                   "buildBody", "autoConfig", 'id="attn"', 'id="quant"',
+                   # round-5 breadth: all four caching modes, ret-steps,
+                   # CFG toggle, sample shift, fps, seed randomize
+                   # (reference gradio_demo.py:830-1030 control set)
+                   'id="caching"', "TaylorSeer", "Ada", "Custom",
+                   'id="retsteps"', 'id="cfgon"', 'id="shift"',
+                   'id="fps"', "randSeed"):
         assert needle in WEB_UI_HTML, needle
 
 
