@@ -282,7 +282,14 @@ def make_denoise_fn(
                 xx, c = op
                 return xx + c["prev_residual"].astype(xx.dtype), dict(c)
 
-            x, cache = jax.lax.cond(i >= cache["skip_until"], compute, skip, (x, cache))
+            if _branch is None:
+                x, cache = jax.lax.cond(i >= cache["skip_until"], compute, skip,
+                                        (x, cache))
+            else:
+                # host-forced schedule (matched-calc-count comparisons vs
+                # the reference's published Ada operating point; the
+                # codebook's own decisions ride the traced cond above)
+                x, cache = (compute if _branch else skip)((x, cache))
         else:
             x = transformer(params, x, embed0, ctx_e, ctx_img)
 

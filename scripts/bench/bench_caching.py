@@ -285,6 +285,19 @@ def main():
         # shared decision exactly
         tea_split = (mode == "Tea" and not enable_cfg
                      and os.environ.get("BENCH_SPLIT_BRANCH", "1") != "0")
+        # BENCH_ADA_FORCE_FRAC: run Ada's mechanism (decisive-block capture
+        # + residual store on calc, residual reuse on skip) on a host-forced
+        # evenly-spaced schedule at the given calc fraction — the
+        # matched-calc-count comparison VERDICT r4 weak-#2 asked for (the
+        # codebook can't reach the reference's 0.37 point on synthetic
+        # weights; its achievable frac bisects to [0.12, 0.18])
+        ada_force = (os.environ.get("BENCH_ADA_FORCE_FRAC")
+                     if mode == "Ada" else None)
+        if ada_force:
+            frac = float(ada_force)
+            marks = np.floor(np.arange(steps) * frac)
+            split_sched = np.concatenate([[True], np.diff(marks) > 0]).astype(bool)
+            label = f"Ada@forced{frac:g}"
         if (taylor_full or tea_split) and os.environ.get("BENCH_SPLIT_BRANCH", "1") != "0":
             if mode == "TaylorSeer":
                 from lightx2v_tpu.caching.taylorseer import taylor_schedule
@@ -302,6 +315,7 @@ def main():
                 mods = np.asarray(e0_all if tcfg.use_ret_steps else e_all, np.float32)
                 split_sched = tea_decision_series(mods, tcfg)
             label = f"{label}@splitbranch"
+        if split_sched is not None:
             print(json.dumps({"split_branch_calc_steps": int(split_sched.sum()),
                               "of": steps}), flush=True)
             calc_fn = jax.jit(denoise.one_step_calc, donate_argnums=(2,))
@@ -340,7 +354,7 @@ def main():
 
         try:
             cache_override = None
-            if mode == "Ada":
+            if mode == "Ada" and not ada_force:
                 env = os.environ.get("BENCH_ADA_SCALE")
                 ada_scale = float(env) if env else calibrate_ada_scale(
                     step_fn, denoise.init_cache, state0)

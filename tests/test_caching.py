@@ -328,3 +328,38 @@ def test_custom_tea_residual_not_allocated():
                               feature_caching="Custom", caching_config=cfg)
     cache = denoise.init_cache()
     assert cache["tea"]["prev_residual"].shape[1] == 1
+
+
+def test_ada_split_branch_forced_schedule():
+    """Ada honors trace-time _branch selection (one_step_calc/_skip), the
+    mechanism behind matched-calc-count rows vs the reference's published
+    Ada operating point (BENCH_ADA_FORCE_FRAC): calc_count follows the
+    host schedule, and an all-calc forced run tracks the NoCaching
+    trajectory."""
+    cfg = ConfigDict({"infer_steps": 6, "sample_shift": 5.0})
+    params = load_wan_params(init_random_weight_dict(ARCH, seed=0, scale=0.02), ARCH)
+    ctx = jnp.asarray(np.random.default_rng(4).standard_normal((1, 8, 16)) * 0.1,
+                      jnp.float32)
+
+    def run(schedule, caching):
+        sched = WanUniPCScheduler(cfg)
+        state = sched.prepare(TARGET, seed=5)
+        d = make_denoise_fn(ARCH, sched, TARGET, enable_cfg=False,
+                            self_attn_type="xla", cross_attn_type="xla",
+                            feature_caching=caching, caching_config=cfg)
+        st, cache = state, d.init_cache()
+        for calc in schedule:
+            fn = d.one_step_calc if calc else d.one_step_skip
+            st, cache = fn(params, st, cache, ctx, ctx, None, None)
+        return np.asarray(st["latents"], np.float32), cache
+
+    sched_forced = [True, False, True, False, True, False]
+    lat, cache = run(sched_forced, "Ada")
+    assert np.isfinite(lat).all()
+    assert int(cache["calc_count"]) == 3
+
+    lat_all, cache_all = run([True] * 6, "Ada")
+    assert int(cache_all["calc_count"]) == 6
+    lat_ref, _ = run([True] * 6, "NoCaching")
+    c = np.corrcoef(lat_all.ravel(), lat_ref.ravel())[0, 1]
+    assert c > 0.98, f"all-calc Ada diverged from NoCaching, corr {c}"
