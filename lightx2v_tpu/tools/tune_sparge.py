@@ -214,6 +214,15 @@ def main():
     ap.add_argument("--block_q", type=int, default=2048)
     ap.add_argument("--block_k", type=int, default=1024)
     ap.add_argument("--platform", help="force a jax platform (e.g. cpu)")
+    ap.add_argument("--mm_type", default="Default",
+                    help="matmul scheme for the capture stack (the 14b "
+                         "preset needs a quantized scheme on one v5e: bf16 "
+                         "weights alone are 28 GB; pass the flagship's "
+                         "W-int4-group-sym-A-int8-token-dynamic-Tpu and the "
+                         "matching --scheme so the synthesized weights "
+                         "carry quantized layouts)")
+    ap.add_argument("--scheme", default="bf16",
+                    help="on-device synthetic weight scheme (bf16/int8/int4)")
     ap.add_argument("--output", default="sparge_tuned.npz")
     args = ap.parse_args()
 
@@ -235,7 +244,7 @@ def main():
     elif args.synthetic or args.structured:
         from ..models.wan.weights import init_random_params_on_device
 
-        params = init_random_params_on_device(arch, scheme="bf16", seed=args.seed)
+        params = init_random_params_on_device(arch, scheme=args.scheme, seed=args.seed)
         if args.structured:
             from ..models.wan.weights import structure_params_on_device
 
