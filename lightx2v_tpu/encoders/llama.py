@@ -245,11 +245,15 @@ def init_random_llama_params_on_device(arch: LlamaArch = LLAVA_LLAMA3_8B,
                 return {"w": vals.astype(jnp.float8_e4m3fn),
                         "w_scale": jnp.full(bsh, scale / 100.0, jnp.float32)}
             if scheme == "w4a8":
-                # int4 nibble-packed weights + per-(channel, group-128)
+                # int4 nibble-packed weights + per-(channel, group-512)
                 # scales — halves the int8 footprint so the 8B encoder
                 # coexists with a 13B w4a8 DiT on one 16 GB v5e (the
-                # Hunyuan protocol-complete e2e peak)
-                group = min(128, kin)
+                # Hunyuan protocol-complete e2e peak). Group 512 matches
+                # the DiT convention (int4_matmul.BK) and keeps the
+                # blocked w4a8 kernel's packed block >= 128 lanes at the
+                # down-projection's K=14336 (group 128 made bk//2 = 64,
+                # an illegal Mosaic block — part-5 trace failure)
+                group = min(512, kin)
                 return {"w": jr.randint(key, (L, out, kin // 2), 0, 255, jnp.uint8),
                         "w_scale": jnp.full((L, out, kin // group),
                                             scale / 7.0, jnp.float32)}
