@@ -432,6 +432,58 @@ def quantize_params_on_device(params: Params, scheme: str) -> Params:
     return out
 
 
+def init_structured_quantized_params_on_device(
+        arch: WanArch, scheme: str, seed: int = 0, struct_seed: int = 1,
+        chunk_layers: int = 4) -> Params:
+    """Structured synthetic weights at 14B scale on one 16 GB chip.
+
+    ``structure_params_on_device`` needs a bf16 master, but the 14B
+    master is 28 GB — it can never be HBM-resident. Blocks are therefore
+    generated -> structured -> quantized in ``chunk_layers``-layer chunks
+    (one chunk's bf16 master is ~2 GB) and concatenated leaf-wise along
+    the layer axis, dropping chunk references as each leaf lands so the
+    peak is ~quantized-size + one leaf's concat (~8.5 GB for 14B int4).
+
+    Schemes are ``quantize_params_on_device``'s ("int8"/"fp8"/"int4" —
+    int4 is the w4a8 weight layout). Chunk randomness folds the chunk
+    index so layers are independent draws, like the unchunked path."""
+    import dataclasses as _dc
+
+    import jax
+
+    L = arch.num_layers
+    nc = -(-L // chunk_layers)
+    chunk_blocks = []
+    non_block: Params = {}
+    for c in range(nc):
+        lc = min(chunk_layers, L - c * chunk_layers)
+        sub = _dc.replace(arch, num_layers=lc)
+        p = init_random_params_on_device(sub, scheme="bf16", seed=seed * 1000 + c)
+        p = structure_params_on_device(p, seed=struct_seed * 1000 + c)
+        p = quantize_params_on_device(p, scheme)
+        if c == 0:
+            non_block = {k: v for k, v in p.items() if k != "blocks"}
+        chunk_blocks.append(p["blocks"])
+        del p
+
+    flat0, treedef = jax.tree_util.tree_flatten(chunk_blocks[0])
+    chunk_leaves = [jax.tree_util.tree_flatten(cb)[0] for cb in chunk_blocks]
+    del chunk_blocks, flat0
+
+    @jax.jit
+    def cat(*xs):
+        return jnp.concatenate(xs, axis=0)
+
+    out_leaves = []
+    for li in range(len(chunk_leaves[0])):
+        parts = [cl[li] for cl in chunk_leaves]
+        out_leaves.append(cat(*parts))
+        for cl in chunk_leaves:  # drop chunk refs so buffers free leaf-by-leaf
+            cl[li] = None
+    blocks = jax.tree_util.tree_unflatten(treedef, out_leaves)
+    return dict(non_block, blocks=blocks)
+
+
 def structure_params_on_device(params: Params, seed: int = 1,
                                outlier_sigma: float = 0.8, rank: int = 8,
                                spike: float = 3.0) -> Params:

@@ -241,6 +241,13 @@ def main():
         from ..models.wan.weights import load_wan_from_path
 
         params = load_wan_from_path(args.model_path, arch)
+    elif args.structured and args.scheme not in ("bf16", "Default"):
+        # quantized structured synthesis (14b on one 16 GB chip: the bf16
+        # master can't be resident — chunked generate->structure->quantize)
+        from ..models.wan.weights import init_structured_quantized_params_on_device
+
+        params = init_structured_quantized_params_on_device(
+            arch, args.scheme, seed=args.seed, struct_seed=args.seed + 1)
     elif args.synthetic or args.structured:
         from ..models.wan.weights import init_random_params_on_device
 
@@ -272,7 +279,7 @@ def main():
         # dense-xla path materializes f32[H, S, S] logits — 51 GB at 1.3B
         # full 480P tokens (S=32760), an instant compile-time OOM
         den = make_denoise_fn(arch, sched, target, enable_cfg=False,
-                              guide_scale=5.0, mm_type="Default",
+                              guide_scale=5.0, mm_type=args.mm_type,
                               self_attn_type="flash_attn3",
                               cross_attn_type="flash_attn3")
         step_fn = jax.jit(den.one_step)
@@ -294,6 +301,7 @@ def main():
 
     l1_grid = tuple(float(v) for v in args.l1_grid.split(","))
     per_sample = [tune_sparge(params, arch, lat, tt, context,
+                              mm_type=args.mm_type,
                               keep_ratio=args.keep_ratio, l1_grid=l1_grid,
                               bar_db=args.bar_db, block_q=args.block_q,
                               block_k=args.block_k)

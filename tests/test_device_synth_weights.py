@@ -125,3 +125,57 @@ class TestWanI2VDeviceInit:
                           self_attn_type="xla", cross_attn_type="xla")
         assert out.shape == (1, 4, 2, 4, 8)
         assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+class TestStructuredQuantizedChunkedInit:
+    """init_structured_quantized_params_on_device: the 14B-scale chunked
+    generate->structure->quantize pipeline must produce the same pytree
+    as the quantized one-shot path (shapes/dtypes), with non-flat
+    per-layer structure (the point of structuring)."""
+
+    def _arch(self):
+        from lightx2v_tpu.models.wan.config import WanArch
+
+        return WanArch(dim=128, ffn_dim=256, num_heads=4, num_layers=5,
+                       in_dim=4, out_dim=4, freq_dim=32, text_len=8,
+                       text_dim=16)
+
+    def test_tree_matches_unchunked_quantized(self):
+        from lightx2v_tpu.models.wan.weights import (
+            init_random_params_on_device,
+            init_structured_quantized_params_on_device)
+
+        arch = self._arch()
+        ref = init_random_params_on_device(arch, scheme="int4", seed=0)
+        dev = init_structured_quantized_params_on_device(
+            arch, "int4", seed=0, chunk_layers=2)  # 5 layers -> 3 chunks (ragged tail)
+        _assert_same_tree(ref, dev)
+        rd = {jtu.keystr(k): v.dtype for k, v in jtu.tree_leaves_with_path(ref)}
+        dd = {jtu.keystr(k): v.dtype for k, v in jtu.tree_leaves_with_path(dev)}
+        assert rd == dd
+
+    def test_structure_is_nonflat_and_forward_runs(self):
+        from lightx2v_tpu.models.wan.model import wan_forward
+        from lightx2v_tpu.models.wan.pipeline import rope_for_shape
+        from lightx2v_tpu.models.wan.weights import (
+            init_structured_quantized_params_on_device)
+
+        arch = self._arch()
+        params = init_structured_quantized_params_on_device(
+            arch, "int8", seed=0, chunk_layers=2)
+        # per-layer weight scales must differ layer to layer (independent
+        # chunk draws + lognormal channel outliers)
+        ws = np.asarray(params["blocks"]["self_attn"]["q"]["w_scale"], np.float32)
+        assert ws.std(axis=1).min() > 0, "flat channel scales — structuring missing"
+        assert not np.allclose(ws[0], ws[-1])
+        target = (4, 2, 4, 8)
+        cos, sin, _ = rope_for_shape(arch, target)
+        lat = jnp.asarray(np.random.default_rng(0).standard_normal((1, *target)) * 0.5,
+                          jnp.bfloat16)
+        ctx = jnp.asarray(np.random.default_rng(1).standard_normal((1, 8, 16)) * 0.1,
+                          jnp.bfloat16)
+        out = wan_forward(params, lat, jnp.asarray([500.0], jnp.float32), ctx,
+                          jnp.asarray(cos), jnp.asarray(sin), arch,
+                          mm_type="W-int8-channel-sym-A-int8-channel-sym-dynamic-Tpu",
+                          self_attn_type="xla", cross_attn_type="xla")
+        assert np.isfinite(np.asarray(out, np.float32)).all()
