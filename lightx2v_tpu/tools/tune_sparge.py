@@ -12,8 +12,9 @@ output-similarity bar. This tool is the TPU-native analog:
 2. Per layer, candidates from ``l1_grid`` are evaluated DESCENDING
    (larger l1 = more softmax mass skipped = cheaper); the first whose
    sparse output keeps SNR >= ``bar_db`` vs the dense output wins. If
-   none passes, the smallest (most conservative) candidate is used and
-   the layer is flagged.
+   none passes, the layer falls back to l1=0.0 — the densest selection
+   the keep_ratio cap allows (every row keeps its full top-k budget) —
+   and is flagged in the emitted table.
 3. The result is written as an .npz with an ``l1`` (num_layers,) table —
    exactly what the ``sparge_ckpt`` config key consumes
    (runners/wan_runner.py _self_attn_setup).
@@ -92,8 +93,11 @@ def tune_layer(
 
     Returns (l1, snr_db_at_l1, passed). Evaluation runs the Pallas
     block-sparse kernel on TPU (identical selection math to the XLA
-    fallback used on CPU)."""
-    grid = sorted(l1_grid, reverse=True)  # larger l1 = cheaper, try first
+    fallback used on CPU). A terminal l1=0.0 candidate is always
+    evaluated: if no grid point meets the bar the layer falls back to
+    the densest selection the keep cap allows (l1=0 keeps every row's
+    full top-k budget), which strictly dominates any positive l1."""
+    grid = sorted(set(l1_grid) | {0.0}, reverse=True)  # larger l1 = cheaper
     eval_fn = _grid_eval_fn(keep_ratio, block_q, block_k,
                             jax.default_backend() == "tpu")
     snrs = np.asarray(eval_fn(q, k, v, dense_out,
@@ -101,7 +105,7 @@ def tune_layer(
     for l1, s in zip(grid, snrs):
         if s >= bar_db:
             return float(l1), float(s), True
-    return float(grid[-1]), float(snrs[-1]), False
+    return 0.0, float(snrs[-1]), False
 
 
 def tune_sparge(
@@ -175,7 +179,7 @@ def tune_sparge(
         if verbose:
             from ..utils.logging_utils import logger
 
-            flag = "" if ok else "  [NO CANDIDATE MET THE BAR — using most conservative]"
+            flag = "" if ok else "  [NO CANDIDATE MET THE BAR — l1=0.0 densest-in-cap fallback]"
             logger.info(f"layer {i:02d}: l1={l1:.3f} snr={s:.1f} dB{flag}")
     return (np.asarray(l1s, np.float32), np.asarray(snrs, np.float32),
             np.asarray(passed, bool))
@@ -324,6 +328,7 @@ def main():
         "l1_max": float(l1s.max()),
         "l1_distinct": int(len(np.unique(l1s))),
         "all_passed": bool(passed.all()),
+        "failed_layers": [int(i) for i in np.nonzero(~passed)[0]],
         "snr_min_db": float(snrs.min()),
     }))
 
