@@ -66,6 +66,10 @@ def sparge_select_blocks(
     dense-sized MXU tiles."""
     b, sq, n, d = q.shape
     sk = k.shape[1]
+    if block_q % BLOCK or block_k % BLOCK:
+        raise ValueError(
+            f"sparge block_q/block_k must be multiples of the {BLOCK}-token "
+            f"selection granularity, got ({block_q}, {block_k})")
     block_q = min(block_q, max(BLOCK, 1 << (sq - 1).bit_length()))
     block_k = min(block_k, max(BLOCK, 1 << (sk - 1).bit_length()))
     pq = (-sq) % BLOCK

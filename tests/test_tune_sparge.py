@@ -78,3 +78,26 @@ def test_bar_monotonicity(tiny_setup):
                                        verbose=False)
     # fallback layers (nothing met the strict bar) already sit at min(grid)
     assert np.all(strict <= loose)
+
+
+def test_shipped_tuned_table_artifact():
+    """The repo ships a tuned table (configs/sparge/) wired by
+    configs/wan_t2v_sparge_tuned.json via the sparge_ckpt key; pin its
+    invariants: one entry per 1.3B layer, values inside the grid range,
+    bar metadata present, and failed layers at the densest-in-cap 0.0."""
+    import json
+    import os
+
+    import numpy as np
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    cfg = json.load(open(os.path.join(root, "configs/wan_t2v_sparge_tuned.json")))
+    table_path = os.path.join(root, cfg["sparge_ckpt"])
+    assert os.path.exists(table_path)
+    d = np.load(table_path)
+    l1, passed = d["l1"], d["passed"]
+    assert l1.shape == (30,)  # Wan 1.3B num_layers
+    assert float(d["bar_db"]) > 0 and 0 < float(d["keep_ratio"]) <= 1
+    assert ((l1 >= 0.0) & (l1 <= 0.3)).all()
+    np.testing.assert_array_equal(l1[~passed], 0.0)
+    assert passed.sum() >= l1.shape[0] // 2  # most layers sparsifiable
