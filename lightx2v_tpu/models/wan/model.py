@@ -239,12 +239,48 @@ def wan_transformer(
     the analog of the reference's per-block tuned (l1, pv_l1) tables from
     ``sparge_ckpt`` (transformer_weights.py:183-190). keep_ratio stays a
     shared static (it sets the top-k SHAPE); l1 only moves the dynamic
-    per-row count, so it can vary layer to layer inside one compiled scan."""
+    per-row count, so it can vary layer to layer inside one compiled scan.
+
+    ``self_attn_kwargs["dense_prefix"]`` (static int) runs the first p
+    layers with dense flash attention instead of the sparse kernel — a
+    segmented scan (dense head + sparse tail). Motivated by tuned tables
+    (tools/tune_sparge.py): early Wan layers are the least sparsifiable
+    (the 1.3B structured-trajectory table fails layers 0-1 at every l1
+    candidate under a 25 dB bar), and the keep_ratio cap means even
+    l1=0.0 cannot make a scanned layer dense. Two scan bodies compile
+    instead of one; shapes are static so each segment traces once."""
     mm_fn = resolve_mm(mm_type)
     kw = dict(self_attn_kwargs or {})
     l1_layers = kw.pop("l1_per_layer", None)
+    dense_prefix = int(kw.pop("dense_prefix", 0) or 0)
     self_attn_fn = partial(attention, self_attn_type, **kw)
     cross_attn_fn = partial(attention, cross_attn_type)
+
+    if dense_prefix > 0:
+        num_layers = jax.tree_util.tree_leaves(blocks)[0].shape[0]
+        p = min(dense_prefix, num_layers)
+        head_blocks = jax.tree_util.tree_map(lambda a: a[:p], blocks)
+        tail_blocks = jax.tree_util.tree_map(lambda a: a[p:], blocks)
+        dense_fn = partial(attention, "flash_attn3")
+
+        def dense_body(carry, layer):
+            out = wan_block(
+                layer, carry, embed0, context, context_img, rope_cos, rope_sin,
+                arch, mm_fn, dense_fn, cross_attn_fn,
+            )
+            return out, None
+
+        x, _ = jax.lax.scan(dense_body, x, head_blocks)
+        if p == num_layers:
+            return x
+        tail_l1 = None if l1_layers is None else jnp.asarray(l1_layers, jnp.float32)[p:]
+        return wan_transformer(
+            tail_blocks, x, embed0, context, context_img, rope_cos, rope_sin,
+            arch, mm_type=mm_type, self_attn_type=self_attn_type,
+            cross_attn_type=cross_attn_type,
+            self_attn_kwargs={**kw, **({"l1_per_layer": tail_l1}
+                                       if tail_l1 is not None else {})},
+        )
 
     if l1_layers is not None:
         l1_arr = jnp.asarray(l1_layers, jnp.float32)

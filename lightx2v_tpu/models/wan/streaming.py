@@ -87,8 +87,13 @@ def make_streamed_forward(arch: WanArch, mm_type: str = "Default",
     mm_fn = resolve_mm(mm_type)
     kw = dict(self_attn_kwargs or {})
     l1_per_layer = kw.pop("l1_per_layer", None)
+    # tuner-failed leading layers run dense (model.wan_transformer
+    # dense_prefix); under streaming this is just a second jitted block
+    # program selected by host index — no segmented scan needed
+    dense_prefix = int(kw.pop("dense_prefix", 0) or 0)
     self_fn = partial(attention, self_attn_type, **kw)
     cross_fn = partial(attention, cross_attn_type)
+    dense_attn_fn = partial(attention, "flash_attn3")
 
     @jax.jit
     def pre(params_small, latents, t, context, y=None, clip_fea=None):
@@ -105,6 +110,11 @@ def make_streamed_forward(arch: WanArch, mm_type: str = "Default",
     def block_step_l1(block, x, embed0, ctx, ctx_img, rope_cos, rope_sin, l1):
         return wan_block(block, x, embed0, ctx, ctx_img, rope_cos, rope_sin,
                          arch, mm_fn, partial(self_fn, l1=l1), cross_fn)
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def block_step_dense(block, x, embed0, ctx, ctx_img, rope_cos, rope_sin):
+        return wan_block(block, x, embed0, ctx, ctx_img, rope_cos, rope_sin,
+                         arch, mm_fn, dense_attn_fn, cross_fn)
 
     @partial(jax.jit, static_argnums=(3, 4))
     def post(params_small, x, embed, grid, s_tokens):
@@ -214,6 +224,9 @@ def make_streamed_forward(arch: WanArch, mm_type: str = "Default",
             if ada is not None and i == mid:
                 x, tiny = block_step_tiny(dev_block, x, embed0, ctx_e, ctx_img,
                                           rope_cos, rope_sin, l1=l1)
+            elif i < dense_prefix:
+                x = block_step_dense(dev_block, x, embed0, ctx_e, ctx_img,
+                                     rope_cos, rope_sin)
             elif l1 is not None:
                 x = block_step_l1(dev_block, x, embed0, ctx_e, ctx_img,
                                   rope_cos, rope_sin, l1)

@@ -451,16 +451,40 @@ class WanRunner(DefaultRunner):
             # per-layer tuned budgets, the reference's sparge_ckpt analog:
             # either an inline list or an .npz with an "l1" (L,) array
             per_layer = self.config.get("sparge_l1_per_layer")
+            table_passed = None
             if not per_layer and self.config.get("sparge_ckpt"):
                 import numpy as _np
 
-                per_layer = _np.load(self.config["sparge_ckpt"])["l1"]
+                table = _np.load(self.config["sparge_ckpt"])
+                per_layer = table["l1"]
+                if "passed" in table:
+                    table_passed = table["passed"]
             if per_layer is not None:
                 per_layer = list(map(float, per_layer))
                 assert len(per_layer) == self.arch.num_layers, (
                     f"sparge l1 table has {len(per_layer)} entries, "
                     f"model has {self.arch.num_layers} layers")
                 self_attn_kwargs["l1_per_layer"] = per_layer
+            # layers the tuner could not sparsify within the keep cap run
+            # DENSE via a segmented scan (model.wan_transformer
+            # dense_prefix). Auto: the table's leading failed run;
+            # override with config sparge_dense_prefix (0 disables).
+            dense_prefix = self.config.get("sparge_dense_prefix")
+            if dense_prefix is None and table_passed is not None:
+                dense_prefix = 0
+                for ok in table_passed:
+                    if ok:
+                        break
+                    dense_prefix += 1
+                if not table_passed[dense_prefix:].all():
+                    from ..utils.logging_utils import logger
+
+                    logger.warning(
+                        "sparge table has non-leading failed layers; only a "
+                        "leading dense prefix is supported — mid-stack "
+                        "failures run at their table l1 (densest-in-cap)")
+            if dense_prefix:
+                self_attn_kwargs["dense_prefix"] = int(dense_prefix)
         return attn_default, cross_attn, self_attn_kwargs
 
     def _run_dit_streamed(self, encoder_out: Dict[str, Any]):

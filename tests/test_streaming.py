@@ -356,3 +356,28 @@ def test_streamed_custom_tea_decision_taylor_recon():
     assert taylor["skipped"] == 1
     assert np.isfinite(np.asarray(out1, np.float32)).all()
     assert np.isfinite(np.asarray(out0, np.float32)).all()
+
+
+def test_streamed_dense_prefix_matches_resident():
+    """dense_prefix x streaming: the first p streamed blocks run the
+    dense program; with keep_ratio=1.0 the whole output still equals the
+    dense streamed forward (execution-path-only change)."""
+    params = load_wan_params(init_random_weight_dict(ARCH, seed=0, scale=0.05), ARCH)
+    rng = np.random.default_rng(8)
+    latents = jnp.asarray(rng.standard_normal((1, 4, 2, 4, 8)), jnp.float32)
+    t = jnp.asarray([500.0], jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, 16)), jnp.float32)
+    cos, sin = build_wan_rope_grid(ARCH.head_dim, 2, 2, 4)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+
+    host_params = split_blocks_to_host(params)
+    fwd = make_streamed_forward(
+        ARCH, self_attn_type="sparge", cross_attn_type="xla",
+        self_attn_kwargs={"keep_ratio": 1.0, "l1": 0.0, "interpret": True,
+                          "dense_prefix": 2,
+                          "l1_per_layer": [0.0] * ARCH.num_layers})
+    out = fwd(host_params, latents, t, ctx, cos, sin)
+    ref = make_streamed_forward(ARCH, self_attn_type="xla", cross_attn_type="xla")(
+        host_params, latents, t, ctx, cos, sin)
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref, np.float32),
+                               rtol=5e-2, atol=5e-2)

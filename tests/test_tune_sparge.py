@@ -31,7 +31,8 @@ def test_tune_sparge_emits_valid_table(tiny_setup, tmp_path):
         bar_db=20.0, block_q=128, block_k=128, verbose=False)
     assert l1s.shape == (arch.num_layers,)
     assert snrs.shape == (arch.num_layers,)
-    assert all(np.isclose(grid, float(v)).any() for v in l1s)
+    # chosen values come from the grid, or the 0.0 densest-in-cap fallback
+    assert all(np.isclose((*grid, 0.0), float(v)).any() for v in l1s)
     # every passed layer's chosen candidate met the bar
     assert np.all(snrs[passed] >= 20.0)
     # the table round-trips through the sparge_ckpt npz contract
@@ -101,3 +102,80 @@ def test_shipped_tuned_table_artifact():
     assert ((l1 >= 0.0) & (l1 <= 0.3)).all()
     np.testing.assert_array_equal(l1[~passed], 0.0)
     assert passed.sum() >= l1.shape[0] // 2  # most layers sparsifiable
+
+
+def _fwd(tiny_setup, self_attn_type, self_attn_kwargs):
+    from lightx2v_tpu.models.wan.model import wan_forward
+    from lightx2v_tpu.models.wan.pipeline import rope_for_shape
+
+    arch, params, latents, t, context = tiny_setup
+    cos, sin, _ = rope_for_shape(arch, latents.shape[1:])
+    return wan_forward(
+        params, latents, t, context, jnp.asarray(cos), jnp.asarray(sin),
+        arch, self_attn_type=self_attn_type,
+        self_attn_kwargs=self_attn_kwargs)
+
+
+def test_dense_prefix_full_equals_flash(tiny_setup):
+    """dense_prefix == num_layers turns the whole sparse stack into the
+    dense flash forward — the segmented scan's head program IS the dense
+    path."""
+    arch = tiny_setup[0]
+    ref = _fwd(tiny_setup, "flash_attn3", None)
+    out = _fwd(tiny_setup, "sparge",
+               {"keep_ratio": 0.25, "block_q": 128, "block_k": 128,
+                "dense_prefix": arch.num_layers})
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), rtol=0, atol=0)
+
+
+def test_dense_prefix_segmented_matches_manual(tiny_setup):
+    """dense head + sparse tail == running the stack with a per-layer
+    choice: dense flash for layers < p, the sparse kernel above — pinned
+    by comparing against keep_ratio=1.0 (selection keeps everything, so
+    sparse == dense) with and without the prefix."""
+    arch = tiny_setup[0]
+    kw = {"keep_ratio": 1.0, "l1": 0.0, "block_q": 128, "block_k": 128}
+    ref = _fwd(tiny_setup, "sparge", kw)
+    out = _fwd(tiny_setup, "sparge", {**kw, "dense_prefix": 2})
+    # keep=1.0 sparge attends to every block, so the prefix only changes
+    # the execution path, not the math (both are exact softmax attention)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0, atol=5e-2)
+    # and a real sparse tail still produces finite output with a prefix
+    sparse = _fwd(tiny_setup, "sparge",
+                  {"keep_ratio": 0.25, "block_q": 128, "block_k": 128,
+                   "dense_prefix": 2,
+                   "l1_per_layer": [0.0] * arch.num_layers})
+    assert np.isfinite(np.asarray(sparse, np.float32)).all()
+
+
+def test_runner_derives_dense_prefix_from_table(tmp_path):
+    """The runner auto-derives dense_prefix from the table's leading
+    failed layers (sparge_ckpt contract)."""
+    from lightx2v_tpu.runners.wan_runner import WanRunner
+
+    table = tmp_path / "t.npz"
+    np.savez(table,
+             l1=np.asarray([0.0, 0.0, 0.3, 0.3], np.float32),
+             passed=np.asarray([False, False, True, True]),
+             keep_ratio=np.float32(0.3), bar_db=np.float32(25.0))
+    cfg = {
+        "model_cls": "wan2.1", "task": "t2v", "synthetic_weights": True,
+        "infer_steps": 1, "target_video_length": 5, "text_len": 16,
+        "target_height": 32, "target_width": 32,
+        "sparge": True, "sparge_ckpt": str(table),
+    }
+    runner = WanRunner.__new__(WanRunner)
+    runner.config = cfg
+
+    class _A:  # only num_layers is consulted
+        num_layers = 4
+
+    runner.arch = _A()
+    attn, cross, kwargs = runner._self_attn_setup()
+    assert attn == "sparge"
+    assert kwargs["dense_prefix"] == 2
+    np.testing.assert_allclose(kwargs["l1_per_layer"],
+                               [0.0, 0.0, 0.3, 0.3], atol=1e-6)
