@@ -195,8 +195,13 @@ def main():
         self_attn_kwargs = {"keep_ratio": float(os.environ.get("BENCH_SPARGE_KEEP", 0.3)),
                             "l1": 0.07, **sparse_blocks}
         if os.environ.get("BENCH_SPARGE_TABLE"):  # tuned per-layer l1 .npz
-            self_attn_kwargs["l1_per_layer"] = np.load(
-                os.environ["BENCH_SPARGE_TABLE"])["l1"]
+            _tab = np.load(os.environ["BENCH_SPARGE_TABLE"])
+            self_attn_kwargs["l1_per_layer"] = _tab["l1"]
+            if "passed" in _tab and not _tab["passed"][0]:
+                # tuner-failed leading layers run dense (segmented scan)
+                _pa = _tab["passed"]
+                self_attn_kwargs["dense_prefix"] = (
+                    int(np.argmax(_pa)) if _pa.any() else len(_pa))
     fwd = jax.jit(
         lambda p, l, tt, c: wan_forward(
             p, l, tt, c, rope_cos, rope_sin, arch, y=y, clip_fea=clip_fea,
@@ -652,8 +657,13 @@ def run_e2e(arch, params, target, mm_type, attn, steps, preset="14b",
             "block_k": int(os.environ.get("BENCH_SPARSE_BK", 1024)),
         }
         if os.environ.get("BENCH_SPARGE_TABLE"):  # tuned per-layer l1 .npz
-            self_attn_kwargs["l1_per_layer"] = np.load(
-                os.environ["BENCH_SPARGE_TABLE"])["l1"]
+            _tab = np.load(os.environ["BENCH_SPARGE_TABLE"])
+            self_attn_kwargs["l1_per_layer"] = _tab["l1"]
+            if "passed" in _tab and not _tab["passed"][0]:
+                # tuner-failed leading layers run dense (segmented scan)
+                _pa = _tab["passed"]
+                self_attn_kwargs["dense_prefix"] = (
+                    int(np.argmax(_pa)) if _pa.any() else len(_pa))
     denoise = make_denoise_fn(
         arch, sched, target, enable_cfg=False, mm_type=mm_type,
         self_attn_type=attn, cross_attn_type=cross,

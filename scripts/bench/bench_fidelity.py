@@ -117,7 +117,8 @@ def main():
         "int4": "W-int4-group-sym-A-int8-token-dynamic-Tpu",  # w4a8 (flagship)
     }
 
-    def run(scheme, attn, keep=None, rope_fused=False, rope_bf16=False):
+    def run(scheme, attn, keep=None, rope_fused=False, rope_bf16=False,
+            tuned=False):
         # bf16 rope rotation (ops/rope._rope_compute_dtype): env is read
         # at trace time and every rung builds a fresh make_denoise_fn, so
         # toggling here scopes the dtype to this rung's programs
@@ -130,6 +131,14 @@ def main():
         sak = None
         if attn == "sparge":
             sak = {"keep_ratio": keep, "l1": 0.07, "block_q": 2048, "block_k": 1024}
+            if tuned:
+                # per-layer tuned budgets + dense prefix for tuner-failed
+                # leading layers (the sparge_ckpt contract end-to-end)
+                tab = np.load(os.environ["BENCH_SPARGE_TABLE"])
+                sak["l1_per_layer"] = tab["l1"]
+                if "passed" in tab and not tab["passed"][0]:
+                    pa = tab["passed"]
+                    sak["dense_prefix"] = int(np.argmax(pa)) if pa.any() else len(pa)
         den = make_denoise_fn(a, sched, target, enable_cfg=False,
                               mm_type=mm_types[scheme], self_attn_type=attn,
                               cross_attn_type=cross, self_attn_kwargs=sak)
@@ -165,6 +174,10 @@ def main():
         ("int8-sparge0.3", "int8", "sparge", 0.3, False, False),
         ("int8-sparge0.3-bf16rope", "int8", "sparge", 0.3, False, True),
     ]
+    if os.environ.get("BENCH_SPARGE_TABLE"):
+        # tuned-table rung: per-layer l1 + dense prefix vs the uniform row
+        rungs.append(("int8-sparge-tuned", "int8", "sparge", 0.3, False,
+                      False, True))
     sel = os.environ.get("BENCH_RUNGS")
     if sel:
         want = set(sel.split(","))
@@ -172,8 +185,8 @@ def main():
 
     ref_z = ref_frames = None
     w4a8_z = None  # second reference: isolates sparsity error from quant error
-    for name, scheme, attn, keep, rf, rb in rungs:
-        z, frames, wall = run(scheme, attn, keep, rf, rb)
+    for name, scheme, attn, keep, rf, rb, *tn in rungs:
+        z, frames, wall = run(scheme, attn, keep, rf, rb, tuned=bool(tn and tn[0]))
         if name == "bf16-dense":
             ref_z, ref_frames = z, frames
             row = {"rung": name, "latent_snr_db": None, "frame_snr_db": None,

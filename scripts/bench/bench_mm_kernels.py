@@ -75,7 +75,7 @@ def main():
 
         # --- w4a8 qkv/o shape: (S, 5120) x (5120 -> 5120), fullk path
         wq, wqs = pack_int4(DIM, DIM, 1)
-        fl = 2.0 * S * DIM * DIM * CHAIN
+        fl = 2.0 * S * DIM * DIM  # per call; dt is per-call
 
         def qkv_chain(x, wq=wq, wqs=wqs, bm=None, bn=None):
             kw = {}
@@ -96,7 +96,7 @@ def main():
 
         # --- w4a8 ffn2 shape: (S, 13824) -> 5120 (blocked path, K > 8192)
         w2, w2s = pack_int4(DIM, FFN, 2)
-        fl2 = 2.0 * S * FFN * DIM * CHAIN
+        fl2 = 2.0 * S * FFN * DIM
 
         def ffn2_chain(xf):
             s = jnp.float32(0)
@@ -108,7 +108,7 @@ def main():
 
         # --- fused whole FFN (5120 -> 13824 -> gelu -> 5120)
         w0, w0s = pack_int4(FFN, DIM, 3)
-        flf = (2.0 * S * DIM * FFN + 2.0 * S * FFN * DIM) * CHAIN
+        flf = 2.0 * S * DIM * FFN + 2.0 * S * FFN * DIM
 
         def ffn_chain(x):
             o = x
@@ -135,7 +135,7 @@ def main():
         q = jax.random.normal(key, (1, S, HEADS, HEAD_D), jnp.bfloat16) * 0.3
         kk = jax.random.normal(key, (1, S, HEADS, HEAD_D), jnp.bfloat16) * 0.3
         v = jax.random.normal(key, (1, S, HEADS, HEAD_D), jnp.bfloat16)
-        dense_fl = 4.0 * S * S * HEADS * HEAD_D * CHAIN
+        dense_fl = 4.0 * S * S * HEADS * HEAD_D
 
         def sparge_chain(q, kk, v):
             o = q
