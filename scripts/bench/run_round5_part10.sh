@@ -24,8 +24,11 @@ sleep 120
 
 if [ -f /tmp/sparge_14b_structured.npz ]; then
   echo "=== e2e_flagship_tuned_table start $(date +%H:%M:%S) ==="
+  # EXACT flagship protocol (bench.py no-env defaults: fused rope, untiled
+  # full decode after release, T5 encode in the timed run) + the tuned table
   timeout 10800 env BENCH_PRESET=14b BENCH_MODE=e2e BENCH_MM=int4a8 \
-      BENCH_ATTN=sparge LIGHTX2V_ROPE_BF16=1 \
+      BENCH_ATTN=sparge BENCH_ROPE_FUSED=1 BENCH_VAE=full BENCH_STEPS=2 \
+      BENCH_INCLUDE_ENCODE=1 \
       BENCH_SPARGE_TABLE=/tmp/sparge_14b_structured.npz \
       python bench.py >$L/e2e_flagship_tuned.json 2>$L/e2e_flagship_tuned.err
   echo "=== exit $? $(date +%H:%M:%S) ==="
