@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -611,7 +612,14 @@ def w4a8_matmul(
     bn = min(bn, max(128, 1 << (N - 1).bit_length()))
     b = bias.astype(jnp.float32) if bias is not None else jnp.zeros((N,), jnp.float32)
 
-    if K <= 8192 and groups <= 128:
+    # LIGHTX2V_W4A8_BLOCKED=1 forces the k-blocked grid even at small K.
+    # Round-5 sweep (BENCHLOG_r05 kernel decomposition): the blocked path
+    # pipelines its small (bm,bk)x(bk,bn) dots at ~93% of the int8 MXU
+    # peak (K=13824 row) while the full-K path sits at ~33% on the
+    # K=5120 qkvo shape — the 10-iteration in-kernel group loop with a
+    # (bm,K) x tile stalls the pipeline where the 4D grid does not.
+    force_blocked = os.environ.get("LIGHTX2V_W4A8_BLOCKED") == "1"
+    if K <= 8192 and groups <= 128 and not force_blocked:
         # full-K form: quantize once per s-block (see _w4a8_fullk_kernel)
         grid = (B, -(-S // bm), -(-N // bn))
         out = pl.pallas_call(

@@ -69,6 +69,41 @@ def main():
         return w, ws
 
     seqs = [int(s) for s in os.environ.get("MM_SEQS", "32760,75600").split(",")]
+
+    if os.environ.get("MM_ONLY") == "blocked":
+        # focused probe: force the k-blocked grid on the K=5120 qkvo shape
+        # (LIGHTX2V_W4A8_BLOCKED read by the wrapper at trace time) + a
+        # bk=512 w8a8 point — testing whether the blocked path's ~93%-of-
+        # peak pipelining (K=13824 row) transfers to small K
+        os.environ["LIGHTX2V_W4A8_BLOCKED"] = "1"
+        for S in seqs:
+            x = jax.random.normal(key, (1, S, DIM), jnp.bfloat16) * 0.3
+            wq, wqs = pack_int4(DIM, DIM, 1)
+            fl = 2.0 * S * DIM * DIM
+
+            def qkv_chain(x, wq=wq, wqs=wqs):
+                o = x
+                for _ in range(CHAIN):
+                    o = w4a8_matmul(o, wq, wqs)
+                return jnp.sum(o.astype(jnp.float32))
+
+            timed(f"w4a8blocked[{S}x{DIM}->{DIM}]", qkv_chain, x, flops=fl)
+
+            w8 = jax.random.randint(jax.random.PRNGKey(4), (DIM, DIM), -127,
+                                    127, jnp.int32).astype(jnp.int8)
+            w8s = jnp.ones((DIM,), jnp.float32) * 0.01
+
+            def w8_chain(x, bk):
+                o = x
+                for _ in range(CHAIN):
+                    o = w8a8_matmul(o, w8, w8s, bk=bk)
+                return jnp.sum(o.astype(jnp.float32))
+
+            for bk in (512, 2560):
+                timed(f"w8a8bk{bk}[{S}x{DIM}->{DIM}]",
+                      lambda xx, bk=bk: w8_chain(xx, bk), x, flops=fl)
+        return
+
     for S in seqs:
         x = jax.random.normal(key, (1, S, DIM), jnp.bfloat16) * 0.3
         xf = jax.random.normal(key, (1, S, FFN), jnp.bfloat16) * 0.3

@@ -8,7 +8,7 @@ cd /root/repo
 L=${BENCH_LOG_DIR:-/tmp/tpu_logs_r5}
 mkdir -p $L
 
-while kill -0 $(cat /tmp/part9_r5.pid 2>/dev/null) 2>/dev/null; do sleep 60; done
+while kill -0 $(cat /tmp/part9b_r5.pid 2>/dev/null) 2>/dev/null; do sleep 60; done
 sleep 120
 
 echo "=== tune_sparge_14b start $(date +%H:%M:%S) ==="
