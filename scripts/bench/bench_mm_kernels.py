@@ -134,9 +134,13 @@ def main():
         fl2 = 2.0 * S * FFN * DIM
 
         def ffn2_chain(xf):
+            # thread the scalar back into the input: identical chained
+            # calls get CSE'd by XLA into ONE execution (the original
+            # form timed 1 exec against 4 calls' flops — a 4x flattery
+            # on top of the flops/dt chain bug; both fixed)
             s = jnp.float32(0)
             for _ in range(CHAIN):
-                s = s + jnp.sum(w4a8_matmul(xf, w2, w2s).astype(jnp.float32))
+                s = jnp.sum(w4a8_matmul(xf + s * 1e-30, w2, w2s).astype(jnp.float32))
             return s
 
         timed(f"w4a8[{S}x{FFN}->{DIM}]", ffn2_chain, xf, flops=fl2)
