@@ -242,13 +242,17 @@ def wan_transformer(
     per-row count, so it can vary layer to layer inside one compiled scan.
 
     ``self_attn_kwargs["dense_prefix"]`` (static int) runs the first p
-    layers with dense flash attention instead of the sparse kernel — a
-    segmented scan (dense head + sparse tail). Motivated by tuned tables
-    (tools/tune_sparge.py): early Wan layers are the least sparsifiable
-    (the 1.3B structured-trajectory table fails layers 0-1 at every l1
-    candidate under a 25 dB bar), and the keep_ratio cap means even
-    l1=0.0 cannot make a scanned layer dense. Two scan bodies compile
-    instead of one; shapes are static so each segment traces once."""
+    layers with dense flash attention instead of the sparse kernel.
+    Motivated by tuned tables (tools/tune_sparge.py): early Wan layers
+    are the least sparsifiable (structured-trajectory tables fail the
+    leading layer(s) at every l1 candidate under a 25 dB bar), and the
+    keep_ratio cap means even l1=0.0 cannot make a scanned layer dense.
+    Implementation: ONE scan whose body lax.cond's the ATTENTION OP on a
+    per-layer flag — both kernels compile once, the rest of the block is
+    shared. (The first version scanned two sliced segments; slicing the
+    stacked 14B weight pytree materialized multi-GB remat copies of the
+    tail stack and OOMed the flagship — the cond form touches no
+    weights.)"""
     mm_fn = resolve_mm(mm_type)
     kw = dict(self_attn_kwargs or {})
     l1_layers = kw.pop("l1_per_layer", None)
@@ -259,28 +263,29 @@ def wan_transformer(
     if dense_prefix > 0:
         num_layers = jax.tree_util.tree_leaves(blocks)[0].shape[0]
         p = min(dense_prefix, num_layers)
-        head_blocks = jax.tree_util.tree_map(lambda a: a[:p], blocks)
-        tail_blocks = jax.tree_util.tree_map(lambda a: a[p:], blocks)
         dense_fn = partial(attention, "flash_attn3")
+        is_dense = jnp.arange(num_layers) < p
+        l1_arr = (jnp.zeros((num_layers,), jnp.float32) if l1_layers is None
+                  else jnp.asarray(l1_layers, jnp.float32))
 
-        def dense_body(carry, layer):
+        def body(carry, xs):
+            layer, l1, dense_flag = xs
+
+            def attn(q, k, v, **akw):
+                return jax.lax.cond(
+                    dense_flag,
+                    lambda q, k, v: dense_fn(q, k, v, **akw),
+                    lambda q, k, v: self_attn_fn(q, k, v, l1=l1, **akw),
+                    q, k, v)
+
             out = wan_block(
-                layer, carry, embed0, context, context_img, rope_cos, rope_sin,
-                arch, mm_fn, dense_fn, cross_attn_fn,
+                layer, carry, embed0, context, context_img, rope_cos,
+                rope_sin, arch, mm_fn, attn, cross_attn_fn,
             )
             return out, None
 
-        x, _ = jax.lax.scan(dense_body, x, head_blocks)
-        if p == num_layers:
-            return x
-        tail_l1 = None if l1_layers is None else jnp.asarray(l1_layers, jnp.float32)[p:]
-        return wan_transformer(
-            tail_blocks, x, embed0, context, context_img, rope_cos, rope_sin,
-            arch, mm_type=mm_type, self_attn_type=self_attn_type,
-            cross_attn_type=cross_attn_type,
-            self_attn_kwargs={**kw, **({"l1_per_layer": tail_l1}
-                                       if tail_l1 is not None else {})},
-        )
+        x, _ = jax.lax.scan(body, x, (blocks, l1_arr, is_dense))
+        return x
 
     if l1_layers is not None:
         l1_arr = jnp.asarray(l1_layers, jnp.float32)
