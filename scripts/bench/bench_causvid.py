@@ -89,7 +89,10 @@ def main():
     fwd = partial(causvid_forward, arch=arch, mm_type=mm_type,
                   attn_type="flash_attn3")
 
-    @jax.jit
+    # donate state+cache: lets XLA alias the (L, kv, D) k/v buffers across
+    # steps instead of holding input+restacked output caches live together
+    # (the bf16 21-frame run OOMed exactly on that 2x6 GB overlap)
+    @partial(jax.jit, donate_argnums=(2,))
     def block_denoise(params, state, kv_cache, cross_kv, cos, sin,
                       kv_start, kv_len):
         def body(carry, _):
@@ -116,6 +119,7 @@ def main():
             st, kv_cache = block_denoise(params, st, kv_cache, cross_kv,
                                          cos, sin, jnp.asarray(kv_start),
                                          jnp.asarray(kv_end))
+            outs = outs[-1:]  # keep only the previous block (sum target)
             outs.append(st["latents"])
             kv_start, kv_end = kv_end, kv_end + fpb * frame_seq
         # scalar-fetch sync (block_until_ready does not block on axon)
