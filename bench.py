@@ -103,6 +103,12 @@ def main():
         os.environ.setdefault("BENCH_ROPE_FUSED", "1")
         os.environ.setdefault("BENCH_VAE", "full")  # untiled fits after release
         os.environ.setdefault("BENCH_STEPS", "2")
+        # tuned per-layer sparge table + dense prefix for the tuner-failed
+        # layer 0 (round-5 part 13: 31.17 s vs 32.15 s uniform-l1, same
+        # protocol, WITH a 25 dB per-layer quality bar)
+        os.environ.setdefault(
+            "BENCH_SPARGE_TABLE",
+            "configs/sparge/wan_t2v_14b_structured_keep03.npz")
         # protocol-complete: T5 encode in the timed e2e (measured 32.18 s
         # = 2.186x, BENCHLOG_r04 part 12 — encode is 0.4% of wall-clock
         # and the row is strictly better AND more complete than the
