@@ -121,3 +121,49 @@ def taylor_skip_step(params, x, embed0, arch: WanArch, cache: Dict, x_diff, mm_t
 
     x, _ = jax.lax.scan(body, x, (params["blocks"], cache["self_attn"], cache["cross_attn"], cache["ffn"]))
     return x
+
+
+def init_taylor_ws_cache(batch: int, seq_len: int, dim: int,
+                         dtype=jnp.bfloat16) -> Dict:
+    """Whole-stack Taylor cache: ONE (B, S, D) f0/f1 pair for the entire
+    transformer residual instead of per-module per-block entries.
+
+    This is the capacity-fit variant: the reference-faithful per-module
+    cache is 6*L*S*D values (~20.8 GB fp8 at 14B 720P — over one v5e,
+    and its step program kills the remote compile helper), while the
+    whole-stack pair is 2*S*D (~775 MB fp8 at 720P). Same semantics the
+    weight-streaming path uses (models/wan/streaming.py taylor dict);
+    quality trades the per-module gating for a single stack-level
+    extrapolation."""
+    z = lambda: jnp.zeros((batch, seq_len, dim), dtype)
+    return {"f0": z(), "f1": z(), "last_calc": jnp.asarray(0, jnp.int32)}
+
+
+def _ws_store(y: jnp.ndarray, dtype) -> jnp.ndarray:
+    if dtype == jnp.float8_e4m3fn:
+        y = jnp.clip(y.astype(jnp.float32), -448.0, 448.0)
+    return y.astype(dtype)
+
+
+def taylor_ws_calc(transformer_fn, x: jnp.ndarray, cache: Dict,
+                   step_index) -> Tuple[jnp.ndarray, Dict]:
+    """Full compute; store the whole-stack residual + first-order
+    derivative (first calc stores f0 only, like the per-module path's
+    ``primed`` handling — a derivative against the zero init would
+    double the residual on the first skip)."""
+    x_out = transformer_fn(x)
+    r = (x_out.astype(jnp.float32) - x.astype(jnp.float32))
+    dt = jnp.maximum(step_index - cache["last_calc"], 1).astype(jnp.float32)
+    f1 = (r - cache["f0"].astype(jnp.float32)) / dt
+    f1 = jnp.where(step_index > 0, f1, jnp.zeros_like(f1))
+    return x_out, {"f0": _ws_store(r, cache["f0"].dtype),
+                   "f1": _ws_store(f1, cache["f1"].dtype),
+                   "last_calc": step_index.astype(jnp.int32)}
+
+
+def taylor_ws_skip(x: jnp.ndarray, cache: Dict, step_index) -> jnp.ndarray:
+    """x += f0 + f1 * (i - last_calc) — add in fp32 so an fp32 cache's
+    f0 replay is bit-exact vs the calc output."""
+    dt = (step_index - cache["last_calc"]).astype(jnp.float32)
+    rec = cache["f0"].astype(jnp.float32) + cache["f1"].astype(jnp.float32) * dt
+    return (x.astype(jnp.float32) + rec).astype(x.dtype)

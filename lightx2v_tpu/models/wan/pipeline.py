@@ -21,7 +21,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...caching.adacache import ada_skip_length, init_ada_state
-from ...caching.taylorseer import init_taylor_cache, taylor_calc_step, taylor_schedule, taylor_skip_step
+from ...caching.taylorseer import (init_taylor_cache, init_taylor_ws_cache,
+                                   taylor_calc_step, taylor_schedule,
+                                   taylor_skip_step, taylor_ws_calc,
+                                   taylor_ws_skip)
 from ...caching.teacache import (TeaCacheConfig, init_tea_state, tea_decide,
                                  tea_decide_per_side, tea_transform,
                                  tea_transform_per_side)
@@ -89,6 +92,10 @@ def make_denoise_fn(
     if feature_caching in ("Tea", "Custom"):
         tea_cfg = TeaCacheConfig.from_config(caching_config) if caching_config is not None else TeaCacheConfig()
     use_taylor = feature_caching == "TaylorSeer"
+    # whole-stack Taylor: one (B, S, D) f0/f1 pair — the capacity-fit
+    # variant (per-module caches are 6*L*S*D ≈ 20.8 GB fp8 at 14B 720P);
+    # same semantics as the weight-streaming path's taylor dict
+    use_taylor_ws = feature_caching == "TaylorWS"
     use_ada = feature_caching == "Ada"
     ada_cfg_scale = float(caching_config.get("ada_metric_scale", 1.0)) \
         if caching_config is not None else 1.0
@@ -119,7 +126,7 @@ def make_denoise_fn(
     # the explicit paths for NoCaching/Tea.
     gspmd_cached = (use_taylor or use_ada or use_custom) and mesh is not None
     n_steps_static = scheduler.num_steps()
-    if use_taylor:
+    if use_taylor or use_taylor_ws:
         taylor_is_calc, taylor_step_diff = taylor_schedule(n_steps_static)
 
     sharded_tf = None
@@ -246,6 +253,22 @@ def make_denoise_fn(
                 x, cache = jax.lax.cond(is_calc, calc, skip, (x, cache))
             else:
                 x, cache = (calc if _branch else skip)((x, cache))
+        elif use_taylor_ws:
+            is_calc = jnp.asarray(taylor_is_calc)[i]
+            tf = lambda xx: transformer(params, xx, embed0, ctx_e, ctx_img)
+
+            def calc(op):
+                xx, c = op
+                return taylor_ws_calc(tf, xx, c, i)
+
+            def skip(op):
+                xx, c = op
+                return taylor_ws_skip(xx, c, i), dict(c)
+
+            if _branch is None:
+                x, cache = jax.lax.cond(is_calc, calc, skip, (x, cache))
+            else:
+                x, cache = (calc if _branch else skip)((x, cache))
         elif use_ada:
             mid = arch.num_layers // 2
             mm_fn = resolve_mm(mm_type)
@@ -317,6 +340,8 @@ def make_denoise_fn(
             return init_tea_state((batch, seq_len, d), mod_shape, dtype=tea_dtype)
         if use_taylor:
             return init_taylor_cache(arch, batch, seq_len, dtype=taylor_dtype)
+        if use_taylor_ws:
+            return init_taylor_ws_cache(batch, seq_len, d, dtype=taylor_dtype)
         if use_ada:
             return init_ada_state((batch, seq_len, d), metric_scale=ada_cfg_scale)
         return {}

@@ -223,7 +223,7 @@ def main():
         # 80 GB H200). fp8 cache entries + single-sided (B=1) denoise keep
         # the FULL token count on 16 GB — measured against a B=1 baseline,
         # so the speedup stays like-for-like at the real sequence length.
-        taylor_full = mode in ("TaylorSeer", "Custom") and \
+        taylor_full = mode in ("TaylorSeer", "TaylorWS", "Custom") and \
             os.environ.get("BENCH_TAYLOR_FULL", "1") != "0"
         enable_cfg = not taylor_full
         # BENCH_ENABLE_CFG=0: B=1 protocol for every mode, each vs the B=1
@@ -299,7 +299,7 @@ def main():
             split_sched = np.concatenate([[True], np.diff(marks) > 0]).astype(bool)
             label = f"Ada@forced{frac:g}"
         if (taylor_full or tea_split) and os.environ.get("BENCH_SPLIT_BRANCH", "1") != "0":
-            if mode == "TaylorSeer":
+            if mode in ("TaylorSeer", "TaylorWS"):
                 from lightx2v_tpu.caching.taylorseer import taylor_schedule
                 split_sched = np.asarray(taylor_schedule(steps)[0], bool)
             else:  # Custom / Tea — host-exact Tea-decision replay

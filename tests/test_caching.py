@@ -363,3 +363,44 @@ def test_ada_split_branch_forced_schedule():
     lat_ref, _ = run([True] * 6, "NoCaching")
     c = np.corrcoef(lat_all.ravel(), lat_ref.ravel())[0, 1]
     assert c > 0.98, f"all-calc Ada diverged from NoCaching, corr {c}"
+
+
+def test_taylor_ws_denoise_loop_runs_and_approximates():
+    """Whole-stack Taylor (TaylorWS) — the capacity-fit variant for
+    14B/720P where per-module caches are 6*L*S*D (~20.8 GB fp8): the
+    compiled loop runs, and with smooth dynamics tracks the exact
+    trajectory like per-module TaylorSeer does."""
+    cfg = ConfigDict({"infer_steps": 8, "sample_shift": 5.0})
+    params = load_wan_params(init_random_weight_dict(ARCH, seed=0, scale=0.02), ARCH)
+    ctx = jnp.asarray(np.random.default_rng(2).standard_normal((1, 8, 16)) * 0.1, jnp.float32)
+    outs = {}
+    for caching in ("NoCaching", "TaylorWS"):
+        sched = WanUniPCScheduler(cfg)
+        state = sched.prepare(TARGET, seed=3)
+        d = make_denoise_fn(ARCH, sched, TARGET, enable_cfg=False,
+                            self_attn_type="xla", cross_attn_type="xla",
+                            feature_caching=caching, caching_config=cfg)
+        outs[caching] = np.asarray(d(params, state, ctx, ctx)["latents"], np.float32)
+    c = np.corrcoef(outs["NoCaching"].ravel(), outs["TaylorWS"].ravel())[0, 1]
+    assert c > 0.98, f"whole-stack caching diverged, corr {c}"
+
+
+def test_taylor_ws_first_skip_replays_f0_exactly():
+    """fp32 cache + fp32 add: the first skip after the first calc must
+    apply EXACTLY the calc step's whole-stack residual (matches the
+    streamed path's replay-exactness property, test_streaming)."""
+    from lightx2v_tpu.caching.taylorseer import (init_taylor_ws_cache,
+                                                 taylor_ws_calc,
+                                                 taylor_ws_skip)
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 16, 8)), jnp.float32)
+    cache = init_taylor_ws_cache(1, 16, 8, dtype=jnp.float32)
+    tf = lambda xx: xx * 1.5 + 0.25  # stand-in transformer
+    x_out, cache = taylor_ws_calc(tf, x, cache, jnp.asarray(0))
+    # first calc: derivative must be zero (unprimed)
+    np.testing.assert_array_equal(np.asarray(cache["f1"]), 0.0)
+    x2 = jnp.asarray(rng.standard_normal((1, 16, 8)), jnp.float32)
+    rec = taylor_ws_skip(x2, cache, jnp.asarray(1))
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x2 + (x_out - x)),
+                               rtol=0, atol=1e-6)
