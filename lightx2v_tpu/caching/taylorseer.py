@@ -152,9 +152,14 @@ def taylor_ws_calc(transformer_fn, x: jnp.ndarray, cache: Dict,
     ``primed`` handling — a derivative against the zero init would
     double the residual on the first skip)."""
     x_out = transformer_fn(x)
-    r = (x_out.astype(jnp.float32) - x.astype(jnp.float32))
-    dt = jnp.maximum(step_index - cache["last_calc"], 1).astype(jnp.float32)
-    f1 = (r - cache["f0"].astype(jnp.float32)) / dt
+    # residual/derivative chain in bf16, not fp32: at 14B 720P the three
+    # (B, 75600, 5120) f32 temps (r, f0_old, f1) are ~4.6 GB on top of
+    # the forward peak and RESOURCE_EXHAUST one v5e; the cache itself is
+    # fp8/bf16, so bf16 intermediates lose nothing the store keeps
+    mdt = jnp.float32 if cache["f0"].dtype == jnp.float32 else jnp.bfloat16
+    r = (x_out - x).astype(mdt)
+    dt = jnp.maximum(step_index - cache["last_calc"], 1).astype(mdt)
+    f1 = (r - cache["f0"].astype(mdt)) / dt
     f1 = jnp.where(step_index > 0, f1, jnp.zeros_like(f1))
     return x_out, {"f0": _ws_store(r, cache["f0"].dtype),
                    "f1": _ws_store(f1, cache["f1"].dtype),
