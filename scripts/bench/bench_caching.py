@@ -52,8 +52,15 @@ def main():
     if self_attn == "sparge":
         self_attn_kwargs = {
             "keep_ratio": float(os.environ.get("BENCH_SPARGE_KEEP", 0.3)),
-            "block_q": 2048, "block_k": 1024,
+            "l1": 0.07, "block_q": 2048, "block_k": 1024,
         }
+        if os.environ.get("BENCH_SPARGE_TABLE"):  # tuned per-layer l1 .npz
+            _tab = np.load(os.environ["BENCH_SPARGE_TABLE"])
+            self_attn_kwargs["l1_per_layer"] = _tab["l1"]
+            if "passed" in _tab and not _tab["passed"][0]:
+                _pa = _tab["passed"]
+                self_attn_kwargs["dense_prefix"] = (
+                    int(np.argmax(_pa)) if _pa.any() else len(_pa))
     params = init_random_params_on_device(arch, scheme=scheme, seed=0)
     jax.block_until_ready(params)
     rng = np.random.default_rng(0)
