@@ -143,7 +143,7 @@ def test_all_shipped_configs_parse():
     root = os.path.join(os.path.dirname(__file__), "..", "configs")
     files = glob.glob(os.path.join(root, "**", "*.json"), recursive=True)
     assert len(files) >= 40, f"expected the full config matrix, got {len(files)}"
-    known_caching = {"NoCaching", "Tea", "TaylorSeer", "Ada", "Custom"}
+    known_caching = {"NoCaching", "Tea", "TaylorSeer", "TaylorWS", "Ada", "Custom"}
     for path in files:
         with open(path) as f:
             cfg = json.load(f)
