@@ -47,7 +47,8 @@ DEFAULT_L1_GRID = (0.30, 0.25, 0.20, 0.15, 0.10, 0.07, 0.05, 0.02)
 
 
 @lru_cache(maxsize=None)
-def _grid_eval_fn(keep_ratio: float, block_q: int, block_k: int, on_tpu: bool):
+def _grid_eval_fn(keep_ratio: float, block_q: int, block_k: int, on_tpu: bool,
+                  head_chunk: int = 0):
     """Jitted whole-grid sparse eval returning per-candidate SNR SCALARS.
 
     Two memory/bandwidth constraints shape this (both hit in round 5):
@@ -59,18 +60,50 @@ def _grid_eval_fn(keep_ratio: float, block_q: int, block_k: int, on_tpu: bool):
       per eval through the single-digit-MB/s axon tunnel — so the SNR is
       computed on device over the whole l1 grid (lax.map; l1 only enters
       the cumulative-mass count, so it traces fine) and only (len(grid),)
-      f32 scalars cross the tunnel per layer."""
+      f32 scalars cross the tunnel per layer.
+
+    ``head_chunk > 0`` evaluates ``head_chunk`` heads at a time
+    (fori_loop accumulating sum-of-squares; sparge selection is
+    per-(batch, head) independent, so the result is IDENTICAL to the
+    whole-tensor eval — ratio of sums == ratio of means). This is the
+    capacity fix for the native-720P tune (round-5 part 16): the
+    unchunked eval's f32 temps (ref + out + all-head selection indices,
+    ~4 GB at S=75 600, N=40) OOM beside 7 GB of w4a8 weights; chunking
+    at 8 heads cuts them 5x. NOTE compute, not memory, is the 720P
+    tune's real wall: the grid costs ~5.3x the 480P tune's ~4 h."""
     sparse = sparge_attention if on_tpu else sparge_attention_xla
 
     @jax.jit
     def eval_grid(q, k, v, dense_out, l1_vec):
-        ref = dense_out.astype(jnp.float32)
-        sig = jnp.mean(ref**2)
+        if not head_chunk:
+            ref = dense_out.astype(jnp.float32)
+            sig = jnp.mean(ref**2)
+
+            def one(l1):
+                out = sparse(q, k, v, keep_ratio=keep_ratio, l1=l1,
+                             block_q=block_q, block_k=block_k)
+                err = jnp.mean((out.astype(jnp.float32) - ref) ** 2)
+                return 10.0 * jnp.log10(sig / jnp.maximum(err, 1e-30))
+
+            return jax.lax.map(one, l1_vec)
+
+        n = q.shape[2]  # (B, S, N, D) — heads on axis 2
+        if n % head_chunk:
+            raise ValueError(f"head_chunk={head_chunk} must divide num_heads={n}")
 
         def one(l1):
-            out = sparse(q, k, v, keep_ratio=keep_ratio, l1=l1,
-                         block_q=block_q, block_k=block_k)
-            err = jnp.mean((out.astype(jnp.float32) - ref) ** 2)
+            def chunk(c, acc):
+                sl = lambda a: jax.lax.dynamic_slice_in_dim(
+                    a, c * head_chunk, head_chunk, axis=2)
+                out = sparse(sl(q), sl(k), sl(v), keep_ratio=keep_ratio, l1=l1,
+                             block_q=block_q, block_k=block_k)
+                ref = sl(dense_out).astype(jnp.float32)
+                return (acc[0] + jnp.sum((out.astype(jnp.float32) - ref) ** 2),
+                        acc[1] + jnp.sum(ref**2))
+
+            err, sig = jax.lax.fori_loop(
+                0, n // head_chunk, chunk,
+                (jnp.float32(0.0), jnp.float32(0.0)))
             return 10.0 * jnp.log10(sig / jnp.maximum(err, 1e-30))
 
         return jax.lax.map(one, l1_vec)
@@ -88,6 +121,7 @@ def tune_layer(
     bar_db: float,
     block_q: int,
     block_k: int,
+    head_chunk: int = 0,
 ) -> Tuple[float, float, bool]:
     """Pick the largest l1 whose sparse output meets the SNR bar.
 
@@ -99,7 +133,7 @@ def tune_layer(
     full top-k budget), which strictly dominates any positive l1."""
     grid = sorted(set(l1_grid) | {0.0}, reverse=True)  # larger l1 = cheaper
     eval_fn = _grid_eval_fn(keep_ratio, block_q, block_k,
-                            jax.default_backend() == "tpu")
+                            jax.default_backend() == "tpu", head_chunk)
     snrs = np.asarray(eval_fn(q, k, v, dense_out,
                               jnp.asarray(grid, jnp.float32)))
     for l1, s in zip(grid, snrs):
@@ -123,6 +157,7 @@ def tune_sparge(
     bar_db: float = 30.0,
     block_q: int = 2048,
     block_k: int = 1024,
+    head_chunk: int = 0,
     verbose: bool = True,
 ):
     """Calibrate a per-layer l1 table on one (latents, t, context) sample.
@@ -172,7 +207,7 @@ def tune_sparge(
         layer_p = jax.tree_util.tree_map(lambda a: a[i], params["blocks"])
         x, q, k, v, dense_out = layer_fwd(layer_p, x)
         l1, s, ok = tune_layer(q, k, v, dense_out, keep_ratio, l1_grid,
-                               bar_db, block_q, block_k)
+                               bar_db, block_q, block_k, head_chunk)
         l1s.append(l1)
         snrs.append(s)
         passed.append(ok)
@@ -217,6 +252,12 @@ def main():
     ap.add_argument("--bar_db", type=float, default=30.0)
     ap.add_argument("--block_q", type=int, default=2048)
     ap.add_argument("--block_k", type=int, default=1024)
+    ap.add_argument("--eval_head_chunk", type=int, default=0,
+                    help="evaluate the SNR grid head_chunk heads at a time "
+                         "(must divide num_heads; 0 = whole tensor). The "
+                         "capacity knob for native-720P tuning: the "
+                         "unchunked eval's f32 temps OOM beside the 14B "
+                         "w4a8 weights at S=75600 — use 8")
     ap.add_argument("--platform", help="force a jax platform (e.g. cpu)")
     ap.add_argument("--mm_type", default="Default",
                     help="matmul scheme for the capture stack (the 14b "
@@ -308,7 +349,8 @@ def main():
                               mm_type=args.mm_type,
                               keep_ratio=args.keep_ratio, l1_grid=l1_grid,
                               bar_db=args.bar_db, block_q=args.block_q,
-                              block_k=args.block_k)
+                              block_k=args.block_k,
+                              head_chunk=args.eval_head_chunk)
                   for lat, tt in samples]
     # worst case over samples: smallest (most conservative) l1 per layer,
     # lowest SNR, pass only if every sample passed

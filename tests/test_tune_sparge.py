@@ -64,6 +64,29 @@ def test_tuned_table_runs_through_transformer(tiny_setup):
     assert np.isfinite(np.asarray(out, np.float32)).all()
 
 
+def test_head_chunked_eval_identical(tiny_setup):
+    """eval_head_chunk is a pure capacity knob (the native-720P tune's
+    part-16 OOM fix): sparge selection is per-(batch, head) independent
+    and ratio-of-sums == ratio-of-means, so chunked SNR grids must equal
+    the whole-tensor eval EXACTLY (same grid -> same table)."""
+    from lightx2v_tpu.tools.tune_sparge import tune_sparge
+
+    arch, params, latents, t, context = tiny_setup
+    grid = (0.3, 0.1, 0.02)
+    kw = dict(keep_ratio=0.5, l1_grid=grid, bar_db=20.0, block_q=128,
+              block_k=128, verbose=False)
+    whole = tune_sparge(params, arch, latents, t, context, **kw)
+    for chunk in (1, 2):  # num_heads=4: uneven and even splits
+        chunked = tune_sparge(params, arch, latents, t, context,
+                              head_chunk=chunk, **kw)
+        np.testing.assert_array_equal(chunked[0], whole[0])  # same l1 table
+        np.testing.assert_allclose(chunked[1], whole[1], atol=1e-3)  # SNRs
+        np.testing.assert_array_equal(chunked[2], whole[2])
+
+    with pytest.raises(ValueError, match="must divide"):
+        tune_sparge(params, arch, latents, t, context, head_chunk=3, **kw)
+
+
 def test_bar_monotonicity(tiny_setup):
     """A stricter bar never selects a MORE aggressive (larger) l1."""
     from lightx2v_tpu.tools.tune_sparge import tune_sparge
